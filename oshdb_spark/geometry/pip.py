@@ -1,0 +1,155 @@
+"""Vectorized point-in-polygon and bbox/polygon relation tests.
+
+Re-implements the semantics of the reference's fast-in-polygon machinery
+(/root/reference/oshdb-util/src/main/java/org/heigit/ohsome/oshdb/util/geometry/fip/):
+  * FastPointInPolygon.java:25      — crossing-number test, odd = inside
+  * FastBboxInPolygon.java:38-68    — bbox fully inside (all corners inside,
+                                      no edge crossings, no inner ring inside)
+  * FastBboxOutsidePolygon.java     — bbox fully outside (early reject)
+
+The reference buckets segments into bands for per-point speed; we instead
+evaluate all points against all segments in one numpy broadcast (Arrow-batch
+granularity), which is the vectorized equivalent — same results, batch-level
+parallelism instead of per-point pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from oshdb_spark.geometry.model import Geometry
+
+
+def _polygon_rings(geom: Geometry) -> list[np.ndarray]:
+    t = geom["type"]
+    if t == "Polygon":
+        return [np.asarray(r, dtype=np.float64) for r in geom["coordinates"]]
+    if t == "MultiPolygon":
+        return [
+            np.asarray(r, dtype=np.float64)
+            for rings in geom["coordinates"]
+            for r in rings
+        ]
+    raise ValueError(f"not a polygonal geometry: {t}")
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, poly: Geometry
+) -> np.ndarray:
+    """Odd-even (crossing number) point-in-polygon over all rings at once.
+
+    Holes fall out naturally: a point inside shell and inside one hole has an
+    even crossing count.  Matches FastPointInPolygon's crossingNumber%2 rule.
+    Points exactly on an edge may land on either side (same caveat as the
+    reference's crossing-number test).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in _polygon_rings(poly):
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        # segments straddling the horizontal line through each point
+        straddle = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (py[:, None] - y1[None, :]) / (
+                y2[None, :] - y1[None, :]
+            ) * (x2[None, :] - x1[None, :])
+        crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
+        inside ^= (crossings % 2).astype(bool)
+    return inside
+
+
+def _segments_intersect_bbox(
+    ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> bool:
+    """True if any ring segment intersects the bbox interior or boundary."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    # quick reject: segment bbox vs query bbox
+    cand = ~(
+        (np.maximum(x1, x2) < minx)
+        | (np.minimum(x1, x2) > maxx)
+        | (np.maximum(y1, y2) < miny)
+        | (np.minimum(y1, y2) > maxy)
+    )
+    if not cand.any():
+        return False
+    x1, y1, x2, y2 = x1[cand], y1[cand], x2[cand], y2[cand]
+    # endpoint inside bbox?
+    if (
+        ((x1 >= minx) & (x1 <= maxx) & (y1 >= miny) & (y1 <= maxy)).any()
+        or ((x2 >= minx) & (x2 <= maxx) & (y2 >= miny) & (y2 <= maxy)).any()
+    ):
+        return True
+    # Liang-Barsky clip test per candidate segment (vectorized)
+    dx = x2 - x1
+    dy = y2 - y1
+    t0 = np.zeros(len(x1))
+    t1 = np.ones(len(x1))
+    ok = np.ones(len(x1), dtype=bool)
+    for p, q in (
+        (-dx, x1 - minx),
+        (dx, maxx - x1),
+        (-dy, y1 - miny),
+        (dy, maxy - y1),
+    ):
+        par = p == 0
+        ok &= ~(par & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(par, 0.0, q / np.where(p == 0, 1.0, p))
+        t0 = np.where(~par & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~par & (p > 0), np.minimum(t1, r), t1)
+    return bool((ok & (t0 <= t1)).any())
+
+
+def bbox_outside_polygon(
+    bbox: tuple[float, float, float, float], poly: Geometry
+) -> bool:
+    """True iff bbox is fully outside poly (FastBboxOutsidePolygon.java).
+
+    No bbox corner inside the polygon, no polygon vertex inside the bbox,
+    and no polygon edge crossing the bbox.
+    """
+    minx, miny, maxx, maxy = bbox
+    cx = np.array([minx, maxx, maxx, minx])
+    cy = np.array([miny, miny, maxy, maxy])
+    if points_in_polygon(cx, cy, poly).any():
+        return False
+    for ring in _polygon_rings(poly):
+        if _segments_intersect_bbox(ring, minx, miny, maxx, maxy):
+            return False
+    return True
+
+
+def bbox_in_polygon(
+    bbox: tuple[float, float, float, float], poly: Geometry
+) -> bool:
+    """True iff bbox is fully inside poly (FastBboxInPolygon.java:38-68).
+
+    All 4 corners inside, no edge crossings, and no hole ring intersecting
+    or contained in the bbox.
+    """
+    minx, miny, maxx, maxy = bbox
+    cx = np.array([minx, maxx, maxx, minx])
+    cy = np.array([miny, miny, maxy, maxy])
+    if not points_in_polygon(cx, cy, poly).all():
+        return False
+    for ring in _polygon_rings(poly):
+        if _segments_intersect_bbox(ring, minx, miny, maxx, maxy):
+            return False
+    # a hole fully inside the bbox would make part of the bbox not-inside;
+    # detected by a hole vertex lying inside the bbox
+    t = poly["type"]
+    polys = poly["coordinates"] if t == "MultiPolygon" else [poly["coordinates"]]
+    for rings in polys:
+        for hole in rings[1:]:
+            h = np.asarray(hole, dtype=np.float64)
+            if (
+                (h[:, 0] >= minx)
+                & (h[:, 0] <= maxx)
+                & (h[:, 1] >= miny)
+                & (h[:, 1] <= maxy)
+            ).any():
+                return False
+    return True

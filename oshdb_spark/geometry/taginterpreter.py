@@ -1,0 +1,108 @@
+"""Area/line decision rules for ways and relations.
+
+Reproduces the semantics of the reference's tag interpreter
+(/root/reference/oshdb-util/src/main/java/org/heigit/ohsome/oshdb/util/taginterpreter/BaseTagInterpreter.java:48-158,
+DefaultTagInterpreter.java:36-39):
+
+  * a way is an area iff it forms a closed ring with >= 4 node refs, does
+    NOT carry the `area=no` tag, and has at least one tag in the
+    polygon-features allowlist;
+  * a relation is an area iff it has a tag in the relation allowlist
+    (typically type=multipolygon / type=boundary); `area=no` is NOT checked;
+  * multipolygon outer members: role == outer or role == "" (historic data);
+    inner members: role == inner.
+
+Tags here are int-coded (key:int, value:int) like the reference's keytable
+encoding; the allowlists map key -> set of values, or key -> ALL_VALUES for
+keys where any value makes an area (polygon-features.json "default: true").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+ALL_VALUES = "*"
+
+# role int codes used across the engine (reference stores roles int-coded via
+# keytables; these three are fixed by convention in our synthetic data)
+ROLE_OUTER = 0
+ROLE_INNER = 1
+ROLE_EMPTY = 2
+
+
+@dataclass(frozen=True)
+class TagInterpreter:
+    area_no_tag: tuple[int, int] | None = None
+    way_area_tags: dict[int, object] = field(default_factory=dict)
+    relation_area_tags: dict[int, object] = field(default_factory=dict)
+    uninteresting_tag_keys: frozenset[int] = frozenset()
+    outer_role: int = ROLE_OUTER
+    inner_role: int = ROLE_INNER
+    empty_role: int = ROLE_EMPTY
+
+    def _match(self, allow: dict, tags: dict[int, int]) -> bool:
+        for k, v in tags.items():
+            vals = allow.get(k)
+            if vals is None:
+                continue
+            if vals == ALL_VALUES or v in vals:
+                return True
+        return False
+
+    def way_is_area(self, refs: list[int], tags: dict[int, int]) -> bool:
+        """BaseTagInterpreter.isArea for ways (closed ring >= 4 refs + tags)."""
+        if len(refs) < 4 or refs[0] != refs[-1]:
+            return False
+        if self.area_no_tag is not None:
+            k, v = self.area_no_tag
+            if tags.get(k) == v:
+                return False
+        return self._match(self.way_area_tags, tags)
+
+    def relation_is_area(self, tags: dict[int, int]) -> bool:
+        return self._match(self.relation_area_tags, tags)
+
+    def is_outer_member(self, member_type: str, role: int) -> bool:
+        return member_type == "way" and role in (self.outer_role, self.empty_role)
+
+    def is_inner_member(self, member_type: str, role: int) -> bool:
+        return member_type == "way" and role == self.inner_role
+
+    def has_interesting_tag_key(self, tags: dict[int, int]) -> bool:
+        return any(k not in self.uninteresting_tag_keys for k in tags)
+
+
+# Tag-key conventions for the synthetic docs tables (see sources/docs.py):
+#   key 1 = "area"      (value 0 = "no")
+#   key 2 = "building"  (any value -> area)
+#   key 3 = "highway"   (linear)
+#   key 4 = "type"      (value 1 = "multipolygon", value 2 = "boundary")
+#   key 5 = "landuse"   (any value -> area)
+#   key 6 = "natural"   (any value -> area)
+#   key 9 = "created_by" (uninteresting)
+TAG_AREA = 1
+VAL_NO = 0
+TAG_BUILDING = 2
+TAG_HIGHWAY = 3
+TAG_TYPE = 4
+VAL_MULTIPOLYGON = 1
+VAL_BOUNDARY = 2
+TAG_LANDUSE = 5
+TAG_NATURAL = 6
+TAG_CREATED_BY = 9
+
+
+def default_tag_interpreter() -> TagInterpreter:
+    """Interpreter for the synthetic data's tag-key conventions (mirrors the
+    role of DefaultTagInterpreter + polygon-features.json in the reference)."""
+    return TagInterpreter(
+        area_no_tag=(TAG_AREA, VAL_NO),
+        way_area_tags={
+            TAG_BUILDING: ALL_VALUES,
+            TAG_LANDUSE: ALL_VALUES,
+            TAG_NATURAL: ALL_VALUES,
+            TAG_AREA: {1},  # area=yes
+        },
+        relation_area_tags={TAG_TYPE: {VAL_MULTIPOLYGON, VAL_BOUNDARY}},
+        uninteresting_tag_keys=frozenset({TAG_CREATED_BY}),
+    )

@@ -1,0 +1,317 @@
+"""Tile assignment + query-side cell pruning (the engine's stage 1).
+
+Two implementations of the same XYGrid semantics, cross-checked in tests:
+
+  * ``xy_cell_id_col`` / ``xy_insert_cell_col`` — pure Catalyst Column
+    expressions (whole-stage-codegen'd, JVM-side; the hot path).  The XYGrid
+    arithmetic is plain fixed-point shifts + double division + floor, so it
+    needs no Python at all; Java's ``(int)`` casts truncate toward zero, and
+    after the +180/+90 shift every operand is non-negative, so FLOOR ==
+    truncation and the results are bit-identical to the reference
+    (XYGrid.java:140-168, :229-236; XYGridTree.java:93-100).
+
+  * ``xy_insert_cell_udf`` / ``quadcell_udf`` — Arrow-batched pandas UDFs
+    wrapping the numpy kernels (grid/xygrid.py, grid/quadcell.py): the
+    north-rule path ("H3/S2 tiling via batched vectorized pandas/Arrow UDFs,
+    no per-row Python").  If the ``h3`` package is importable, ``h3_udf``
+    emits true H3 ids as well.
+
+Query side: ``query_cell_ranges`` computes per-zoom cell-id ranges for a
+bbox on the driver (with the reference's enlarge-one-cell-SW rule,
+XYGrid.java:316-400) and ``cell_range_filter`` turns them into a pushed-down
+Column predicate so parquet/Iceberg partition pruning kicks in.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oshdb_spark.grid.quadcell import quadcell_id_vec
+from oshdb_spark.grid.xygrid import MAXZOOM, XYGridTree, xy_insert_cell_vec
+
+_OSM_180 = 1_800_000_000
+_OSM_90 = 900_000_000
+
+
+# ---------------------------------------------------------------------------
+# JVM-side Column expressions
+# ---------------------------------------------------------------------------
+
+
+def xy_cell_id_col(zoom: int, lon: Column, lat: Column) -> Column:
+    """XYGrid.getId as a Catalyst expression (XYGrid.java:140-168)."""
+    cell_width = 360.0 / (1 << zoom) * 1e7
+    zoompow = 1 << zoom
+    lon_s = lon.cast("long") + F.lit(_OSM_180)
+    lat_s = lat.cast("long") + F.lit(_OSM_90)
+    lon_s = F.when(lon_s == 3_600_000_000, F.lit(0)).otherwise(lon_s)
+    lat_s = F.when(lat_s == 1_800_000_000, lat_s - 1).otherwise(lat_s)
+    x = F.floor(lon_s / F.lit(cell_width))
+    y = F.floor(lat_s / F.lit(cell_width))
+    outside = (
+        (lon > _OSM_180) | (lon < -_OSM_180) | (lat > _OSM_90) | (lat < -_OSM_90)
+    )
+    return F.when(outside, F.lit(-1)).otherwise(y * zoompow + x)
+
+
+def _estimated_count_col(zoom: int, minlon, minlat, maxlon, maxlat) -> Column:
+    """XYGrid.getEstimatedIdCount as a Catalyst expression (XYGrid.java:229)."""
+    w = F.lit(360.0 / (1 << zoom) * 1e7)
+    cols = F.ceil(maxlon / w) - F.floor(minlon / w)
+    rows = F.ceil(maxlat / w) - F.floor(minlat / w)
+    return F.greatest(cols, rows)
+
+
+def xy_insert_cell_col(
+    minlon: Column, minlat: Column, maxlon: Column, maxlat: Column,
+    maxzoom: int = MAXZOOM,
+) -> Column:
+    """XYGridTree.getInsertId as one Catalyst expression.
+
+    Returns struct(cell_zoom int, cell_id long, level_id long): the deepest
+    zoom whose estimated cell count for the bbox is <= 2 (XYGridTree.java:93-100),
+    with the packed level id (CellId.java:37-39).
+    """
+    expr = None
+    for z in range(maxzoom, -1, -1):
+        cond = _estimated_count_col(z, minlon, minlat, maxlon, maxlat) <= 2
+        cid = xy_cell_id_col(z, minlon, minlat)
+        branch = F.struct(
+            F.lit(z).alias("cell_zoom"),
+            cid.alias("cell_id"),
+            (F.lit(z).cast("long") * F.lit(1 << 56).cast("long") + cid).alias(
+                "level_id"
+            ),
+        )
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized pandas UDF path (north-rule)
+# ---------------------------------------------------------------------------
+
+
+def xy_insert_cell_udf():
+    """pandas UDF: (minlon, minlat, maxlon, maxlat) -> struct(zoom, cell)."""
+
+    @F.pandas_udf("cell_zoom int, cell_id long")
+    def _udf(
+        minlon: pd.Series, minlat: pd.Series, maxlon: pd.Series, maxlat: pd.Series
+    ) -> pd.DataFrame:
+        z, c = xy_insert_cell_vec(
+            minlon.to_numpy("int64"),
+            minlat.to_numpy("int64"),
+            maxlon.to_numpy("int64"),
+            maxlat.to_numpy("int64"),
+        )
+        return pd.DataFrame({"cell_zoom": z.astype("int32"), "cell_id": c})
+
+    return _udf
+
+
+def quadcell_udf(level: int):
+    """pandas UDF: fixed-point (lon, lat) -> quadcell id at `level`."""
+
+    @F.pandas_udf("long")
+    def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = quadcell_id_vec(level, lon.to_numpy("int64"), lat.to_numpy("int64"))
+        return pd.Series(out)
+
+    return _udf
+
+
+def h3_udf(resolution: int):
+    """True H3 ids when the `h3` package is available (absent here)."""
+    try:
+        import h3  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "h3 package not installed in this environment; quadcell is the "
+            "hierarchical index. With h3 installed this returns "
+            "h3.latlng_to_cell over Arrow batches."
+        ) from e
+
+    @F.pandas_udf("long")
+    def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import h3
+
+        return pd.Series(
+            [
+                h3.str_to_int(h3.latlng_to_cell(la / 1e7, lo / 1e7, resolution))
+                for lo, la in zip(lon, lat)
+            ]
+        )
+
+    return _udf
+
+
+# ---------------------------------------------------------------------------
+# lifetime bboxes + cell assignment over the entities table
+# ---------------------------------------------------------------------------
+
+
+def lifetime_bboxes(entities: DataFrame) -> DataFrame:
+    """Per (type, id): bbox over ALL versions, members included.
+
+    Mirrors the reference's insert rule, which tiles each OSH entity by its
+    lifetime bbox including referenced member histories (XYGridTree.java:93-100;
+    OSHEntityImpl co-stores member histories).  Three narrow aggregations +
+    two equi-joins, all on id keys (shuffle is unavoidable here and happens
+    once, at ETL time — the same trade the reference makes in its ETL).
+    """
+    nodes = entities.filter(F.col("type") == "node")
+    node_bbox = nodes.groupBy("id").agg(
+        F.min("lon").alias("minlon"),
+        F.min("lat").alias("minlat"),
+        F.max("lon").alias("maxlon"),
+        F.max("lat").alias("maxlat"),
+    )
+
+    ways = entities.filter(F.col("type") == "way")
+    way_refs = ways.select("id", F.explode("refs").alias("ref")).distinct()
+    way_bbox = (
+        way_refs.join(
+            node_bbox.withColumnRenamed("id", "ref"),
+            "ref",
+            "inner",
+        )
+        .groupBy("id")
+        .agg(
+            F.min("minlon").alias("minlon"),
+            F.min("minlat").alias("minlat"),
+            F.max("maxlon").alias("maxlon"),
+            F.max("maxlat").alias("maxlat"),
+        )
+    )
+
+    rels = entities.filter(F.col("type") == "relation")
+    rel_members = rels.select(
+        "id", F.explode("members").alias("m")
+    ).select("id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"))
+    member_boxes = rel_members.filter(F.col("mtype") == "way").join(
+        way_bbox.withColumnRenamed("id", "ref"), "ref", "inner"
+    ).unionByName(
+        rel_members.filter(F.col("mtype") == "node").join(
+            node_bbox.withColumnRenamed("id", "ref"), "ref", "inner"
+        )
+    )
+    rel_bbox = member_boxes.groupBy("id").agg(
+        F.min("minlon").alias("minlon"),
+        F.min("minlat").alias("minlat"),
+        F.max("maxlon").alias("maxlon"),
+        F.max("maxlat").alias("maxlat"),
+    )
+
+    return (
+        node_bbox.withColumn("type", F.lit("node"))
+        .unionByName(way_bbox.withColumn("type", F.lit("way")))
+        .unionByName(rel_bbox.withColumn("type", F.lit("relation")))
+    )
+
+
+def assign_cells(
+    entities: DataFrame,
+    quadcell_level: int = 12,
+    use_udf_path: bool = False,
+) -> DataFrame:
+    """entities + (cell_zoom, cell_id, level_id, qcell) columns.
+
+    qcell is the hierarchical quadcell of the lifetime-bbox SW corner at
+    `quadcell_level` (computed via the Arrow pandas UDF — the north-rule
+    path); the XYGrid insert cell uses the JVM Column expression unless
+    `use_udf_path` (both are bit-identical; tests assert it).
+    """
+    boxes = lifetime_bboxes(entities)
+    if use_udf_path:
+        udf = xy_insert_cell_udf()
+        boxes = boxes.withColumn(
+            "c", udf("minlon", "minlat", "maxlon", "maxlat")
+        ).withColumn(
+            "c",
+            F.struct(
+                F.col("c.cell_zoom"),
+                F.col("c.cell_id"),
+                (
+                    F.col("c.cell_zoom").cast("long") * F.lit(1 << 56).cast("long")
+                    + F.col("c.cell_id")
+                ).alias("level_id"),
+            ),
+        )
+    else:
+        boxes = boxes.withColumn(
+            "c",
+            xy_insert_cell_col(
+                F.col("minlon"), F.col("minlat"), F.col("maxlon"), F.col("maxlat")
+            ),
+        )
+    qudf = quadcell_udf(quadcell_level)
+    boxes = boxes.select(
+        "type",
+        "id",
+        F.col("c.cell_zoom").alias("cell_zoom"),
+        F.col("c.cell_id").alias("cell_id"),
+        F.col("c.level_id").alias("level_id"),
+        qudf("minlon", "minlat").alias("qcell"),
+    )
+    return entities.join(boxes, ["type", "id"], "left")
+
+
+# ---------------------------------------------------------------------------
+# query-side pruning
+# ---------------------------------------------------------------------------
+
+
+def query_cell_ranges(
+    bbox_osm: tuple[int, int, int, int],
+    maxzoom: int = MAXZOOM,
+    enlarge: bool = True,
+) -> list[tuple[int, list[tuple[int, int]]]]:
+    """Driver-side: per-zoom cell-id ranges covering the query bbox
+    (MapReducer.getCellIdRanges semantics — enlarged so features stored in a
+    neighbouring cell but extending into the area are found)."""
+    tree = XYGridTree(maxzoom)
+    return list(tree.bbox2_cell_id_ranges(bbox_osm, enlarge))
+
+
+def cell_range_filter(
+    ranges: list[tuple[int, list[tuple[int, int]]]],
+    zoom_col: str = "cell_zoom",
+    cell_col: str = "cell_id",
+) -> Column:
+    """Pushdown predicate: OR over zooms of (zoom = z AND id IN ranges).
+
+    Emitted as plain comparisons so parquet row-group stats / Iceberg
+    partition pruning can use it.
+    """
+    pred = F.lit(False)
+    for zoom, rngs in ranges:
+        if not rngs:
+            continue
+        zp = F.lit(False)
+        for start, end in rngs:
+            if start == end:
+                zp = zp | (F.col(cell_col) == start)
+            else:
+                zp = zp | ((F.col(cell_col) >= start) & (F.col(cell_col) <= end))
+        pred = pred | ((F.col(zoom_col) == zoom) & zp)
+    return pred
+
+
+def query_cells_df(
+    spark: SparkSession,
+    ranges: list[tuple[int, list[tuple[int, int]]]],
+) -> DataFrame:
+    """Materialize the query cell set as a (small) DataFrame for the
+    cell-cell hash join path (broadcast side).  Used when the range list is
+    too large for a literal predicate."""
+    rows = [
+        (zoom, cid)
+        for zoom, rngs in ranges
+        for start, end in rngs
+        if start >= 0
+        for cid in range(start, end + 1)
+    ]
+    return spark.createDataFrame(rows, "cell_zoom int, cell_id long")

@@ -1,0 +1,548 @@
+"""Contribution view: one row per modification of each entity.
+
+Reproduces CellIterator.iterateByContribution
+(/root/reference/oshdb-util/.../celliterator/CellIterator.java:502-740) and
+OSHEntityTimeUtils (osh/OSHEntityTimeUtils.java:46-192):
+
+  * modification events = the entity's own version timestamps UNION the
+    modification timestamps of its referenced members (node edits inside a
+    way version's validity window; way+node edits inside a relation's) —
+    collectMembershipTimeIntervals / fillMembersModificationTimestamps;
+  * changeset squashing: consecutive modifications carrying the same
+    changeset collapse to the changeset's LAST timestamp
+    (OSHEntityTimeUtils.java:144-160 — reverse scan keeps a timestamp iff
+    its changeset differs from the next event's changeset);
+  * per-event classification with the previous state as lag
+    (CellIterator.java:586-726):
+      - version invisible, prev visible          -> DELETION
+      - prev null or prev deleted                -> CREATION
+      - geometry became empty in the AOI         -> DELETION
+      - else TAG_CHANGE if tags differ and/or GEOMETRY_CHANGE if the
+        geometry differs; a contribution may have NO type (issue #87);
+  * contributorUserId: the entity version's user if the entity itself
+    changed at that exact timestamp, else the user of the member-child
+    modification (OSMContributionImpl.java:126-160).
+
+All heavy steps are DataFrame ops: as-of resolution is an equi-join +
+window dedup; classification is lag() + when/otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oshdb_spark.geometry.taginterpreter import TagInterpreter
+from oshdb_spark.operators.geometry_ops import (
+    is_empty_wkt_col,
+    node_geometry_cols,
+    relation_geometry_udf,
+    way_geometry_udf,
+)
+from oshdb_spark.operators.snapshot import with_validity
+
+CONTRIB_TYPES = ["CREATION", "DELETION", "TAG_CHANGE", "GEOMETRY_CHANGE"]
+
+
+# ---------------------------------------------------------------------------
+# as-of resolution helper
+# ---------------------------------------------------------------------------
+
+
+def asof_resolve(
+    targets: DataFrame,
+    versions: DataFrame,
+    key: str,
+    ts_col: str,
+    version_key: str = "id",
+) -> DataFrame:
+    """For each (targets.key, targets.ts) pick the newest version row with
+    version.ts <= ts (OSHEntities.getByTimestamp, osh/OSHEntities.java:60-75).
+
+    Equi-join on the key + window row_number dedup — the standard Spark
+    as-of join shape (one shuffle on the key each side).
+    Version columns are prefixed with `v_`.
+    """
+    v = versions.select(
+        F.col(version_key).alias(key),
+        *[
+            F.col(c).alias(f"v_{c}")
+            for c in versions.columns
+            if c != version_key
+        ],
+    )
+    joined = targets.join(v, key, "left").filter(
+        F.col("v_ts").isNull() | (F.col("v_ts") <= F.col(ts_col))
+    )
+    w = Window.partitionBy(*targets.columns).orderBy(
+        F.col("v_ts").desc_nulls_last(), F.col("v_version").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# modification events
+# ---------------------------------------------------------------------------
+
+
+def _own_events(versions: DataFrame) -> DataFrame:
+    return versions.select(
+        "type",
+        "id",
+        F.col("ts").alias("event_ts"),
+        F.col("changeset").alias("event_changeset"),
+        F.col("uid").alias("event_uid"),
+        F.lit(True).alias("own_change"),
+    )
+
+
+def _member_events_for_ways(ways: DataFrame, node_events: DataFrame) -> DataFrame:
+    """Node modification events mapped into the validity window of each way
+    version that references the node (collectMembershipTimeIntervals)."""
+    intervals = (
+        with_validity(ways)
+        .select(
+            "id", F.col("ts").alias("w_start"), "next_ts",
+            F.explode("refs").alias("ref"),
+        )
+        .distinct()
+    )
+    ne = node_events.select(
+        F.col("id").alias("ref"),
+        F.col("event_ts"),
+        F.col("event_changeset"),
+        F.col("event_uid"),
+    )
+    ev = intervals.join(ne, "ref", "inner").filter(
+        (F.col("event_ts") > F.col("w_start"))
+        & (F.col("next_ts").isNull() | (F.col("event_ts") < F.col("next_ts")))
+    )
+    return ev.select(
+        F.lit("way").alias("type"),
+        "id",
+        "event_ts",
+        "event_changeset",
+        "event_uid",
+        F.lit(False).alias("own_change"),
+    )
+
+
+def _member_events_for_relations(
+    rels: DataFrame, way_events: DataFrame, node_events: DataFrame
+) -> DataFrame:
+    intervals = (
+        with_validity(rels)
+        .select(
+            "id", F.col("ts").alias("r_start"), "next_ts",
+            F.explode("members").alias("m"),
+        )
+        .select(
+            "id", "r_start", "next_ts",
+            F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"),
+        )
+        .distinct()
+    )
+    child = way_events.select(
+        F.lit("way").alias("mtype"), F.col("id").alias("ref"),
+        "event_ts", "event_changeset", "event_uid",
+    ).unionByName(
+        node_events.select(
+            F.lit("node").alias("mtype"), F.col("id").alias("ref"),
+            "event_ts", "event_changeset", "event_uid",
+        )
+    )
+    ev = intervals.join(child, ["mtype", "ref"], "inner").filter(
+        (F.col("event_ts") > F.col("r_start"))
+        & (F.col("next_ts").isNull() | (F.col("event_ts") < F.col("next_ts")))
+    )
+    return ev.select(
+        F.lit("relation").alias("type"),
+        "id",
+        "event_ts",
+        "event_changeset",
+        "event_uid",
+        F.lit(False).alias("own_change"),
+    )
+
+
+def modification_events(entities: DataFrame) -> DataFrame:
+    """All (type, id, event_ts) modification events with changeset/uid
+    attribution and the own-vs-member flag; deduped so an own change at the
+    same timestamp as a member change counts as the own change."""
+    nodes = entities.filter(F.col("type") == "node")
+    ways = entities.filter(F.col("type") == "way")
+    rels = entities.filter(F.col("type") == "relation")
+
+    node_ev = _own_events(nodes)
+    way_ev = _own_events(ways).unionByName(_member_events_for_ways(ways, node_ev))
+    rel_ev = _own_events(rels).unionByName(
+        _member_events_for_relations(rels, way_ev, node_ev)
+    )
+    all_ev = node_ev.unionByName(way_ev).unionByName(rel_ev)
+    # dedup (type,id,ts): own changes win (contributorUserId semantics)
+    w = Window.partitionBy("type", "id", "event_ts").orderBy(
+        F.col("own_change").desc(), F.col("event_changeset").desc()
+    )
+    return (
+        all_ev.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+
+
+def squash_changesets(events: DataFrame) -> DataFrame:
+    """Collapse consecutive same-changeset events to the run's last event
+    (OSHEntityTimeUtils.java:144-160)."""
+    w = Window.partitionBy("type", "id").orderBy("event_ts")
+    nxt = F.lead("event_changeset").over(w)
+    return events.withColumn("__next_cs", nxt).filter(
+        F.col("__next_cs").isNull() | (F.col("event_changeset") != F.col("__next_cs"))
+    ).drop("__next_cs")
+
+
+# ---------------------------------------------------------------------------
+# state resolution at event timestamps
+# ---------------------------------------------------------------------------
+
+
+def _node_states(events: DataFrame, nodes: DataFrame) -> DataFrame:
+    ev = events.filter(F.col("type") == "node").drop("type")
+    st = asof_resolve(ev, nodes.drop("type"), "id", "event_ts")
+    return st.select(
+        F.lit("node").alias("type"), "id", "event_ts", "event_changeset",
+        "event_uid", "own_change",
+        F.col("v_doc_id").alias("doc_id"),
+        F.col("v_version").alias("version"),
+        F.col("v_visible").alias("visible"),
+        F.col("v_tags").alias("tags"),
+        node_geometry_cols(
+            F.col("v_lon"), F.col("v_lat"), F.col("v_visible")
+        ).alias("wkt"),
+        F.lit(0.0).alias("area"),
+        F.lit(0.0).alias("length"),
+    )
+
+
+def _way_states(
+    events: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    interpreter: TagInterpreter | None,
+) -> DataFrame:
+    ev = events.filter(F.col("type") == "way").drop("type")
+    st = asof_resolve(
+        ev,
+        ways.select("id", "doc_id", "version", "visible", "ts", "tags", "refs"),
+        "id",
+        "event_ts",
+    )
+    refs = st.select(
+        "id", "event_ts", "event_changeset", "event_uid", "own_change",
+        F.col("v_doc_id").alias("doc_id"),
+        F.col("v_version").alias("version"),
+        F.col("v_visible").alias("visible"),
+        F.col("v_tags").alias("tags"),
+        F.col("v_refs").alias("refs"),
+        F.posexplode_outer("v_refs").alias("pos", "ref"),
+    )
+    node_v = nodes.select(
+        F.col("id").alias("ref"), F.col("ts").alias("n_ts"),
+        F.col("version").alias("n_version"), F.col("visible").alias("n_visible"),
+        (F.col("lon").cast("double") / 1e7).alias("n_lon"),
+        (F.col("lat").cast("double") / 1e7).alias("n_lat"),
+    )
+    j = refs.join(node_v, "ref", "left").filter(
+        F.col("n_ts").isNull() | (F.col("n_ts") <= F.col("event_ts"))
+    )
+    wdedup = Window.partitionBy("id", "event_ts", "pos").orderBy(
+        F.col("n_ts").desc_nulls_last(), F.col("n_version").desc_nulls_last()
+    )
+    j = j.withColumn("__rn", F.row_number().over(wdedup)).filter("__rn = 1")
+    grouped = j.groupBy(
+        "id", "event_ts", "event_changeset", "event_uid", "own_change",
+        "doc_id", "version", "visible",
+    ).agg(
+        F.first("tags").alias("tags"),
+        F.first("refs").alias("refs"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", F.col("ref").alias("nid"), "n_visible", "n_lon", "n_lat")
+            )
+        ).alias("pline"),
+    )
+    line = F.transform(
+        F.filter(
+            F.col("pline"),
+            lambda p: p["n_visible"].isNotNull() & p["n_visible"],
+        ),
+        lambda p: F.struct(
+            p["nid"].alias("nid"), p["n_lon"].alias("lon"), p["n_lat"].alias("lat")
+        ),
+    )
+    wudf = way_geometry_udf(interpreter)
+    out = grouped.withColumn("line", line).withColumn(
+        "g", wudf("visible", "tags", "refs", "line")
+    )
+    return out.select(
+        F.lit("way").alias("type"), "id", "event_ts", "event_changeset",
+        "event_uid", "own_change", "doc_id", "version", "visible", "tags",
+        F.col("g.wkt").alias("wkt"),
+        F.col("g.area").alias("area"),
+        F.col("g.length").alias("length"),
+    )
+
+
+def _relation_states(
+    events: DataFrame,
+    rels: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    interpreter: TagInterpreter | None,
+) -> DataFrame:
+    ev = events.filter(F.col("type") == "relation").drop("type")
+    st = asof_resolve(
+        ev,
+        rels.select("id", "doc_id", "version", "visible", "ts", "tags", "members"),
+        "id",
+        "event_ts",
+    )
+    mem = st.select(
+        "id", "event_ts", "event_changeset", "event_uid", "own_change",
+        F.col("v_doc_id").alias("doc_id"),
+        F.col("v_version").alias("version"),
+        F.col("v_visible").alias("visible"),
+        F.col("v_tags").alias("tags"),
+        F.posexplode_outer("v_members").alias("pos", "m"),
+    ).select(
+        "id", "event_ts", "event_changeset", "event_uid", "own_change",
+        "doc_id", "version", "visible", "tags", "pos",
+        F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"),
+        F.col("m.role").alias("role"),
+    )
+    # resolve member WAY state as-of event_ts: way version + its node line
+    way_targets = mem.filter(F.col("mtype") == "way").select(
+        F.col("ref").alias("w_id"), F.col("event_ts")
+    ).distinct()
+    way_v = ways.select(
+        F.col("id").alias("w_id"), F.col("ts").alias("w_ts"),
+        F.col("version").alias("w_version"), F.col("visible").alias("w_visible"),
+        F.col("refs").alias("w_refs"),
+    )
+    wj = way_targets.join(way_v, "w_id", "left").filter(
+        F.col("w_ts").isNull() | (F.col("w_ts") <= F.col("event_ts"))
+    )
+    wd = Window.partitionBy("w_id", "event_ts").orderBy(
+        F.col("w_ts").desc_nulls_last(), F.col("w_version").desc_nulls_last()
+    )
+    wj = wj.withColumn("__rn", F.row_number().over(wd)).filter("__rn = 1").drop("__rn")
+    wrefs = wj.select(
+        "w_id", "event_ts", "w_visible",
+        F.posexplode_outer("w_refs").alias("pos", "ref"),
+    )
+    node_v = nodes.select(
+        F.col("id").alias("ref"), F.col("ts").alias("n_ts"),
+        F.col("version").alias("n_version"), F.col("visible").alias("n_visible"),
+        (F.col("lon").cast("double") / 1e7).alias("n_lon"),
+        (F.col("lat").cast("double") / 1e7).alias("n_lat"),
+    )
+    nj = wrefs.join(node_v, "ref", "left").filter(
+        F.col("n_ts").isNull() | (F.col("n_ts") <= F.col("event_ts"))
+    )
+    nd = Window.partitionBy("w_id", "event_ts", "pos").orderBy(
+        F.col("n_ts").desc_nulls_last(), F.col("n_version").desc_nulls_last()
+    )
+    nj = nj.withColumn("__rn", F.row_number().over(nd)).filter("__rn = 1")
+    way_lines_at = nj.groupBy("w_id", "event_ts", "w_visible").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", F.col("ref").alias("nid"), "n_visible", "n_lon", "n_lat")
+            )
+        ).alias("pline")
+    ).withColumn(
+        "w_line",
+        F.transform(
+            F.filter(
+                F.col("pline"),
+                lambda p: p["n_visible"].isNotNull() & p["n_visible"],
+            ),
+            lambda p: F.struct(
+                p["nid"].alias("nid"), p["n_lon"].alias("lon"), p["n_lat"].alias("lat")
+            ),
+        ),
+    ).drop("pline")
+
+    # resolve member NODE state as-of event_ts
+    node_targets = mem.filter(F.col("mtype") == "node").select(
+        F.col("ref").alias("ref"), F.col("event_ts")
+    ).distinct()
+    nmj = node_targets.join(node_v, "ref", "left").filter(
+        F.col("n_ts").isNull() | (F.col("n_ts") <= F.col("event_ts"))
+    )
+    nmd = Window.partitionBy("ref", "event_ts").orderBy(
+        F.col("n_ts").desc_nulls_last(), F.col("n_version").desc_nulls_last()
+    )
+    nmj = (
+        nmj.withColumn("__rn", F.row_number().over(nmd))
+        .filter("__rn = 1")
+        .select(
+            "ref", "event_ts",
+            F.col("n_visible").alias("nm_visible"),
+            F.struct(
+                F.col("ref").alias("nid"),
+                F.col("n_lon").alias("lon"),
+                F.col("n_lat").alias("lat"),
+            ).alias("nm_point"),
+        )
+    )
+
+    joined = (
+        mem.join(
+            way_lines_at.withColumnRenamed("w_id", "ref"),
+            ["ref", "event_ts"],
+            "left",
+        )
+        .join(nmj, ["ref", "event_ts"], "left")
+        .withColumn(
+            "line",
+            F.when(
+                (F.col("mtype") == "way")
+                & F.col("w_visible").isNotNull()
+                & F.col("w_visible"),
+                F.col("w_line"),
+            ).when(
+                (F.col("mtype") == "node")
+                & F.col("nm_visible").isNotNull()
+                & F.col("nm_visible"),
+                F.array(F.col("nm_point")),
+            ),
+        )
+    )
+    grouped = joined.groupBy(
+        "id", "event_ts", "event_changeset", "event_uid", "own_change",
+        "doc_id", "version", "visible",
+    ).agg(
+        F.first("tags").alias("tags"),
+        F.array_sort(F.collect_list(F.struct("pos", "role", "mtype", "line"))).alias(
+            "pmembers"
+        ),
+    )
+    members = F.transform(
+        F.col("pmembers"),
+        lambda p: F.struct(
+            p["role"].alias("role"), p["mtype"].alias("mtype"), p["line"].alias("line")
+        ),
+    )
+    rudf = relation_geometry_udf(interpreter)
+    out = grouped.withColumn("members", members).withColumn(
+        "g", rudf("visible", "tags", "members")
+    )
+    return out.select(
+        F.lit("relation").alias("type"), "id", "event_ts", "event_changeset",
+        "event_uid", "own_change", "doc_id", "version", "visible", "tags",
+        F.col("g.wkt").alias("wkt"),
+        F.col("g.area").alias("area"),
+        F.col("g.length").alias("length"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+
+
+def classify_contributions(states: DataFrame) -> DataFrame:
+    """lag() window + when/otherwise classification (CellIterator.java:586-726)."""
+    w = Window.partitionBy("type", "id").orderBy("event_ts")
+    effective = F.col("visible") & ~is_empty_wkt_col(F.col("wkt"))
+    st = (
+        states.withColumn("alive", effective)
+        .withColumn("prev_alive", F.lag("alive").over(w))
+        .withColumn("prev_wkt", F.lag("wkt").over(w))
+        .withColumn("prev_tags", F.lag("tags").over(w))
+        .withColumn("prev_version", F.lag("version").over(w))
+        .withColumn("prev_changeset", F.lag("event_changeset").over(w))
+        .withColumn("prev_uid", F.lag("event_uid").over(w))
+    )
+    prev_alive = F.coalesce(F.col("prev_alive"), F.lit(False))
+    tag_change = ~_maps_equal(F.col("tags"), F.col("prev_tags"))
+    geom_change = F.col("wkt") != F.col("prev_wkt")
+    types = (
+        F.when(~F.col("alive") & prev_alive, F.array(F.lit("DELETION")))
+        .when(F.col("alive") & ~prev_alive, F.array(F.lit("CREATION")))
+        .when(
+            F.col("alive") & prev_alive,
+            F.filter(
+                F.array(
+                    F.when(tag_change, F.lit("TAG_CHANGE")),
+                    F.when(geom_change, F.lit("GEOMETRY_CHANGE")),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    out = st.withColumn("contrib_types", types)
+    # dead->dead "events" are not contributions (CellIterator: prev==null &&
+    # invisible -> skip)
+    out = out.filter(F.col("alive") | prev_alive)
+    return out.select(
+        "doc_id", "type", "id", "version", "visible", "tags",
+        F.col("event_ts").alias("ts"),
+        F.col("event_changeset").alias("changeset"),
+        F.col("event_uid").alias("contrib_uid"),
+        "own_change", "contrib_types", "wkt", "area", "length",
+        "prev_wkt", "prev_tags", "prev_version",
+    )
+
+
+def _maps_equal(a, b):
+    """Order-insensitive map<int,int> equality (maps aren't comparable in
+    Spark; canonicalize to sorted entry lists)."""
+    return _canon_map(a) == _canon_map(b)
+
+
+def _canon_map(m):
+    entries = F.map_entries(F.coalesce(m, F.create_map().cast("map<int,int>")))
+    sorted_entries = F.array_sort(entries)
+    return F.to_json(sorted_entries)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def contribution_view(
+    entities: DataFrame,
+    t_start: int,
+    t_end: int,
+    interpreter: TagInterpreter | None = None,
+    squash: bool = True,
+) -> DataFrame:
+    """The full contribution view over [t_start, t_end].
+
+    Events outside the interval still feed the lag state (an entity created
+    before the interval and deleted inside it yields a DELETION) but are not
+    emitted (CellIterator.java:602-618).
+    """
+    nodes = entities.filter(F.col("type") == "node")
+    ways = entities.filter(F.col("type") == "way")
+    rels = entities.filter(F.col("type") == "relation")
+
+    events = modification_events(entities)
+    if squash:
+        events = squash_changesets(events)
+
+    states = (
+        _node_states(events, nodes)
+        .unionByName(_way_states(events, ways, nodes, interpreter))
+        .unionByName(_relation_states(events, rels, ways, nodes, interpreter))
+    )
+    classified = classify_contributions(states)
+    return classified.filter(
+        (F.col("ts") >= F.lit(int(t_start))) & (F.col("ts") <= F.lit(int(t_end)))
+    )

@@ -74,10 +74,10 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
         wkts, areas, lengths = [], [], []
         for vis, tg, rf, ln in zip(visible, tags, refs, line):
             tag_map = {int(k): int(v) for k, v in (tg or {}).items()}
-            rf = list(rf) if rf is not None else []
+            rf = list(rf) if rf is not None and len(rf) else []
             nodes = (
                 [(int(p["nid"]), float(p["lon"]), float(p["lat"])) for p in ln]
-                if ln is not None
+                if ln is not None and len(ln)
                 else []
             )
             is_area = ti.way_is_area(rf, tag_map)
@@ -110,13 +110,13 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
         for vis, tg, mems in zip(visible, tags, members):
             tag_map = {int(k): int(v) for k, v in (tg or {}).items()}
             member_lines = []
-            for m in mems or []:
+            for m in (mems if mems is not None and len(mems) else []):
                 role = role_code.get(m["role"], ROLE_EMPTY)
                 mtype = m["mtype"]
                 ln = m["line"]
                 nodes = (
                     [(int(p["nid"]), float(p["lon"]), float(p["lat"])) for p in ln]
-                    if ln is not None
+                    if ln is not None and len(ln)
                     else None
                 )
                 if ti.is_outer_member(mtype, role):

@@ -1,0 +1,184 @@
+"""Snapshot view vs an independent pandas oracle on the ground-truth world.
+
+Oracle semantics from CellIterator.iterateByTimestamps (CellIterator.java:240-415):
+version valid at t = newest version with ts <= t; deleted versions absorb
+timestamps but emit nothing; way lines resolve refs as-of t and drop
+invisible/missing nodes; zero-coordinate geometries are not emitted.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.geometry import from_wkt, is_empty
+from oshdb_spark.geometry.taginterpreter import default_tag_interpreter
+from oshdb_spark.operators.snapshot import snapshot_view
+from oshdb_spark.sources.entities import extract_entities
+
+TI = default_tag_interpreter()
+
+# six snapshots, 2010..2020 every 2 years
+TS = [1262304000 + k * 2 * 365 * 86400 for k in range(6)]
+
+
+@pytest.fixture(scope="module")
+def entities(spark, docs_parquet):
+    path, _, _ = docs_parquet
+    return extract_entities(spark.read.parquet(path)).cache()
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark, entities):
+    return snapshot_view(entities, TS).cache()
+
+
+def oracle_version_at(df: pd.DataFrame, t: int):
+    """id -> row of the newest version with ts <= t."""
+    sub = df[df["ts"] <= t]
+    if sub.empty:
+        return {}
+    idx = sub.sort_values(["id", "ts", "version"]).groupby("id").tail(1)
+    return {r.id: r for r in idx.itertuples(index=False)}
+
+
+def oracle_node_snapshots(world):
+    rows = []
+    for t in TS:
+        for nid, v in oracle_version_at(world.nodes, t).items():
+            if v.visible:
+                rows.append((nid, t, v.lon, v.lat))
+    return set(rows)
+
+
+def oracle_way_snapshots(world):
+    rows = {}
+    for t in TS:
+        node_at = oracle_version_at(world.nodes, t)
+        for wid, v in oracle_version_at(world.ways, t).items():
+            if not v.visible:
+                continue
+            line = []
+            for ref in v.refs:
+                n = node_at.get(ref)
+                if n is not None and n.visible:
+                    line.append((ref, n.lon / 1e7, n.lat / 1e7))
+            if not line:
+                continue  # empty geometry -> not emitted
+            rows[(wid, t)] = (v, line)
+    return rows
+
+
+def test_node_snapshots_match_oracle(snapshots, docs_parquet):
+    _, _, world = docs_parquet
+    got = {
+        (r["id"], r["snap_ts"], r["lon"], r["lat"])
+        for r in snapshots.filter("type = 'node'")
+        .select("id", "snap_ts", "lon", "lat")
+        .collect()
+    }
+    assert got == oracle_node_snapshots(world)
+
+
+def test_way_snapshots_match_oracle(snapshots, docs_parquet):
+    _, _, world = docs_parquet
+    expected = oracle_way_snapshots(world)
+    got = {
+        (r["id"], r["snap_ts"]): r
+        for r in snapshots.filter("type = 'way'").collect()
+    }
+    assert set(got) == set(expected)
+    # geometry: vertex counts and kinds match the oracle line + area decision
+    for key, (v, line) in expected.items():
+        g = from_wkt(got[key]["wkt"])
+        is_area = TI.way_is_area(list(v.refs), {int(k): x for k, x in v.tags.items()})
+        coords_ok = [c for c in line]
+        if is_area and len(coords_ok) >= 4 and coords_ok[0][0] == coords_ok[-1][0]:
+            assert g["type"] == "Polygon", key
+            assert got[key]["area"] > 0
+        elif len(coords_ok) >= 2:
+            assert g["type"] == "LineString", key
+            assert got[key]["length"] > 0
+
+
+def test_way_last_mod_tracks_member_moves(snapshots, docs_parquet):
+    """After a member node moves, the way's last_mod_ts must be the node's
+    edit timestamp, not the way's own version timestamp."""
+    _, _, world = docs_parquet
+    moved = world.nodes[world.nodes.groupby("id")["id"].transform("size") > 1]
+    moved_ids = set(moved["id"])
+    candidates = []
+    for w in world.ways.drop_duplicates("id").itertuples(index=False):
+        hit = [r for r in w.refs if r in moved_ids]
+        if hit:
+            move_ts = int(world.nodes[world.nodes["id"] == hit[0]]["ts"].max())
+            candidates.append((w.id, w.ts, move_ts))
+    assert candidates
+    got = {
+        (r["id"], r["snap_ts"]): r["last_mod_ts"]
+        for r in snapshots.filter("type = 'way'").collect()
+    }
+    checked = 0
+    for wid, own_ts, move_ts in candidates:
+        # ways can have a v2; only check while v1 is current and after the move
+        v2 = world.ways[(world.ways["id"] == wid) & (world.ways["version"] == 2)]
+        limit = int(v2["ts"].iloc[0]) if len(v2) else 2**62
+        for t in TS:
+            if move_ts <= t < limit and (wid, t) in got:
+                assert got[(wid, t)] == move_ts, (wid, t)
+                checked += 1
+    assert checked > 0
+
+
+def test_relation_snapshots(snapshots, docs_parquet):
+    _, _, world = docs_parquet
+    rels = snapshots.filter("type = 'relation'").collect()
+    by_key = {(r["id"], r["snap_ts"]): r for r in rels}
+    for v in world.relations.itertuples(index=False):
+        for t in TS:
+            if v.ts <= t and v.visible:
+                assert (v.id, t) in by_key, (v.id, t)
+                r = by_key[(v.id, t)]
+                g = from_wkt(r["wkt"])
+                # multipolygon relations assemble to polygonal geometry
+                assert g["type"] in ("Polygon", "MultiPolygon")
+                assert r["area"] > 0
+                # two outer half-rings + inner ring -> 1 shell + 1 hole
+                if g["type"] == "Polygon":
+                    assert len(g["coordinates"]) == 2
+
+
+def test_snapshot_with_bbox_clip(spark, entities, docs_parquet):
+    _, _, world = docs_parquet
+    bbox = (8.0, 49.0, 9.2, 49.8)
+    clipped = snapshot_view(entities, TS, bbox_deg=bbox).cache()
+    rows = clipped.collect()
+    assert rows
+    for r in rows:
+        g = from_wkt(r["clipped_wkt"])
+        assert not is_empty(g)
+    # node set == oracle nodes inside bbox
+    got_nodes = {
+        (r["id"], r["snap_ts"]) for r in rows if r["type"] == "node"
+    }
+    exp = {
+        (nid, t)
+        for (nid, t, lon, lat) in oracle_node_snapshots(world)
+        if bbox[0] * 1e7 <= lon <= bbox[2] * 1e7 and bbox[1] * 1e7 <= lat <= bbox[3] * 1e7
+    }
+    assert got_nodes == exp
+    clipped.unpersist()
+
+
+def test_deleted_entities_not_emitted(snapshots, docs_parquet):
+    _, _, world = docs_parquet
+    deleted = world.nodes[~world.nodes["visible"]]
+    assert len(deleted)
+    got = {
+        (r["id"], r["snap_ts"])
+        for r in snapshots.filter("type = 'node'").select("id", "snap_ts").collect()
+    }
+    for row in deleted.itertuples(index=False):
+        for t in TS:
+            if t >= row.ts:
+                assert (row.id, t) not in got, (row.id, t)

@@ -1,0 +1,157 @@
+"""Aggregation operators: reducers + grouped (aggregateBy*) variants.
+
+Reference: MapReducer terminal reducers
+(/root/reference/oshdb-api/src/main/java/org/heigit/ohsome/oshdb/api/mapreducer/MapReducer.java:834-1283)
+and MapAggregator grouped variants (MapAggregator.java:78-890):
+
+  * count/sum/average/weightedAverage/uniq/countUniq map 1:1 onto Spark
+    aggregate functions (partial + final aggregation == the reference's
+    per-cell accumulator + cross-cell combiner, Kernels.java:62-74);
+  * countUniq is EXACT (HashSet union in the reference) -> countDistinct,
+    with approx_count_distinct exposed separately as the scale path;
+  * estimatedQuantile uses a t-digest in the reference (compression=1000,
+    TdigestReducer.java:14-40); Spark's percentile_approx uses a different
+    sketch (KLL-like) — we expose both percentile_approx (default) and an
+    exact percentile for parity testing;
+  * aggregateByTimestamp (snapshot) groups by the snapshot timestamp;
+    the contribution variant FLOORS each contribution timestamp to the
+    containing interval of the requested timestamp list
+    (MapReducer.java:678-732) — out-of-range rows raise in the reference;
+    we drop pre-first rows and floor the rest (timestamps beyond the last
+    boundary belong to the last interval in snapshot-zerofill semantics);
+  * zerofill: requested keys absent from the data appear with the
+    identity value (MapAggregator.java:880-889) — LEFT join from the key
+    frame + coalesce;
+  * chained aggregateBy == multi-column groupBy (OSHDBCombinedIndex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# timestamp bucketing
+# ---------------------------------------------------------------------------
+
+
+def floor_to_timestamps(ts_col: Column, timestamps: list[int]) -> Column:
+    """Map a timestamp to the greatest list element <= it (TreeMap.floorKey).
+
+    Small sorted literal list -> a JVM-side filtered-array lookup:
+    element_at(filter(list, t <= ts), -1); null when ts precedes the list.
+    """
+    arr = F.array(*[F.lit(int(t)).cast("long") for t in sorted(timestamps)])
+    candidates = F.filter(arr, lambda t: t <= ts_col)
+    return F.when(F.size(candidates) > 0, F.element_at(candidates, -1))
+
+
+def aggregate_by_timestamp_snapshot(
+    snapshots: DataFrame, value_agg: list[Column], group_extra: list[str] | None = None
+) -> DataFrame:
+    keys = ["snap_ts"] + (group_extra or [])
+    return snapshots.groupBy(*keys).agg(*value_agg)
+
+
+def aggregate_by_timestamp_contribution(
+    contributions: DataFrame,
+    timestamps: list[int],
+    value_agg: list[Column],
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """Contributions bucketed into [t_i, t_i+1) intervals; the last list
+    element is the exclusive end (zerofill drops it: MapReducer.java:1775-1783)."""
+    ts_sorted = sorted(timestamps)
+    bucketed = contributions.withColumn(
+        "interval_ts", floor_to_timestamps(F.col("ts"), ts_sorted[:-1])
+    ).filter(
+        F.col("interval_ts").isNotNull() & (F.col("ts") < F.lit(int(ts_sorted[-1])))
+    )
+    keys = ["interval_ts"] + (group_extra or [])
+    return bucketed.groupBy(*keys).agg(*value_agg)
+
+
+# ---------------------------------------------------------------------------
+# zerofill
+# ---------------------------------------------------------------------------
+
+
+def zerofill(
+    result: DataFrame,
+    spark: SparkSession,
+    keys: dict[str, list],
+    fill: dict[str, object],
+) -> DataFrame:
+    """Complete the result with identity rows for absent key combinations.
+
+    keys: column -> full list of requested key values (cartesian across
+    columns, like the reference's combined-index zerofill).
+    fill: value column -> identity value (0 for counts/sums, None, ...).
+    """
+    frames = None
+    for col, values in keys.items():
+        kdf = spark.createDataFrame([(v,) for v in values], f"{col}: {_sql_type(values)}")
+        frames = kdf if frames is None else frames.crossJoin(kdf)
+    out = frames.join(result, list(keys), "left")
+    for col, identity in fill.items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(identity)))
+    return out
+
+
+def _sql_type(values: list) -> str:
+    v = values[0]
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+# ---------------------------------------------------------------------------
+# reducers (aliases keep result column names stable for the oracle compare)
+# ---------------------------------------------------------------------------
+
+
+def count_agg(name: str = "cnt") -> Column:
+    return F.count(F.lit(1)).alias(name)
+
+
+def sum_agg(col: str, name: str | None = None) -> Column:
+    return F.sum(col).alias(name or f"sum_{col}")
+
+
+def avg_agg(col: str, name: str | None = None) -> Column:
+    return F.avg(col).alias(name or f"avg_{col}")
+
+
+def weighted_avg_agg(value: str, weight: str, name: str = "weighted_avg") -> Column:
+    """Sum(v*w)/Sum(w) — WeightedValue semantics (MapReducer.java:1118-1137)."""
+    return (
+        F.sum(F.col(value) * F.col(weight)) / F.sum(F.col(weight))
+    ).alias(name)
+
+
+def uniq_agg(col: str, name: str | None = None) -> Column:
+    return F.collect_set(col).alias(name or f"uniq_{col}")
+
+
+def count_uniq_agg(col: str, name: str | None = None) -> Column:
+    """EXACT distinct count (reference uses HashSet union, not a sketch)."""
+    return F.countDistinct(col).alias(name or f"count_uniq_{col}")
+
+
+def approx_count_uniq_agg(col: str, rsd: float = 0.05, name: str | None = None) -> Column:
+    """The scale path: HyperLogLog++ sketch (mergeable, 100TB-friendly)."""
+    return F.approx_count_distinct(col, rsd).alias(name or f"approx_uniq_{col}")
+
+
+def quantile_agg(col: str, q: float, name: str | None = None) -> Column:
+    """estimatedQuantile analogue via percentile_approx (different sketch
+    than the reference's t-digest; accuracy=10000 keeps error comparable)."""
+    return F.percentile_approx(col, q, 10000).alias(name or f"q{int(q*100)}_{col}")
+
+
+def exact_quantile_agg(col: str, q: float, name: str | None = None) -> Column:
+    return F.expr(f"percentile({col}, {q})").alias(name or f"q{int(q*100)}_{col}_exact")

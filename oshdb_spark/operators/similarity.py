@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+    JVM-side fold for the dot product (zip_with + aggregate, whole-stage
+    codegen), window row_number for ranking. The baseline/verifier.
+  * ivf_topk — the scale path: coarse quantization by signed random
+    hyperplanes (LSH buckets, JVM-side), probe only matching buckets —
+    a hash join on bucket id instead of a full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    dv = _as_double(vec_col)
+    return df.withColumn("__v", F.expr(dv)).withColumn(
+        "__norm", F.expr(f"sqrt({_DOT.format(a='__v', b='__v')})")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of candidates per query (self excluded).
+
+    Output: (qid, neighbor_id, rank). The query side is broadcast; the
+    candidate scan is one narrow pass; the only shuffle is the per-query
+    ranking window (partitioned by qid — as many partitions as queries).
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    joined = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("neighbor_id"))
+    sim = F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn"))
+    ranked = joined.withColumn("sim", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("sim").desc(), "neighbor_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("qid", "neighbor_id", "rank")
+
+
+def _hyperplane_bucket_expr(vec_col: str, n_planes: int, dim: int, seed: int = 7) -> str:
+    """Signed-random-hyperplane LSH bucket id as one JVM expression.
+
+    Deterministic pseudo-random plane weights from a hash of (plane, dim
+    index); sign bits packed into an int bucket id.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    planes = rs.normal(size=(n_planes, dim))
+    terms = []
+    for p in range(n_planes):
+        w = ", ".join(repr(float(x)) for x in planes[p])
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({w}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: both sides bucketed by hyperplane LSH,
+    equi-join on bucket id, rank within the probed bucket.
+
+    At scale this replaces the cross product with a hash join whose build
+    side is the (bucketed) query set; recall is tunable via n_planes (fewer
+    planes = bigger buckets = higher recall and cost).
+    """
+    bucket = F.expr(_hyperplane_bucket_expr(vec_col, n_planes, dim))
+    q = with_norm(queries.withColumn("bucket", bucket), vec_col).select(
+        F.col(id_col).alias("qid"), "bucket",
+        F.col("__v").alias("qv"), F.col("__norm").alias("qn"),
+    )
+    c = with_norm(candidates.withColumn("bucket", bucket), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "bucket",
+        F.col("__v").alias("cv"), F.col("__norm").alias("cn"),
+    )
+    joined = F.broadcast(q).join(c, "bucket").filter(
+        F.col("qid") != F.col("neighbor_id")
+    )
+    sim = F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn"))
+    ranked = joined.withColumn("sim", sim).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("sim").desc(), "neighbor_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("qid", "neighbor_id", "rank")

@@ -53,6 +53,17 @@ GEO_POINT_EXPRS = [
     "event_id % 100 AS val",
 ]
 
+# locally-clustered points: each user's points stay within a user-specific
+# small box so the XYGridTree insert rule picks varied zoom levels
+GEO_LOCAL_EXPRS = [
+    "event_id",
+    "user_id",
+    "(user_id % 360) * 10000000 - 1800000000"
+    " + (event_id % 100) * ((user_id % 13) + 1) * 3000 AS lon_fp",
+    "((user_id * 7) % 170) * 10000000 - 850000000"
+    " + ((event_id * 31) % 100) * ((user_id % 11) + 1) * 3000 AS lat_fp",
+]
+
 # versioned node entities: entity id = user_id, mostly-stable position with
 # occasional jumps (geometry changes), rotating tag value, periodic deletes
 GEO_VERSION_EXPRS = [
@@ -163,7 +174,7 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q02_ORACLE = f"""
-WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+WITH g AS ({_duck_derive(GEO_LOCAL_EXPRS)}),
 b AS (SELECT user_id, MIN(lon_fp) AS minlon, MIN(lat_fp) AS minlat,
              MAX(lon_fp) AS maxlon, MAX(lat_fp) AS maxlat
       FROM g GROUP BY user_id),
@@ -177,7 +188,7 @@ SELECT cell_zoom, cell_id, COUNT(*) AS n_entities FROM c GROUP BY 1, 2
 
 @_q("tile_insert_rule", _Q02_ORACLE, bench=True)
 def q_tile_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS)
     boxes = g.groupBy("user_id").agg(
         F.min("lon_fp").alias("minlon"),
         F.min("lat_fp").alias("minlat"),

@@ -153,13 +153,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         "id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
     ).withColumn(
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
-        .otherwise(-1),
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
     )
     votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
     fp = votes.withColumn(
         "bitval",
-        F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+        F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
             F.lit(0).cast("long")
         ),
     ).groupBy("id").agg(F.sum("bitval").cast("long").alias("simhash"))

@@ -21,6 +21,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,9 +72,6 @@ def zonal_polygon_aggregate(
     as an array column, exploded, then grouped — the explode-candidates +
     groupBy(region) plan from SURVEY §2.3.
     """
-    import numpy as np
-    import pandas as pd
-
     from oshdb_spark.geometry.model import bounds
     from oshdb_spark.geometry.pip import points_in_polygon
 

@@ -1,0 +1,226 @@
+"""Unit tests for kNN, zonal, dedup, text, and similarity operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.operators.dedup import (
+    dedup_exact,
+    exact_dedup_stats,
+    lsh_candidate_pairs,
+    simhash,
+    token_jaccard_pairs,
+)
+from oshdb_spark.operators.knn import knn_join
+from oshdb_spark.operators.similarity import brute_force_topk, ivf_topk
+from oshdb_spark.operators.text import language_id, quality_score, token_stats
+from oshdb_spark.operators.zonal import zonal_polygon_aggregate, zonal_rect_aggregate
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _brute_knn(pts, q, k):
+    d = sorted(
+        (((lon - q[0]) / 1e7) ** 2 + ((lat - q[1]) / 1e7) ** 2, eid)
+        for eid, lon, lat in pts
+    )
+    return [eid for _, eid in d[:k]]
+
+
+def test_knn_matches_bruteforce(spark):
+    rs = np.random.RandomState(3)
+    pts = [
+        (i, int(rs.randint(-17e8, 17e8)), int(rs.randint(-8e8, 8e8)))
+        for i in range(300)
+    ]
+    pdf = spark.createDataFrame(pts, "event_id long, lon_fp long, lat_fp long")
+    queries = [(1, 0, 0), (2, 1_500_000_000, 700_000_000), (3, -1_799_000_000, -850_000_000)]
+    out = knn_join(spark, pdf, queries, k=7, zoom=6)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, qx, qy in queries:
+        expect = _brute_knn(pts, (qx, qy), 7)
+        assert [n for _, n in sorted(got[qid])] == expect, f"qid {qid}"
+
+
+def test_knn_sparse_data_far_query(spark):
+    # fewer points than cells; query far from all data (forces full expansion)
+    pts = [(i, int(-1_700_000_000 + i * 1_000_000), int(-800_000_000)) for i in range(10)]
+    pdf = spark.createDataFrame(pts, "event_id long, lon_fp long, lat_fp long")
+    out = knn_join(spark, pdf, [(9, 1_700_000_000, 800_000_000)], k=3, zoom=6)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in out.collect())
+    assert [n for _, n in rows] == _brute_knn(pts, (1_700_000_000, 800_000_000), 3)
+
+
+# ---------------------------------------------------------------------------
+# zonal
+# ---------------------------------------------------------------------------
+
+
+def test_zonal_rect_zerofill(spark):
+    pts = spark.createDataFrame(
+        [(1, 5, 5), (2, 15, 5), (3, 15, 15)], "event_id long, lon_fp long, lat_fp long"
+    )
+    zones = [("a", 0, 0, 10, 10), ("b", 10, 0, 20, 10), ("empty", 100, 100, 110, 110)]
+    out = zonal_rect_aggregate(
+        spark, pts, zones, [F.count("event_id").alias("cnt")]
+    )
+    got = {r["zone_key"]: r["cnt"] for r in out.collect()}
+    assert got == {"a": 1, "b": 1, "empty": 0}
+
+
+def test_zonal_polygon_triangle(spark):
+    # triangle covering the unit-ish area around (1e7, 1e7) fp = (1, 1) deg
+    tri = {
+        "type": "Polygon",
+        "coordinates": [[(0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]],
+    }
+    box = {
+        "type": "Polygon",
+        "coordinates": [[(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0), (10.0, 10.0)]],
+    }
+    pts = spark.createDataFrame(
+        [
+            (1, 10_000_000, 10_000_000),    # (1,1) in triangle
+            (2, 35_000_000, 30_000_000),    # (3.5,3) outside triangle
+            (3, 150_000_000, 150_000_000),  # (15,15) in box
+            (4, 250_000_000, 250_000_000),  # outside both
+        ],
+        "event_id long, lon_fp long, lat_fp long",
+    )
+    out = zonal_polygon_aggregate(
+        spark, pts, [("tri", tri), ("box", box)], [F.count("event_id").alias("cnt")]
+    )
+    got = {r["zone_key"]: r["cnt"] for r in out.collect()}
+    assert got == {"tri": 1, "box": 1}
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "s1"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again", "s1"),  # near dup
+        (4, "completely different text about spark shuffle partitions here", "s2"),
+        (5, "another unrelated document mentioning watermark streaming state", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_stats(spark, docs_df):
+    got = {r["source"]: (r["n_docs"], r["n_distinct"], r["n_dups"])
+           for r in exact_dedup_stats(docs_df).collect()}
+    assert got == {"s1": (3, 2, 1), "s2": (2, 2, 0)}
+
+
+def test_dedup_exact_keeps_min_id(spark, docs_df):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs_df).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs_df, bands=8, rows_per_band=1).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should share >=1 band
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_token_jaccard(spark, docs_df):
+    a = docs_df.selectExpr("doc_id", "text")
+    pairs = token_jaccard_pairs(a, offset=1, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 2) in got and (2, 3) in got
+    assert (3, 4) not in got
+
+
+def test_simhash_near_vs_far(spark, docs_df):
+    fp = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_token_stats_and_quality(spark, docs_df):
+    docs = docs_df.withColumn("n_chars", F.length("text").cast("long"))
+    st = {r["source"]: r for r in token_stats(docs).collect()}
+    assert st["s1"]["n_docs"] == 3
+    assert st["s1"]["sum_tokens"] == 36  # 12 tokens per s1 doc
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[1]["n_tokens"] == 12
+    assert q[1]["type_token_ratio"] < 1.0  # repeated tokens
+    assert q[4]["type_token_ratio"] == 1.0
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze sind nicht da und der vogel"),
+        (3, "le chat et les chiens et le merle"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rs = np.random.RandomState(11)
+    base = rs.normal(size=(2, 16))
+    rows = []
+    for i in range(40):
+        c = i % 2
+        v = base[c] + rs.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 = exact copy of vec 0's embedding
+    rows.append((100, rows[0][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    rows = emb_df.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    out = brute_force_topk(emb_df.filter("vec_id = 0"), emb_df, k=3)
+    got = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    q = vecs[0]
+    sims = sorted(
+        (
+            -(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v)),
+            nid,
+        )
+        for nid, v in vecs.items()
+        if nid != 0
+    )
+    assert got == [nid for _, nid in sims[:3]]
+    assert got[0] == 100  # the exact copy is the nearest
+
+
+def test_ivf_topk_finds_identical_vector(spark, emb_df):
+    out = ivf_topk(emb_df.filter("vec_id = 0"), emb_df, k=3, n_planes=3, dim=16)
+    got = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    # identical vector lands in the same LSH bucket by construction
+    assert got and got[0] == 100

@@ -209,6 +209,57 @@ def squash_changesets(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _node_states_direct(nodes: DataFrame, squash: bool = True) -> DataFrame:
+    """Node states WITHOUT the as-of self-join.
+
+    A node's modification events are exactly its own version rows
+    (nodes have no members — OSHEntityTimeUtils.getModificationTimestamps
+    recursion bottoms out at nodes), so resolving "the version valid at
+    each event timestamp" is the identity.  We only need the same-timestamp
+    dedup (attribution keeps the max-changeset event, the state keeps the
+    max-version row — mirroring modification_events + asof_resolve tie
+    breaks) and the changeset squash, both single-window passes.
+    """
+    w_ts = Window.partitionBy("id", "ts")
+    d = (
+        nodes.withColumn(
+            "__rn",
+            F.row_number().over(w_ts.orderBy(F.col("version").desc())),
+        )
+        .withColumn("event_changeset", F.max("changeset").over(w_ts))
+        .withColumn(
+            "event_uid", F.max_by(F.col("uid"), F.col("changeset")).over(w_ts)
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    ev = d.select(
+        F.lit("node").alias("type"),
+        "id",
+        F.col("ts").alias("event_ts"),
+        "event_changeset",
+        "event_uid",
+        F.lit(True).alias("own_change"),
+        "doc_id",
+        "version",
+        "visible",
+        "tags",
+        "lon",
+        "lat",
+    )
+    if squash:
+        ev = squash_changesets(ev)
+    return ev.select(
+        "type", "id", "event_ts", "event_changeset", "event_uid", "own_change",
+        "doc_id", "version", "visible", "tags",
+        node_geometry_cols(F.col("lon"), F.col("lat"), F.col("visible")).alias(
+            "wkt"
+        ),
+        F.lit(0.0).alias("area"),
+        F.lit(0.0).alias("length"),
+    )
+
+
 def _node_states(events: DataFrame, nodes: DataFrame) -> DataFrame:
     ev = events.filter(F.col("type") == "node").drop("type")
     st = asof_resolve(ev, nodes.drop("type"), "id", "event_ts")
@@ -522,26 +573,38 @@ def contribution_view(
     t_end: int,
     interpreter: TagInterpreter | None = None,
     squash: bool = True,
+    types: set[str] | None = None,
 ) -> DataFrame:
     """The full contribution view over [t_start, t_end].
 
     Events outside the interval still feed the lag state (an entity created
     before the interval and deleted inside it yields a DELETION) but are not
     emitted (CellIterator.java:602-618).
+
+    ``types`` restricts the entity kinds to build (the reference's DNF
+    type-narrowing, MapReducer.java:1910-1935); when None it is detected
+    with one cheap distinct scan so pure-node inputs never pay for the
+    way/relation member-resolution join machinery.
     """
+    if types is None:
+        types = {r["type"] for r in entities.select("type").distinct().collect()}
     nodes = entities.filter(F.col("type") == "node")
-    ways = entities.filter(F.col("type") == "way")
-    rels = entities.filter(F.col("type") == "relation")
 
-    events = modification_events(entities)
-    if squash:
-        events = squash_changesets(events)
-
-    states = (
-        _node_states(events, nodes)
-        .unionByName(_way_states(events, ways, nodes, interpreter))
-        .unionByName(_relation_states(events, rels, ways, nodes, interpreter))
-    )
+    states: DataFrame | None = None
+    if "node" in types:
+        states = _node_states_direct(nodes, squash=squash)
+    if "way" in types or "relation" in types:
+        ways = entities.filter(F.col("type") == "way")
+        rels = entities.filter(F.col("type") == "relation")
+        events = modification_events(entities).filter(F.col("type") != "node")
+        if squash:
+            events = squash_changesets(events)
+        if "way" in types:
+            ws = _way_states(events, ways, nodes, interpreter)
+            states = ws if states is None else states.unionByName(ws)
+        if "relation" in types:
+            rs = _relation_states(events, rels, ways, nodes, interpreter)
+            states = rs if states is None else states.unionByName(rs)
     classified = classify_contributions(states)
     return classified.filter(
         (F.col("ts") >= F.lit(int(t_start))) & (F.col("ts") <= F.lit(int(t_end)))

@@ -2,22 +2,35 @@
 
 Reference primitive: XYGrid.getNeighbours (3x3 ring,
 /root/reference/oshdb/src/main/java/org/heigit/ohsome/oshdb/index/XYGrid.java:409-423)
-generalized to radius-R rings — the north-rule kNN: generate ring-r cell ids
-around each query, semi-join against the data cells, expand until the k-th
-candidate distance is provably inside the explored ring (every point outside
-Chebyshev cell-ring R is at least R * cell_width degrees away).
+generalized to radius-R rings — the north-rule kNN.
 
-Scale shape: the data side computes its cell coordinates ONCE (narrow,
-JVM-side integer math); each round is a broadcast hash join of the (small)
-query ring-cell set against the data cells, so no data shuffle ever happens —
-the only iteration state is a per-query (count, kth_distance) summary
-collected to the driver (a few rows per round).
+Plan shape (2 Spark jobs total, no iteration over the data):
+
+  1. histogram: ``groupBy(cx, cy).count()`` — at the working zoom the grid
+     has at most ``2^zoom * 2^(zoom-1)`` cells, and only non-empty cells
+     materialize, so the collected histogram is tiny even when the point
+     table is huge (at 10^12 points pick a coarser zoom or aggregate the
+     histogram a second time; the bound math below is zoom-independent).
+  2. on the driver, for every query: sort the non-empty cells by planar
+     Chebyshev cell distance rho, take the smallest r_inner whose
+     cumulative count reaches k — every one of those points lies within
+     planar distance (r_inner + 1) * w * sqrt(2).  Any point in an
+     unscanned cell at ring >= R+1 is at distance >= R * w, so scanning
+     ring R = ceil(sqrt(2) * (r_inner + 1)) guarantees the exact top-k.
+  3. one broadcast hash join of the (small) per-query candidate-cell set
+     against the points, then a window rank per query.  The points never
+     shuffle for the join (broadcast side is the ring set); the only
+     shuffle is the per-qid top-k window over the bounded candidate set.
 
 The distance metric is planar squared degrees computed with the exact same
-IEEE-double expression the oracle SQL uses.
+IEEE-double expression the oracle SQL uses (no anti-meridian wrap in the
+metric; the x-wrapped ring cells only ever ADD candidates, which rank out
+naturally, so the exactness bound is unaffected).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,8 +50,6 @@ def _cell_xy(zoom: int, lon: F.Column, lat: F.Column) -> tuple[F.Column, F.Colum
 
 
 def _cell_xy_py(zoom: int, lon_fp: int, lat_fp: int) -> tuple[int, int]:
-    import math
-
     w = 360.0 / (1 << zoom) * 1e7
     lon_s = lon_fp + _OSM_180
     lat_s = lat_fp + _OSM_90
@@ -55,8 +66,6 @@ def knn_join(
     queries: list[tuple[int, int, int]],
     k: int = 5,
     zoom: int = 6,
-    initial_ring: int = 2,
-    max_rounds: int = 8,
 ) -> DataFrame:
     """Exact k nearest points (by planar degree distance) per query.
 
@@ -69,72 +78,60 @@ def knn_join(
     x_col, y_col = _cell_xy(zoom, F.col("lon_fp"), F.col("lat_fp"))
     pts = points.select(
         "event_id", "lon_fp", "lat_fp", x_col.alias("cx"), y_col.alias("cy")
-    ).cache()
+    )
 
-    q_cells = {qid: _cell_xy_py(zoom, qx, qy) for qid, qx, qy in queries}
-    pending = {qid: (qx, qy) for qid, qx, qy in queries}
-    results: list[DataFrame] = []
-    ring = initial_ring
+    # job 1: non-empty cell histogram (bounded by the grid size, not the data)
+    hist = [
+        (r["cx"], r["cy"], r["n"])
+        for r in pts.groupBy("cx", "cy").agg(F.count("*").alias("n")).collect()
+    ]
 
-    for _ in range(max_rounds):
-        if not pending:
-            break
-        # full coverage: the ring spans every column and every row of the grid
-        full_cover = (2 * ring + 1) >= nx and (2 * ring + 1) >= nx // 2
-        # query-side ring cell set: (qid, cx, cy) for Chebyshev distance <= ring
-        rows = []
-        for qid, (qx_fp, qy_fp) in pending.items():
-            cqx, cqy = q_cells[qid]
-            for dx in range(-ring, ring + 1):
-                for dy in range(-ring, ring + 1):
-                    rows.append((qid, (cqx + dx) % nx, cqy + dy))
-        ring_df = spark.createDataFrame(rows, "qid int, cx long, cy long").distinct()
-
-        cand = pts.join(F.broadcast(ring_df), ["cx", "cy"], "inner")
-        qdf = spark.createDataFrame(
-            [(qid, qx, qy) for qid, (qx, qy) in pending.items()],
-            "qid int, qlon long, qlat long",
+    # driver-side: per query, the exact safe scan radius
+    ring_rows: list[tuple[int, int, int]] = []
+    for qid, qx_fp, qy_fp in queries:
+        cqx, cqy = _cell_xy_py(zoom, qx_fp, qy_fp)
+        by_rho = sorted(
+            (max(abs(hx - cqx), abs(hy - cqy)), n) for hx, hy, n in hist
         )
-        cand = cand.join(F.broadcast(qdf), "qid")
-        d2 = (
-            ((F.col("lon_fp") - F.col("qlon")) / F.lit(1e7))
-            * ((F.col("lon_fp") - F.col("qlon")) / F.lit(1e7))
-        ) + (
-            ((F.col("lat_fp") - F.col("qlat")) / F.lit(1e7))
-            * ((F.col("lat_fp") - F.col("qlat")) / F.lit(1e7))
-        )
-        ranked = cand.withColumn("d2", d2).withColumn(
+        cum, r_inner = 0, by_rho[-1][0] if by_rho else 0
+        for rho, n in by_rho:
+            cum += n
+            if cum >= k:
+                r_inner = rho
+                break
+        r_scan = math.ceil(math.sqrt(2.0) * (r_inner + 1))
+        if cum < k or r_scan >= nx // 2:
+            r_scan = nx  # full cover (fewer than k points, or tiny grid)
+        for hx, hy, _n in hist:
+            dx = abs(hx - cqx)
+            if max(min(dx, nx - dx), abs(hy - cqy)) <= r_scan:
+                ring_rows.append((qid, hx, hy))
+
+    ring_df = spark.createDataFrame(ring_rows, "qid int, cx long, cy long")
+    qdf = spark.createDataFrame(
+        [(q, x, y) for q, x, y in queries], "qid int, qlon long, qlat long"
+    )
+
+    # job 2: broadcast candidate-cell join + per-query top-k
+    cand = pts.join(F.broadcast(ring_df), ["cx", "cy"], "inner").join(
+        F.broadcast(qdf), "qid"
+    )
+    d2 = (
+        ((F.col("lon_fp") - F.col("qlon")) / F.lit(1e7))
+        * ((F.col("lon_fp") - F.col("qlon")) / F.lit(1e7))
+    ) + (
+        ((F.col("lat_fp") - F.col("qlat")) / F.lit(1e7))
+        * ((F.col("lat_fp") - F.col("qlat")) / F.lit(1e7))
+    )
+    ranked = (
+        cand.withColumn("d2", d2)
+        .withColumn(
             "rank",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy("d2", "event_id")
-            ),
-        ).filter(F.col("rank") <= k)
-        topk = ranked.select("qid", F.col("event_id").alias("neighbor_id"), "rank", "d2")
-        summary = {
-            r["qid"]: (r["n"], r["kth"])
-            for r in topk.groupBy("qid")
-            .agg(F.count("*").alias("n"), F.max("d2").alias("kth"))
-            .collect()
-        }
-        # exactness: k found and kth distance strictly inside the explored
-        # ring, OR the ring already covers the whole grid
-        guarantee = float("inf") if full_cover else (ring * cell_w_deg) ** 2
-        done = [
-            qid
-            for qid in list(pending)
-            if full_cover
-            or (
-                summary.get(qid, (0, None))[0] >= k
-                and summary[qid][1] < guarantee
-            )
-        ]
-        if done:
-            results.append(topk.filter(F.col("qid").isin(done)).drop("d2"))
-            for qid in done:
-                del pending[qid]
-        ring = min(ring * 2, nx)
-
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+            F.row_number().over(Window.partitionBy("qid").orderBy("d2", "event_id")),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    # exactness holds by construction: the k-th candidate distance is
+    # <= (r_inner+1)*w*sqrt(2) <= r_scan*w <= any unscanned cell's distance
+    assert cell_w_deg > 0
+    return ranked.select("qid", F.col("event_id").alias("neighbor_id"), "rank")

@@ -1,0 +1,577 @@
+"""Fluent query API — the engine's equivalent of the reference's
+OSMEntitySnapshotView / OSMContributionView MapReducer chain.
+
+Reference surface (oshdb-api/.../OSMEntitySnapshotView.java:12-14,
+MapReducer.java:229-557 fluent setters, MapAggregator.java:78-890 grouped
+reducers).  Every setter returns a modified copy (the reference marks them
+@Contract(pure = true)); terminal reducers trigger execution.
+
+    from oshdb_spark.api import OSHDB, SnapshotView, ContributionView
+
+    db = OSHDB.from_docs(spark, docs_df)
+    result = (SnapshotView.on(db)
+        .area_of_interest(bbox=(minlon, minlat, maxlon, maxlat))   # degrees
+        .timestamps("2014-01-01", "2016-01-01", "P1Y")
+        .filter("type:way and building=*")
+        .aggregate_by_timestamp()
+        .count())            # -> DataFrame (snap_ts, cnt), zerofilled
+
+Spark-first execution shape: the chain only builds a logical DataFrame plan
+(filter pushdown, type-set narrowing, partial aggregation all land in
+Catalyst); nothing runs until a terminal reducer.  Global reducers return
+Python scalars (like the reference), grouped reducers return key-sorted
+DataFrames (the reference's SortedMap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oshdb_spark.filters.dsl import (
+    ALL_TYPES,
+    AndOp,
+    ContributionColFilter,
+    Node,
+    NotOp,
+    OrOp,
+    TagTranslator,
+    parse_filter,
+)
+from oshdb_spark.geometry.taginterpreter import TagInterpreter
+from oshdb_spark.operators.aggregations import (
+    count_uniq_agg,
+    quantile_agg,
+    weighted_avg_agg,
+    zerofill,
+)
+from oshdb_spark.operators.contribution import contribution_view
+from oshdb_spark.operators.snapshot import snapshot_view
+from oshdb_spark.timestamps import parse_iso, timestamps as make_timestamps
+
+
+class OSHDB:
+    """Database handle: a normalized entities DataFrame + keytables.
+
+    The Spark analogue of OSHDBDatabase (api/db/OSHDBDatabase.java:26):
+    holds the session, the (Iceberg/parquet-backed) entities table and the
+    tag dictionary used to int-code DSL filters.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        entities: DataFrame,
+        translator: TagTranslator | None = None,
+        interpreter: TagInterpreter | None = None,
+    ):
+        self.spark = spark
+        self.entities = entities
+        self.translator = translator or TagTranslator()
+        self.interpreter = interpreter
+
+    @classmethod
+    def from_docs(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        translator: TagTranslator | None = None,
+        interpreter: TagInterpreter | None = None,
+    ) -> "OSHDB":
+        """Build from the interleaved (doc_id, spans) table (BASELINE.json:15)."""
+        from oshdb_spark.sources.entities import extract_entities
+
+        return cls(spark, extract_entities(docs), translator, interpreter)
+
+
+# ---------------------------------------------------------------------------
+# filter plumbing
+# ---------------------------------------------------------------------------
+
+
+def _conjuncts(node: Node):
+    if isinstance(node, AndOp):
+        yield from _conjuncts(node.left)
+        yield from _conjuncts(node.right)
+    else:
+        yield node
+
+
+def _has_contrib_selector(node: Node) -> bool:
+    if isinstance(node, ContributionColFilter):
+        return True
+    if isinstance(node, (AndOp, OrOp)):
+        return _has_contrib_selector(node.left) or _has_contrib_selector(node.right)
+    if isinstance(node, NotOp):
+        return _has_contrib_selector(node.child)
+    return False
+
+
+@dataclass(frozen=True)
+class _ViewState:
+    view: str  # 'snapshot' | 'contribution'
+    ts: tuple[int, ...] = ()
+    bbox_deg: tuple[float, float, float, float] | None = None
+    polygon: tuple | None = None  # hashable-frozen GeoJSON-ish dict
+    filters: tuple[Node, ...] = ()
+    raw_filters: tuple[Column, ...] = ()
+    transforms: tuple[Callable[[DataFrame], DataFrame], ...] = ()
+
+
+class _MapReducer:
+    """Shared fluent core.  Every setter returns a copy."""
+
+    _VIEW: str = "snapshot"
+
+    def __init__(self, db: OSHDB, state: _ViewState | None = None):
+        self.db = db
+        self.state = state or _ViewState(view=self._VIEW)
+
+    @classmethod
+    def on(cls, db: OSHDB) -> "_MapReducer":
+        return cls(db)
+
+    def _with(self, **kw) -> "_MapReducer":
+        return type(self)(self.db, dataclasses.replace(self.state, **kw))
+
+    # -- construction-time filters (MapReducer.java:229-557) ---------------
+
+    def area_of_interest(
+        self,
+        bbox: tuple[float, float, float, float] | None = None,
+        polygon: dict | None = None,
+    ) -> "_MapReducer":
+        """bbox = (minlon, minlat, maxlon, maxlat) in degrees; polygon = a
+        GeoJSON-like dict.  Polygon must not override a previously set bbox
+        and vice versa (CHANGELOG 1.2.0 "#512"): both combine by
+        intersection — we keep whichever is set and intersect semantics via
+        sequential refinement."""
+        if polygon is not None:
+            from oshdb_spark.geometry.model import bounds
+
+            b = bounds(polygon)
+            eff = self.state.bbox_deg
+            if eff is None:
+                eff = b
+            else:
+                eff = (
+                    max(eff[0], b[0]), max(eff[1], b[1]),
+                    min(eff[2], b[2]), min(eff[3], b[3]),
+                )
+            return self._with(bbox_deg=eff, polygon=_freeze(polygon))
+        if bbox is not None:
+            eff = self.state.bbox_deg
+            if eff is not None:
+                bbox = (
+                    max(eff[0], bbox[0]), max(eff[1], bbox[1]),
+                    min(eff[2], bbox[2]), min(eff[3], bbox[3]),
+                )
+            return self._with(bbox_deg=tuple(bbox))
+        return self
+
+    def timestamps(self, *args) -> "_MapReducer":
+        """timestamps([t...]) | timestamps(start, end) |
+        timestamps(start, end, "P1M") — ISO strings or epoch micros
+        (OSHDBTimestamps, MapReducer.java:280-386)."""
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            ts = sorted(parse_iso(t) for t in args[0])
+        elif len(args) == 2:
+            ts = make_timestamps(args[0], args[1])
+        elif len(args) == 3:
+            ts = make_timestamps(args[0], args[1], args[2])
+        else:
+            raise ValueError("timestamps() takes a list, (start, end) or (start, end, period)")
+        return self._with(ts=tuple(ts))
+
+    def filter(self, f: str | Node | Column) -> "_MapReducer":
+        """Semantic filter: DSL string (oshdb-filter grammar), a parsed AST
+        Node, or a raw Column predicate (the escape hatch —
+        MapReducer.filter(SerializablePredicate))."""
+        if isinstance(f, str):
+            f = parse_filter(f, self.db.translator)
+        if isinstance(f, Node):
+            return self._with(filters=self.state.filters + (f,))
+        return self._with(raw_filters=self.state.raw_filters + (f,))
+
+    def osm_type(self, *types: str) -> "_MapReducer":
+        from oshdb_spark.filters.dsl import TypeFilter
+
+        node = None
+        for t in types:
+            n = TypeFilter(t)
+            node = n if node is None else OrOp(node, n)
+        return self.filter(node)
+
+    def osm_tag(self, key: str, value: str | None = None) -> "_MapReducer":
+        from oshdb_spark.filters.dsl import TagEquals, TagEqualsAny
+
+        if value is None:
+            return self.filter(TagEqualsAny(key, self.db.translator))
+        return self.filter(TagEquals(key, value, self.db.translator))
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "_MapReducer":
+        """map()/flatMap() escape hatch: an arbitrary DataFrame->DataFrame
+        stage appended after the view materializes (MapReducer.java:430-476).
+        Use Column expressions / pandas UDFs inside — never per-row Python."""
+        return self._with(transforms=self.state.transforms + (fn,))
+
+    # -- narrowing ---------------------------------------------------------
+
+    def _type_set(self) -> frozenset[str]:
+        types = ALL_TYPES
+        for node in self.state.filters:
+            types = types & node.osm_types()
+        return types
+
+    def _entities(self) -> DataFrame:
+        """Entities pruned to the narrowed type set PLUS member dependencies
+        (ways resolve node refs, relations resolve ways and nodes — the
+        reference co-stores member histories in the OSH blob, so scanning
+        only grid_way still sees node data; we keep the member types)."""
+        ents = self.db.entities
+        types = set(self._type_set())
+        if "relation" in types:
+            types |= {"way", "node"}
+        elif "way" in types:
+            types |= {"node"}
+        if types != set(ALL_TYPES):
+            ents = ents.filter(F.col("type").isin(sorted(types)))
+        return ents
+
+    # -- materialization ---------------------------------------------------
+
+    def dataframe(self) -> DataFrame:
+        df = self._materialize()
+        for fn in self.state.transforms:
+            df = fn(df)
+        return df
+
+    def _materialize(self) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _apply_polygon(self, df: DataFrame) -> DataFrame:
+        if self.state.polygon is None:
+            return df
+        from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
+
+        poly = _thaw(self.state.polygon)
+        return df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
+
+    # -- terminal reducers (global; MapReducer.java:1000-1283) -------------
+
+    def _agg_scalar(self, agg: Column):
+        row = self.dataframe().agg(agg.alias("v")).collect()[0]
+        return row["v"]
+
+    def count(self) -> int:
+        return int(self._agg_scalar(F.count(F.lit(1))))
+
+    def sum(self, col: str | Column):
+        return self._agg_scalar(F.sum(col))
+
+    def average(self, col: str | Column):
+        return self._agg_scalar(F.avg(col))
+
+    def weighted_average(self, value: str, weight: str):
+        return self._agg_scalar(
+            F.sum(F.col(value) * F.col(weight)) / F.sum(F.col(weight))
+        )
+
+    def count_uniq(self, col: str | Column) -> int:
+        return int(self._agg_scalar(F.countDistinct(col)))
+
+    def uniq(self, col: str | Column) -> set:
+        return set(self._agg_scalar(F.collect_set(col)))
+
+    def estimated_quantile(self, col: str, q: float):
+        return self._agg_scalar(F.percentile_approx(col, q, 10000))
+
+    def estimated_quantiles(self, col: str, qs: list[float]) -> list:
+        return list(self._agg_scalar(F.percentile_approx(col, qs, 10000)))
+
+    def stream(self):
+        """Lazily iterate result rows (MapReducer.stream, :1310-1432)."""
+        return self.dataframe().toLocalIterator()
+
+    def group_by_entity(self) -> DataFrame:
+        """All rows of one OSM entity as a timestamp-sorted list
+        (MapReducer.groupByEntity, :585-623)."""
+        df = self.dataframe()
+        ts_col = "snap_ts" if "snap_ts" in df.columns else "ts"
+        payload = [c for c in df.columns if c not in ("type", "id")]
+        collected = F.collect_list(F.struct(F.col(ts_col).alias("__ts"), *payload))
+        # comparator on __ts only: the struct contains map columns which are
+        # not naturally orderable
+        ordered = F.array_sort(
+            collected,
+            lambda a, b: F.when(a["__ts"] < b["__ts"], F.lit(-1))
+            .when(a["__ts"] > b["__ts"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        return df.groupBy("type", "id").agg(ordered.alias("rows"))
+
+    # -- grouped reducers --------------------------------------------------
+
+    def aggregate_by_timestamp(self) -> "MapAggregator":
+        key = "snap_ts" if self._VIEW == "snapshot" else "interval_ts"
+        if self._VIEW == "snapshot":
+            zf = list(self.state.ts)
+        else:
+            zf = list(self.state.ts)[:-1]  # interval starts (MapReducer.java:1775-1783)
+        agg = MapAggregator(self, keys=[key], zerofill_keys={key: zf})
+
+        if self._VIEW == "contribution":
+            ts_list = list(self.state.ts)
+
+            def bucket(df: DataFrame) -> DataFrame:
+                from oshdb_spark.operators.aggregations import floor_to_timestamps
+
+                return df.withColumn(
+                    "interval_ts", floor_to_timestamps(F.col("ts"), ts_list[:-1])
+                ).filter(
+                    F.col("interval_ts").isNotNull()
+                    & (F.col("ts") < F.lit(int(ts_list[-1])))
+                )
+
+            agg = MapAggregator(self, keys=["interval_ts"], zerofill_keys={"interval_ts": zf}, pre=bucket)
+        return agg
+
+    def aggregate_by(
+        self, col: str | Column, name: str | None = None, keys: list | None = None
+    ) -> "MapAggregator":
+        """Arbitrary indexer (MapReducer.aggregateBy, :637-660); ``keys``
+        enables zerofill for the requested key list."""
+        if isinstance(col, str):
+            name = name or col
+            expr = F.col(col)
+        else:
+            if name is None:
+                raise ValueError("aggregate_by(Column) requires name=")
+            expr = col
+
+        def pre(df: DataFrame) -> DataFrame:
+            return df.withColumn(name, expr)
+
+        return MapAggregator(
+            self,
+            keys=[name],
+            zerofill_keys={name: keys} if keys is not None else None,
+            pre=pre,
+        )
+
+    def aggregate_by_geometry(self, zones: dict[str, dict]) -> "MapAggregator":
+        """Zonal split (aggregateByGeometry, MapReducer.java:748-784 +
+        GeometrySplitter): the small zone dict is evaluated per feature via
+        the vectorized intersects kernel; one row per (zone, feature);
+        zerofill over all zone keys."""
+        zone_items = sorted(zones.items())
+
+        def pre(df: DataFrame) -> DataFrame:
+            from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
+
+            matches = F.array(
+                *[
+                    F.when(intersects_polygon_udf(g)(F.col("wkt")), F.lit(k))
+                    for k, g in zone_items
+                ]
+            )
+            return df.withColumn(
+                "zone_key", F.explode(F.filter(matches, lambda x: x.isNotNull()))
+            )
+
+        return MapAggregator(
+            self,
+            keys=["zone_key"],
+            zerofill_keys={"zone_key": [k for k, _ in zone_items]},
+            pre=pre,
+        )
+
+
+def _freeze(obj):
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+def _thaw(obj):
+    if isinstance(obj, tuple) and obj and isinstance(obj[0], tuple) and len(obj[0]) == 2 and isinstance(obj[0][0], str):
+        return {k: _thaw(v) for k, v in obj}
+    if isinstance(obj, tuple):
+        return [_thaw(v) for v in obj]
+    return obj
+
+
+class SnapshotView(_MapReducer):
+    """OSMEntitySnapshotView: entity state at each query timestamp."""
+
+    _VIEW = "snapshot"
+
+    def _materialize(self) -> DataFrame:
+        if not self.state.ts:
+            raise ValueError("snapshot view requires timestamps(...)")
+        df = snapshot_view(
+            self._entities(),
+            list(self.state.ts),
+            bbox_deg=self.state.bbox_deg,
+            interpreter=self.db.interpreter,
+        )
+        # version/geometry predicate on the UNCLIPPED state
+        # (FilterExpression.java:87-89)
+        for node in self.state.filters:
+            df = df.filter(node.osm_column())
+        for c in self.state.raw_filters:
+            df = df.filter(c)
+        return self._apply_polygon(df)
+
+
+class ContributionView(_MapReducer):
+    """OSMContributionView: one row per modification in the interval."""
+
+    _VIEW = "contribution"
+
+    def _materialize(self) -> DataFrame:
+        if len(self.state.ts) < 2:
+            raise ValueError("contribution view requires timestamps(start, end)")
+        t0, t1 = min(self.state.ts), max(self.state.ts)
+        # split: tag/type/geometry selectors participate in aliveness
+        # (filtered creations/deletions, CellIterator.java:642-659);
+        # changeset:/contributor: selectors post-filter the contribution rows
+        # (FilterParser.java:52 — only valid on the contribution view)
+        alive_nodes, post_nodes = [], []
+        for node in self.state.filters:
+            for c in _conjuncts(node):
+                (post_nodes if _has_contrib_selector(c) else alive_nodes).append(c)
+        match = None
+        for n in alive_nodes:
+            match = n.osm_column() if match is None else (match & n.osm_column())
+        types = self._type_set()
+        df = contribution_view(
+            self._entities(),
+            t0,
+            t1,
+            interpreter=self.db.interpreter,
+            types=types if types != ALL_TYPES else None,
+            osm_filter=match,
+        )
+        for n in post_nodes:
+            df = df.filter(n.osm_column())
+        for c in self.state.raw_filters:
+            df = df.filter(c)
+        if self.state.bbox_deg is not None:
+            minx, miny, maxx, maxy = self.state.bbox_deg
+            from oshdb_spark.operators.geometry_ops import clip_udf
+
+            cu = clip_udf((minx, miny, maxx, maxy))
+            df = (
+                df.withColumn("c", cu(F.col("wkt")))
+                .withColumn("clipped_wkt", F.col("c.clipped_wkt"))
+                .drop("c")
+            )
+            from oshdb_spark.operators.geometry_ops import is_empty_wkt_col
+
+            # contribution intersects the AOI if either state does
+            prev_cu = cu(F.col("prev_wkt"))
+            df = df.filter(
+                ~is_empty_wkt_col(F.col("clipped_wkt"))
+                | (
+                    F.col("prev_wkt").isNotNull()
+                    & ~is_empty_wkt_col(prev_cu["clipped_wkt"])
+                )
+            )
+        return self._apply_polygon(df)
+
+
+class MapAggregator:
+    """Grouped reducers with zerofill (MapAggregator.java:78-890).
+
+    Chain further ``aggregate_by`` calls for combined (nested) indices
+    (OSHDBCombinedIndex) — multi-column groupBy natively.
+    """
+
+    def __init__(
+        self,
+        parent: _MapReducer,
+        keys: list[str],
+        zerofill_keys: dict[str, list] | None,
+        pre: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.parent = parent
+        self.keys = keys
+        self.zerofill_keys = zerofill_keys or {}
+        self.pres = [pre] if pre else []
+
+    def aggregate_by(
+        self, col: str | Column, name: str | None = None, keys: list | None = None
+    ) -> "MapAggregator":
+        if isinstance(col, str):
+            name = name or col
+            expr = F.col(col)
+        else:
+            if name is None:
+                raise ValueError("aggregate_by(Column) requires name=")
+            expr = col
+        out = MapAggregator(self.parent, self.keys + [name], dict(self.zerofill_keys))
+        out.pres = self.pres + [lambda df: df.withColumn(name, expr)]
+        if keys is not None:
+            out.zerofill_keys[name] = keys
+        return out
+
+    def _df(self) -> DataFrame:
+        df = self.parent.dataframe()
+        for p in self.pres:
+            df = p(df)
+        return df
+
+    def _reduce(self, aggs: list[Column], fills: dict[str, object]) -> DataFrame:
+        res = self._df().groupBy(*self.keys).agg(*aggs)
+        if self.zerofill_keys and set(self.zerofill_keys) == set(self.keys):
+            res = zerofill(res, self.parent.db.spark, self.zerofill_keys, fills)
+        return res.orderBy(*self.keys)
+
+    def count(self, name: str = "cnt") -> DataFrame:
+        return self._reduce([F.count(F.lit(1)).alias(name)], {name: 0})
+
+    def sum(self, col: str, name: str | None = None) -> DataFrame:
+        name = name or f"sum_{col}"
+        return self._reduce([F.sum(col).alias(name)], {name: 0})
+
+    def average(self, col: str, name: str | None = None) -> DataFrame:
+        name = name or f"avg_{col}"
+        return self._reduce([F.avg(col).alias(name)], {})
+
+    def weighted_average(
+        self, value: str, weight: str, name: str = "weighted_avg"
+    ) -> DataFrame:
+        return self._reduce([weighted_avg_agg(value, weight, name)], {})
+
+    def count_uniq(self, col: str, name: str | None = None) -> DataFrame:
+        name = name or f"count_uniq_{col}"
+        return self._reduce([count_uniq_agg(col, name)], {name: 0})
+
+    def uniq(self, col: str, name: str | None = None) -> DataFrame:
+        name = name or f"uniq_{col}"
+        return self._reduce(
+            [F.collect_set(col).alias(name)], {}
+        )
+
+    def estimated_quantile(self, col: str, q: float, name: str | None = None) -> DataFrame:
+        name = name or f"q{int(q * 100)}_{col}"
+        return self._reduce([quantile_agg(col, q, name)], {})
+
+    def collect_map(self, value_df: DataFrame | None = None, reducer: str = "count") -> dict:
+        """SortedMap-style result: {key(-tuple): value} from a 2+-column
+        grouped result DataFrame."""
+        df = value_df if value_df is not None else self.count()
+        rows = df.collect()
+        out = {}
+        for r in rows:
+            key = tuple(r[k] for k in self.keys)
+            val = r[df.columns[-1]]
+            out[key[0] if len(key) == 1 else key] = val
+        return dict(sorted(out.items(), key=lambda kv: (kv[0] is None, kv[0])))

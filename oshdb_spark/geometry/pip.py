@@ -34,18 +34,21 @@ def _polygon_rings(geom: Geometry) -> list[np.ndarray]:
 
 
 def points_in_polygon(
-    px: np.ndarray, py: np.ndarray, poly: Geometry
+    px: np.ndarray, py: np.ndarray, poly: Geometry, include_boundary: bool = False
 ) -> np.ndarray:
     """Odd-even (crossing number) point-in-polygon over all rings at once.
 
     Holes fall out naturally: a point inside shell and inside one hole has an
     even crossing count.  Matches FastPointInPolygon's crossingNumber%2 rule.
     Points exactly on an edge may land on either side (same caveat as the
-    reference's crossing-number test).
+    reference's crossing-number test) unless ``include_boundary`` — then
+    on-edge points count as inside (JTS ``intersects`` semantics, the
+    behavior GeometrySplitter's exact test has, GeometrySplitter.java:120-137).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     inside = np.zeros(len(px), dtype=bool)
+    on_edge = np.zeros(len(px), dtype=bool)
     for ring in _polygon_rings(poly):
         x1, y1 = ring[:-1, 0], ring[:-1, 1]
         x2, y2 = ring[1:, 0], ring[1:, 1]
@@ -57,7 +60,18 @@ def points_in_polygon(
             ) * (x2[None, :] - x1[None, :])
         crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
         inside ^= (crossings % 2).astype(bool)
-    return inside
+        if include_boundary:
+            cross = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) - (
+                y2 - y1
+            )[None, :] * (px[:, None] - x1[None, :])
+            in_span = (
+                (px[:, None] >= np.minimum(x1, x2)[None, :])
+                & (px[:, None] <= np.maximum(x1, x2)[None, :])
+                & (py[:, None] >= np.minimum(y1, y2)[None, :])
+                & (py[:, None] <= np.maximum(y1, y2)[None, :])
+            )
+            on_edge |= ((cross == 0.0) & in_span).any(axis=1)
+    return inside | on_edge if include_boundary else inside
 
 
 def _segments_intersect_bbox(

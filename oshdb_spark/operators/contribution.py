@@ -505,10 +505,21 @@ def _relation_states(
 # ---------------------------------------------------------------------------
 
 
-def classify_contributions(states: DataFrame) -> DataFrame:
-    """lag() window + when/otherwise classification (CellIterator.java:586-726)."""
+def classify_contributions(
+    states: DataFrame, match_col: F.Column | None = None
+) -> DataFrame:
+    """lag() window + when/otherwise classification (CellIterator.java:586-726).
+
+    ``match_col`` implements FILTERED contributions (CellIterator.java:642-659):
+    the OSM filter participates in aliveness, so an entity version that stops
+    matching yields a DELETION and one that starts matching yields a CREATION —
+    keeping sum(creations) - sum(deletions) consistent with the snapshot view
+    (views.md "Contribution View").
+    """
     w = Window.partitionBy("type", "id").orderBy("event_ts")
     effective = F.col("visible") & ~is_empty_wkt_col(F.col("wkt"))
+    if match_col is not None:
+        effective = effective & F.coalesce(match_col, F.lit(False))
     st = (
         states.withColumn("alive", effective)
         .withColumn("prev_alive", F.lag("alive").over(w))
@@ -574,6 +585,7 @@ def contribution_view(
     interpreter: TagInterpreter | None = None,
     squash: bool = True,
     types: set[str] | None = None,
+    osm_filter: F.Column | None = None,
 ) -> DataFrame:
     """The full contribution view over [t_start, t_end].
 
@@ -605,7 +617,7 @@ def contribution_view(
         if "relation" in types:
             rs = _relation_states(events, rels, ways, nodes, interpreter)
             states = rs if states is None else states.unionByName(rs)
-    classified = classify_contributions(states)
+    classified = classify_contributions(states, match_col=osm_filter)
     return classified.filter(
         (F.col("ts") >= F.lit(int(t_start))) & (F.col("ts") <= F.lit(int(t_end)))
     )

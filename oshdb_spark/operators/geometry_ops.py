@@ -206,7 +206,9 @@ def intersects_polygon_udf(polygon_geom: dict):
             from oshdb_spark.geometry.model import _iter_coords
 
             pts = np.asarray(list(_iter_coords(g)), dtype=np.float64)
-            inside = points_in_polygon(pts[:, 0], pts[:, 1], polygon_geom)
+            inside = points_in_polygon(
+                pts[:, 0], pts[:, 1], polygon_geom, include_boundary=True
+            )
             out.append(bool(inside.any()))
         return pd.Series(out)
 

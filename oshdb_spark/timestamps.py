@@ -1,0 +1,108 @@
+"""Regularly spaced ISO-8601 timestamp lists.
+
+Reference: OSHDBTimestamps
+(/root/reference/oshdb-util/src/main/java/org/heigit/ohsome/oshdb/util/time/OSHDBTimestamps.java:28-40)
+generates timestamps from a start, stepping by an ISO-8601 period
+(YEARLY "P1Y" ... HOURLY "PT1H"), inclusive of every step <= end; ISO
+datetime parsing per IsoDateTimeParser.  Calendar stepping is
+day-of-month-clamping like java.time (Jan 31 + P1M = Feb 28/29).
+
+All timestamps are epoch MICROSECONDS (the engine's native unit — parquet
+TIMESTAMP is micros) in UTC.
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+from datetime import datetime, timezone
+
+YEARLY = "P1Y"
+QUARTERLY = "P3M"
+MONTHLY = "P1M"
+WEEKLY = "P7D"
+DAILY = "P1D"
+HOURLY = "PT1H"
+
+_PERIOD_RE = re.compile(
+    r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def parse_period(period: str) -> tuple[int, int, int]:
+    """ISO-8601 period -> (months, days, seconds)."""
+    m = _PERIOD_RE.match(period.strip().upper())
+    if not m or period.strip().upper() == "P":
+        raise ValueError(f"invalid ISO-8601 period: {period!r}")
+    y, mo, w, d, h, mi, s = (float(g) if g else 0 for g in m.groups())
+    months = int(y) * 12 + int(mo)
+    days = int(w) * 7 + int(d)
+    seconds = int(h) * 3600 + int(mi) * 60 + int(s)
+    if months == 0 and days == 0 and seconds == 0:
+        raise ValueError(f"zero-length period: {period!r}")
+    return months, days, seconds
+
+
+def parse_iso(ts: str | int | datetime) -> int:
+    """ISO date/datetime string (or epoch-micros int / datetime) -> epoch micros."""
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, datetime):
+        dt = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    s = ts.strip()
+    if s.endswith("Z"):
+        s = s[:-1]
+    for fmt in (
+        "%Y-%m-%dT%H:%M:%S.%f",
+        "%Y-%m-%dT%H:%M:%S",
+        "%Y-%m-%dT%H:%M",
+        "%Y-%m-%d",
+        "%Y-%m",
+        "%Y",
+    ):
+        try:
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * 1_000_000 + dt.microsecond
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable ISO timestamp: {ts!r}")
+
+
+def _add_period(dt: datetime, months: int, days: int, seconds: int) -> datetime:
+    if months:
+        total = dt.year * 12 + (dt.month - 1) + months
+        year, month = divmod(total, 12)
+        month += 1
+        day = min(dt.day, calendar.monthrange(year, month)[1])
+        dt = dt.replace(year=year, month=month, day=day)
+    if days or seconds:
+        from datetime import timedelta
+
+        dt = dt + timedelta(days=days, seconds=seconds)
+    return dt
+
+
+def timestamps(
+    start: str | int, end: str | int, period: str | None = None
+) -> list[int]:
+    """Epoch-micros list [start, start+P, ...] up to and including end.
+
+    With no period: just [start, end] (the two-timestamp overload,
+    MapReducer.timestamps(isoDateStart, isoDateEnd)).
+    """
+    t0, t1 = parse_iso(start), parse_iso(end)
+    if t1 < t0:
+        raise ValueError("end before start")
+    if period is None:
+        return [t0, t1] if t1 != t0 else [t0]
+    months, days, seconds = parse_period(period)
+    out = []
+    dt = datetime.fromtimestamp(t0 / 1_000_000, tz=timezone.utc)
+    cur = t0
+    while cur <= t1:
+        out.append(cur)
+        dt = _add_period(dt, months, days, seconds)
+        cur = int(dt.timestamp()) * 1_000_000 + dt.microsecond
+    return out

@@ -198,6 +198,65 @@ class XYGrid:
             result.add((row * self.zoompow + columnmin, row * self.zoompow + columnmax))
         return sorted(result)
 
+    def bbox2_cell_rects(
+        self, bbox: tuple[int, int, int, int], enlarge: bool
+    ) -> tuple[bool, list[tuple[int, int, int, int]]]:
+        """Covered cells as (colmin, colmax, rowmin, rowmax) RECTANGLES.
+
+        Same normalization/split/enlarge semantics as bbox2_cell_id_ranges
+        (XYGrid.java:316-400) but O(1) output per zoom: the per-row ranges
+        all share the same column span, so the whole cover is one rectangle
+        (two if the bbox crosses the anti-meridian).  Returns
+        (has_garbage_range, rects); has_garbage marks out-of-bounds input
+        coords (the reference's (-1,-1) range).  Used to build constant-size
+        pushdown predicates instead of enumerating thousands of row ranges.
+        """
+        garbage = False
+        rects: list[tuple[int, int, int, int]] = []
+        minlon, minlat, maxlon, maxlat = bbox
+        if minlat > maxlat:
+            return False, []
+        if minlon < -_OSM_180 or minlon > _OSM_180:
+            garbage = True
+            minlon = -_OSM_180
+        if minlat < -_OSM_90 or minlat > _OSM_90:
+            garbage = True
+            minlat = -_OSM_90
+        if maxlon > _OSM_180 or maxlon < -_OSM_180:
+            garbage = True
+            maxlon = _OSM_180
+        if maxlat > _OSM_90 or maxlat < -_OSM_90:
+            garbage = True
+            maxlat = _OSM_90
+
+        if minlon == _OSM_180:
+            minlon = _OSM_180 - 1
+        if maxlon == _OSM_180:
+            maxlon = _OSM_180 - 1
+        if minlat == _OSM_90:
+            minlat = _OSM_90 - 1
+        if maxlat == _OSM_90:
+            maxlat = _OSM_90 - 1
+
+        spans = []
+        if minlon > maxlon:  # anti-meridian split (XYGrid.java:369-374)
+            spans.append((minlon, _OSM_180 - 1))
+            spans.append((-_OSM_180, maxlon))
+        else:
+            spans.append((minlon, maxlon))
+
+        rowmin = int((minlat + _OSM_90) / self.cell_width)
+        rowmax = int((maxlat + _OSM_90) / self.cell_width)
+        if enlarge and rowmin > 0:
+            rowmin -= 1
+        for lo, hi in spans:
+            columnmin = int((lo + _OSM_180) / self.cell_width)
+            columnmax = int((hi + _OSM_180) / self.cell_width)
+            if enlarge and columnmin > 0:
+                columnmin -= 1
+            rects.append((columnmin, columnmax, rowmin, rowmax))
+        return garbage, rects
+
     def neighbours(self, cell_id: int) -> list[tuple[int, int]]:
         """3x3 ring around a cell, as id ranges (XYGrid.java:409-423)."""
         minlon, minlat, maxlon, maxlat = self.cell_dimensions(cell_id)

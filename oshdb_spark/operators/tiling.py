@@ -300,6 +300,46 @@ def cell_range_filter(
     return pred
 
 
+def cell_rect_filter(
+    bbox_osm: tuple[int, int, int, int],
+    maxzoom: int = MAXZOOM,
+    enlarge: bool = True,
+    zoom_col: str = "cell_zoom",
+    cell_col: str = "cell_id",
+) -> Column:
+    """Constant-size pushdown predicate for a query bbox over ALL zooms.
+
+    Per zoom the covered cells form <= 2 rectangles in (col, row) space
+    (XYGrid.bbox2_cell_rects), so the whole predicate is O(zoom levels):
+    (zoom = z AND col BETWEEN .. AND row BETWEEN ..), col/row recovered
+    from the packed id with pure integer arithmetic (codegen-friendly).
+    Use this instead of cell_range_filter when the bbox spans many rows at
+    deep zooms — a range enumeration there builds a Column tree deep enough
+    to overflow the analyzer stack.
+    """
+    tree = XYGridTree(maxzoom)
+    pred = F.lit(False)
+    for g in tree.grids:
+        garbage, rects = g.bbox2_cell_rects(bbox_osm, enlarge)
+        if garbage:
+            pred = pred | (
+                (F.col(zoom_col) == g.zoom) & (F.col(cell_col) == -1)
+            )
+        if not rects:
+            continue
+        col = F.col(cell_col) % F.lit(g.zoompow)
+        row = F.floor(F.col(cell_col) / F.lit(g.zoompow))
+        zp = F.lit(False)
+        for cmin, cmax, rmin, rmax in rects:
+            zp = zp | (
+                col.between(cmin, cmax) & row.between(rmin, rmax)
+            )
+        pred = pred | (
+            (F.col(zoom_col) == g.zoom) & (F.col(cell_col) >= 0) & zp
+        )
+    return pred
+
+
 def query_cells_df(
     spark: SparkSession,
     ranges: list[tuple[int, list[tuple[int, int]]]],

@@ -1,0 +1,159 @@
+"""The north-rule headline pipeline, end to end:
+
+    interleaved docs table (doc_id, spans)
+      -> stage 1: vectorized entity extraction (JVM expressions only)
+      -> stage 2: tile assignment (XYGrid insert rule + quadcell column)
+      -> stage 3: spatial pruning for the query AOI (cell-range predicate
+                  at all zoom levels -> parquet/Iceberg partition pruning)
+                  + member-closure repair (ways/relations keep their member
+                  nodes even when those live in out-of-range cells — the
+                  reference gets this by co-storing member histories in the
+                  OSH blob; we re-derive it with id semi-joins)
+      -> stage 4: snapshot temporal view + geometry build + bbox clip
+                  (the per-tile point-in-polygon / clip refinement)
+      -> stage 5: aggregation (count per cell per timestamp)
+      -> optional: resumable bucketed write with per-partition lineage
+                  (plans/lineage.py)
+
+Every surviving row joins back to its source doc; ``verify_spans``
+asserts the span-sequence equality invariant (BASELINE.json:15).
+
+Reference lifecycle being reproduced: MapReducerJdbc cell-range scan ->
+CellIterator.iterateByTimestamps -> Kernels fold (SURVEY.md §3 entry A).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oshdb_spark.operators.snapshot import snapshot_view
+from oshdb_spark.operators.tiling import (
+    assign_cells,
+    cell_rect_filter,
+    xy_cell_id_col,
+)
+from oshdb_spark.sources.entities import extract_entities, verify_span_equality
+
+
+def prune_with_members(tiled: DataFrame, range_pred) -> DataFrame:
+    """Cell-range pruning that keeps member closure.
+
+    In-range ways/relations may reference nodes (and ways) whose own insert
+    cells are out of range; two id semi-joins pull exactly those back in.
+    The semi-join keys are the (small) pruned subset's refs — at 10^12 docs
+    this broadcast-prunes instead of shuffling the full node table.
+    """
+    in_range = tiled.filter(range_pred)
+    ways_in = in_range.filter(F.col("type") == "way")
+    rels_in = in_range.filter(F.col("type") == "relation")
+
+    # relations also need their member WAYS (then those ways' nodes)
+    rel_way_ids = (
+        rels_in.select(F.explode("members").alias("m"))
+        .filter(F.col("m.type") == "way")
+        .select(F.col("m.ref").alias("id"))
+        .distinct()
+    )
+    extra_ways = tiled.filter(F.col("type") == "way").join(
+        F.broadcast(rel_way_ids), "id", "left_semi"
+    )
+    all_ways = ways_in.unionByName(extra_ways).dropDuplicates(["id", "version"])
+
+    node_ids = (
+        all_ways.select(F.explode("refs").alias("id"))
+        .unionByName(
+            rels_in.select(F.explode("members").alias("m"))
+            .filter(F.col("m.type") == "node")
+            .select(F.col("m.ref").alias("id"))
+        )
+        .distinct()
+    )
+    extra_nodes = tiled.filter(F.col("type") == "node").join(
+        F.broadcast(node_ids), "id", "left_semi"
+    )
+    nodes = (
+        in_range.filter(F.col("type") == "node")
+        .unionByName(extra_nodes)
+        .dropDuplicates(["id", "version"])
+    )
+    return nodes.unionByName(all_ways).unionByName(rels_in)
+
+
+@dataclass
+class PipelineResult:
+    snapshots: DataFrame  # surviving (entity, snap_ts) rows w/ clipped geometry
+    aggregated: DataFrame  # (cell_id, snap_ts, cnt)
+    docs: DataFrame  # the source (for span verification)
+
+
+def spatial_join_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    bbox_deg: tuple[float, float, float, float],
+    timestamps: list[int],
+    agg_zoom: int = 12,
+) -> PipelineResult:
+    """docs + AOI + timestamps -> per-cell per-timestamp feature counts."""
+    minx, miny, maxx, maxy = bbox_deg
+    bbox_osm = (
+        int(round(minx * 1e7)),
+        int(round(miny * 1e7)),
+        int(round(maxx * 1e7)),
+        int(round(maxy * 1e7)),
+    )
+    # tiling is the ETL stage: in production the tiled entities table is
+    # written once (partitioned/clustered by cell) and queries read it back;
+    # here we materialize it in memory so the five downstream references
+    # (pruning closure + cell join) don't re-derive the extract+tile DAG
+    entities = extract_entities(docs)
+    tiled = assign_cells(entities).persist()
+    pred = cell_rect_filter(bbox_osm)
+    pruned = prune_with_members(tiled, pred)
+    # persisted: callers run several actions over it (count, aggregate,
+    # span verification, bucketed write) — at scale this is the stage
+    # boundary you'd checkpoint to the lineage-tracked output anyway
+    snaps = snapshot_view(pruned, timestamps, bbox_deg=bbox_deg).persist()
+    # per-tile aggregation at the analysis zoom; ways/relations aggregate
+    # by their stored cell, nodes by position
+    cell = F.when(
+        F.col("lon").isNotNull(),
+        xy_cell_id_col(agg_zoom, F.col("lon"), F.col("lat")),
+    ).otherwise(F.col("cell_id"))
+    snaps_cells = snaps.join(
+        tiled.select("type", "id", "version", "cell_id").dropDuplicates(
+            ["type", "id", "version"]
+        ),
+        ["type", "id", "version"],
+        "left",
+    )
+    agged = (
+        snaps_cells.withColumn("agg_cell", cell)
+        .groupBy("agg_cell", "snap_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return PipelineResult(snapshots=snaps, aggregated=agged, docs=docs)
+
+
+def verify_spans(result: PipelineResult) -> int:
+    """0 == every surviving row's doc still has a byte-identical span
+    sequence (the north-rule per-row invariant)."""
+    return verify_span_equality(result.docs, result.snapshots)
+
+
+def write_resumable(
+    result: PipelineResult, out_dir: str, n_buckets: int = 8
+) -> list:
+    """Bucketed, lineage-tracked, resumable write of the snapshot rows."""
+    from oshdb_spark.plans.lineage import run_partitioned
+
+    return run_partitioned(
+        result.snapshots.withColumn(
+            "__key", F.concat_ws("/", "type", F.col("id").cast("string"))
+        ),
+        out_dir,
+        bucket_key="__key",
+        n_buckets=n_buckets,
+    )

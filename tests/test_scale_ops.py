@@ -1,0 +1,156 @@
+"""M7 scale ops: salted skew joins, lineage/checkpoint resume, and the
+end-to-end docs pipeline (north_rule headline)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.pipeline import (
+    spatial_join_pipeline,
+    verify_spans,
+    write_resumable,
+)
+from oshdb_spark.plans.lineage import (
+    completed_buckets,
+    input_fingerprint,
+    lineage_report,
+    read_output,
+    run_partitioned,
+)
+from oshdb_spark.plans.skew import pick_salts, salted_join
+
+TS = [1262304000 + k * 2 * 365 * 86400 for k in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k rows, 90% on one hot cell
+    df = spark.range(10_000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("cell"),
+    )
+    dim = spark.createDataFrame(
+        [(c, f"zone{c % 5}") for c in range(100)], "cell long, zone string"
+    )
+    return df.cache(), dim
+
+
+def test_salted_join_row_identical(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "cell").select("row_id", "zone")
+    salted = salted_join(fact, dim, ["cell"], "row_id", n_salts=8).select(
+        "row_id", "zone"
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_outer(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "cell", "left").select("row_id", "zone")
+    salted = salted_join(
+        fact, dim, ["cell"], "row_id", n_salts=4, how="left"
+    ).select("row_id", "zone")
+    assert sorted(plain.collect(), key=str) == sorted(salted.collect(), key=str)
+
+
+def test_pick_salts_histogram(spark, skewed):
+    fact, _ = skewed
+    # hot key has 9000 rows; target 1000/task -> 9 salts
+    assert pick_salts(fact, ["cell"], target_rows_per_task=1000) == 9
+    assert pick_salts(fact, ["cell"], target_rows_per_task=10**9) == 1
+    assert pick_salts(fact.limit(0), ["cell"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# lineage / resume
+# ---------------------------------------------------------------------------
+
+
+def test_lineage_write_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).cast("string").alias("k")
+    )
+    fp = input_fingerprint(df)
+    manifests = run_partitioned(df, out, bucket_key="k", n_buckets=4, fingerprint=fp)
+    assert len(manifests) == 4
+    assert sum(m.rows for m in manifests) == 1000
+
+    # simulate a crash: remove one bucket's manifest + data
+    os.remove(os.path.join(out, "_lineage", "bucket-2.json"))
+    shutil.rmtree(os.path.join(out, "bucket=2"))
+    assert completed_buckets(out, fp, 4) == {0, 1, 3}
+
+    # resume: only the missing bucket re-runs
+    again = run_partitioned(df, out, bucket_key="k", n_buckets=4, fingerprint=fp)
+    assert [m.bucket for m in again] == [2]
+
+    total = read_output(spark, out, 4, fp)
+    assert total.count() == 1000
+    assert sorted(r["id"] for r in total.collect()) == list(range(1000))
+
+    report = lineage_report(out)
+    assert len(report) == 4
+    assert all(r["input_fingerprint"] == fp for r in report)
+
+
+def test_lineage_fingerprint_invalidates(spark, tmp_path):
+    out = str(tmp_path / "out2")
+    df = spark.range(100).withColumn("k", F.col("id") % 3)
+    run_partitioned(df, out, bucket_key="k", n_buckets=2, fingerprint="aaa")
+    # a different input fingerprint sees no committed buckets
+    assert completed_buckets(out, "bbb", 2) == set()
+    assert completed_buckets(out, "aaa", 2) == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, docs_parquet):
+    path, _, _ = docs_parquet
+    return spark.read.parquet(path)
+
+
+BBOX = (-60.0, -40.0, 60.0, 40.0)
+
+
+def test_pipeline_end_to_end(spark, docs_df):
+    res = spatial_join_pipeline(spark, docs_df, BBOX, TS)
+    n = res.snapshots.count()
+    assert n > 0
+    agg_total = res.aggregated.agg(F.sum("cnt")).collect()[0][0]
+    assert agg_total == n
+    assert verify_spans(res) == 0
+
+
+def test_pipeline_pruning_transparent(spark, docs_df):
+    """Cell-range pruning + member closure must not change the result set
+    vs running the view over ALL entities (OSHDB guarantee: the enlarged
+    ranges find every feature extending into the AOI)."""
+    from oshdb_spark.operators.snapshot import snapshot_view
+    from oshdb_spark.sources.entities import extract_entities
+
+    res = spatial_join_pipeline(spark, docs_df, BBOX, TS)
+    full = snapshot_view(extract_entities(docs_df), TS, bbox_deg=BBOX)
+    got = {(r["type"], r["id"], r["snap_ts"]) for r in res.snapshots.collect()}
+    exp = {(r["type"], r["id"], r["snap_ts"]) for r in full.collect()}
+    assert got == exp
+
+
+def test_pipeline_resumable_write(spark, docs_df, tmp_path):
+    res = spatial_join_pipeline(spark, docs_df, BBOX, TS[:1])
+    out = str(tmp_path / "pipe")
+    manifests = write_resumable(res, out, n_buckets=3)
+    assert sum(m.rows for m in manifests) == res.snapshots.count()
+    assert len(lineage_report(out)) == 3

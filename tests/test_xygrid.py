@@ -199,3 +199,33 @@ def test_level_id_roundtrip():
         packed = get_level_id(zoom, cid)
         assert from_level_id(packed) == (zoom, cid)
     assert get_level_id(2, 6) == (2 << 56) | 6
+
+
+# ---------------------------------------------------------------------------
+# rectangle cover == per-row range cover (cell_rect_filter basis)
+# ---------------------------------------------------------------------------
+
+
+def test_rects_equal_ranges():
+    from oshdb_spark.grid.xygrid import XYGrid
+
+    bboxes = [
+        (-600_000_000, -400_000_000, 600_000_000, 400_000_000),
+        (1_700_000_000, -100_000_000, -1_700_000_000, 100_000_000),  # dateline
+        (-1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000),  # world
+        (86_000_000, 493_000_000, 90_000_000, 500_000_000),  # small
+        (-1_900_000_000, -400_000_000, 0, 400_000_000),  # out-of-range lon
+    ]
+    for zoom in (0, 1, 3, 7, 12, 14):
+        g = XYGrid(zoom)
+        for bbox in bboxes:
+            for enlarge in (False, True):
+                ranges = set(g.bbox2_cell_id_ranges(bbox, enlarge))
+                garbage, rects = g.bbox2_cell_rects(bbox, enlarge)
+                from_rects = set()
+                if garbage:
+                    from_rects.add((-1, -1))
+                for cmin, cmax, rmin, rmax in rects:
+                    for r in range(rmin, rmax + 1):
+                        from_rects.add((r * g.zoompow + cmin, r * g.zoompow + cmax))
+                assert from_rects == ranges, (zoom, bbox, enlarge)

@@ -654,6 +654,291 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 7. scale-path variants: salted join, pruned scan (rect pushdown)
+# ---------------------------------------------------------------------------
+
+
+@_q("cell_hash_join_salted", _Q06_ORACLE, bench=True)
+def q_cell_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics (and same oracle) as cell_hash_join, executed through
+    the explicit salted-key skew path (plans/skew.py) — the gate proves the
+    salt is result-transparent."""
+    from oshdb_spark.plans.skew import salted_join
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS).withColumn(
+        "cell_id", xy_cell_id_col(6, F.col("lon_fp"), F.col("lat_fp"))
+    )
+    left = g.filter(F.col("event_id") % 2 == 0).select("event_id", "cell_id")
+    right = g.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("event_id_r"), "cell_id"
+    )
+    joined = salted_join(
+        left, right, ["cell_id"], fact_unique_col="event_id", n_salts=8,
+        broadcast_dim=False,
+    )
+    return joined.groupBy("cell_id").agg(count_agg("n_pairs"))
+
+
+# query bbox for the pruned-scan gate (fixed-point, lon 20..80, lat -10..40)
+PRUNE_BBOX = (200_000_000, -100_000_000, 800_000_000, 400_000_000)
+
+_Q21_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_LOCAL_EXPRS)})
+SELECT user_id, COUNT(*) AS cnt
+FROM g
+WHERE lon_fp >= {PRUNE_BBOX[0]} AND lon_fp <= {PRUNE_BBOX[2]}
+  AND lat_fp >= {PRUNE_BBOX[1]} AND lat_fp <= {PRUNE_BBOX[3]}
+GROUP BY user_id
+"""
+
+
+@_q("pruned_bbox_scan", _Q21_ORACLE, bench=True)
+def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-rule tiling + enlarged rect-cover pruning + exact refinement
+    must equal a plain bbox scan (the OSHDB storage guarantee: an entity
+    intersecting the AOI is always found via the enlarged cell ranges,
+    XYGridTree.java:93-100 + XYGrid.java:385-394)."""
+    from oshdb_spark.operators.tiling import cell_rect_filter, xy_insert_cell_udf
+
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS)
+    boxes = g.groupBy("user_id").agg(
+        F.min("lon_fp").alias("minlon"),
+        F.min("lat_fp").alias("minlat"),
+        F.max("lon_fp").alias("maxlon"),
+        F.max("lat_fp").alias("maxlat"),
+    )
+    # Arrow-UDF tiling path: one vectorized numpy evaluation per batch —
+    # the pure-Column CASE variant would be re-inlined into each of the
+    # rect filter's ~30 references (projection collapse), bloating codegen
+    udf = xy_insert_cell_udf()
+    cells = boxes.select(
+        "user_id", udf("minlon", "minlat", "maxlon", "maxlat").alias("c")
+    ).select(
+        "user_id",
+        F.col("c.cell_zoom").alias("cell_zoom"),
+        F.col("c.cell_id").alias("cell_id"),
+    )
+    kept = cells.filter(cell_rect_filter(PRUNE_BBOX)).select("user_id")
+    pts_in = g.filter(
+        (F.col("lon_fp") >= PRUNE_BBOX[0])
+        & (F.col("lon_fp") <= PRUNE_BBOX[2])
+        & (F.col("lat_fp") >= PRUNE_BBOX[1])
+        & (F.col("lat_fp") <= PRUNE_BBOX[3])
+    )
+    return (
+        pts_in.join(F.broadcast(kept), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(count_agg("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. more training-data ops: simhash, LSH pairs, quality, embeddings
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH t AS (SELECT doc_id, md5(UNNEST(STRING_SPLIT(text, ' '))) AS h FROM documents),
+b AS (SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, 59)) AS bit FROM t),
+v AS (SELECT doc_id, bit,
+        CASE WHEN ((STRPOS('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+                   >> (3 - bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM b),
+s AS (SELECT doc_id, bit, SUM(vote) AS v FROM v GROUP BY doc_id, bit)
+SELECT doc_id, bit,
+       CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn
+FROM s
+"""
+
+
+@_q("simhash_bits", _Q22_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import simhash_bits_portable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_bits_portable(docs)
+
+
+def _mh_duck(salt: int, shingle: int = 7) -> str:
+    k = shingle
+    return (
+        f"LIST_MIN([md5('{salt}|' || substr(text, CAST(i AS INT), {k}))"
+        f" FOR i IN GENERATE_SERIES(1, GREATEST(LEN(text) - {k - 1}, 1))])"
+    )
+
+
+_Q23_ORACLE = f"""
+WITH s AS (SELECT doc_id AS id, {_mh_duck(0)} AS mh0, {_mh_duck(1)} AS mh1
+           FROM documents),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b FROM s a JOIN s b
+    ON a.mh0 = b.mh0 AND a.id < b.id
+  UNION
+  SELECT a.id AS id_a, b.id AS id_b FROM s a JOIN s b
+    ON a.mh1 = b.mh1 AND a.id < b.id
+)
+SELECT id_a, id_b FROM p
+"""
+
+
+@_q("lsh_candidate_pairs", _Q23_ORACLE)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(docs, bands=2, rows_per_band=1)
+
+
+_Q24_ORACLE = """
+SELECT doc_id,
+  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(LEN(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS mean_tok_len,
+  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+    / LEN(STRING_SPLIT(text, ' ')) AS type_token_ratio
+FROM documents
+"""
+
+
+@_q("quality_score", _Q24_ORACLE)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
+
+
+_Q25_ORACLE = """
+WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id + 250 = b.vec_id),
+r AS (SELECT vec_a, vec_b, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a) AS rank FROM p)
+SELECT vec_a, vec_b, rank FROM r WHERE rank <= 50
+"""
+
+
+@_q("embedding_neardup_rank", _Q25_ORACLE)
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: offset-paired docs ranked
+    by cosine similarity (rank output keeps the compare float-free)."""
+    from oshdb_spark.operators.similarity import with_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = with_norm(emb).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
+    j = a.join(b, F.col("vec_a") + 250 == F.col("vec_b"))
+    sim = (
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (F.col("na") * F.col("nb"))
+    )
+    ranked = j.withColumn("sim", sim).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("sim").desc(), "vec_a")),
+    )
+    return ranked.filter(F.col("rank") <= 50).select("vec_a", "vec_b", "rank")
+
+
+def _ivf_planes(n_planes: int, dim: int, seed: int = 7):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_planes, dim))
+
+
+_IVF_PLANES = _ivf_planes(3, 64)
+
+
+def _ivf_bucket_duck(vec: str) -> str:
+    terms = []
+    for p in range(len(_IVF_PLANES)):
+        w = ", ".join(repr(float(x)) for x in _IVF_PLANES[p])
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(CAST({vec} AS DOUBLE[]), [{w}]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_Q26_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_ivf_bucket_duck("embedding")} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
+j AS (SELECT q.qid, e.vec_id AS neighbor_id,
+        LIST_DOT_PRODUCT(q.qv, e.v)
+          / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS sim
+      FROM q JOIN e ON q.bucket = e.bucket AND q.qid <> e.vec_id),
+r AS (SELECT qid, neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+      FROM j)
+SELECT qid, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+@_q("ann_ivf_lsh", _Q26_ORACLE, bench=True)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH bucketing (the 100TB ANN path:
+    equi-join on bucket instead of a cross product)."""
+    from oshdb_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_planes=3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# 9. interleaved-span machinery under the oracle gate
+# ---------------------------------------------------------------------------
+
+_SPAN_SPARK = (
+    "array("
+    " named_struct('kind', 'text', 'text', substring(text, 1, 40),"
+    "              'media_ref', '', 'offset', 0),"
+    " named_struct('kind', 'media', 'text', '',"
+    "              'media_ref', concat('img_', CAST(doc_id AS STRING)), 'offset', 40),"
+    " named_struct('kind', 'text', 'text', substring(text, 41, 1000000),"
+    "              'media_ref', '', 'offset', 41)"
+    ") AS spans"
+)
+
+_Q27_ORACLE = """
+SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok
+FROM documents GROUP BY source
+"""
+
+
+@_q("span_roundtrip", _Q27_ORACLE)
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an interleaved spans column (text/media interleaved, offsets),
+    run the engine's span reassembly (sources/entities.reassemble_payload),
+    and count docs whose reassembled payload is byte-identical to the
+    original text.  The oracle independently asserts ALL docs round-trip —
+    a mis-ordered or media-polluted reassembly breaks the match."""
+    from oshdb_spark.sources.entities import reassemble_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "text", "source", _SPAN_SPARK
+    )
+    re = reassemble_payload(docs)
+    return re.groupBy("source").agg(
+        count_agg("n_docs"),
+        F.sum(F.when(F.col("payload") == F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__.py
 # ---------------------------------------------------------------------------
 

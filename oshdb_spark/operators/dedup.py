@@ -139,6 +139,40 @@ def token_jaccard_pairs(
     return j.select("doc_a", "doc_b", jac).filter(F.col("jaccard") > threshold)
 
 
+def simhash_bits_portable(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
+) -> DataFrame:
+    """SimHash per-bit majority votes with an md5-derived token hash.
+
+    Same algorithm as ``simhash`` but the token hash is the first
+    ``n_bits/4`` hex chars of md5 (standardized across engines), and the
+    output is one row per (doc, bit) with the vote sign — exactly
+    reproducible in ANSI SQL for the oracle gate.  The xxhash64 variant
+    stays the fast path (one JVM intrinsic vs md5's digest cost).
+    """
+    toks = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"explode(split({text_col}, ' ')) AS tok",
+    ).selectExpr("doc_id", "md5(cast(tok as binary)) AS h")
+    bits = toks.selectExpr(
+        "doc_id", "h", f"explode(sequence(0, {n_bits - 1})) AS bit"
+    ).selectExpr(
+        "doc_id",
+        "bit",
+        "instr('0123456789abcdef', substring(h, CAST(bit / 4 AS INT) + 1, 1)) - 1 AS digit",
+    ).selectExpr(
+        "doc_id",
+        "bit",
+        "CASE WHEN (shiftright(digit, 3 - bit % 4) & 1) = 1 THEN 1 ELSE -1 END AS vote",
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.selectExpr(
+        "doc_id",
+        "bit",
+        "CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn",
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per doc, fully distributed (no UDF).
 

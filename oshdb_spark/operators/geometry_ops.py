@@ -65,6 +65,8 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
     member nodes resolved at the snapshot timestamp, in ref order, visible
     only (missing members already dropped by the left join upstream).
     """
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
     ti = interpreter or default_tag_interpreter()
 
     @F.pandas_udf(GEOM_RESULT_SCHEMA)
@@ -99,6 +101,8 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
     — each member way's resolved node line at the timestamp (null line for
     missing/invisible members), in member order.
     """
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
     ti = interpreter or default_tag_interpreter()
     role_code = {"outer": ROLE_OUTER, "inner": ROLE_INNER, "": ROLE_EMPTY}
 
@@ -151,6 +155,8 @@ def clip_udf(bbox_deg: tuple[float, float, float, float]):
     geometry bbox fully inside the clip box -> identity (no clip work);
     fully outside -> typed empty.
     """
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
     minx, miny, maxx, maxy = bbox_deg
 
     @F.pandas_udf(CLIP_RESULT_SCHEMA)
@@ -185,6 +191,8 @@ def intersects_polygon_udf(polygon_geom: dict):
     vertex inside, OR polygon vertex inside geometry bbox + edge checks.
     Conservative-exact for the fixtures used (vertex or bbox evidence).
     """
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
     import numpy as np
 
     @F.pandas_udf("boolean")

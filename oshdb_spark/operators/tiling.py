@@ -96,6 +96,8 @@ def xy_insert_cell_col(
 
 def xy_insert_cell_udf():
     """pandas UDF: (minlon, minlat, maxlon, maxlat) -> struct(zoom, cell)."""
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
 
     @F.pandas_udf("cell_zoom int, cell_id long")
     def _udf(
@@ -114,6 +116,8 @@ def xy_insert_cell_udf():
 
 def quadcell_udf(level: int):
     """pandas UDF: fixed-point (lon, lat) -> quadcell id at `level`."""
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
 
     @F.pandas_udf("long")
     def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -125,6 +129,8 @@ def quadcell_udf(level: int):
 
 def h3_udf(resolution: int):
     """True H3 ids when the `h3` package is available (absent here)."""
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
     try:
         import h3  # noqa: F401
     except ImportError as e:

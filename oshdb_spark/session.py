@@ -3,8 +3,46 @@
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_package_on_workers(spark: SparkSession | None = None) -> None:
+    """Ship oshdb_spark to executor Pythons via addPyFile (idempotent).
+
+    Engine pandas UDFs reference module functions; workers deserialize them
+    by importing the module, which fails when the driver was launched from
+    outside the repo (no PYTHONPATH).  Equivalent of `spark-submit
+    --py-files dist/oshdb_spark.zip`, done lazily for embedded use.
+    """
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return
+    sc = spark.sparkContext
+    if getattr(sc, "_oshdb_spark_shipped", False):
+        return
+    import oshdb_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(oshdb_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"oshdb_spark_auto_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "oshdb_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._oshdb_spark_shipped = True
 
 
 def get_spark(

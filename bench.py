@@ -46,32 +46,127 @@ def run_suite(cpus: int) -> dict[str, float]:
     return timings
 
 
+def _docs_parquet(n_features: int) -> tuple[str, int]:
+    """Deterministic docs table cached in /tmp (generated once per size).
+
+    SCALE_DOCS_MODE=world uses the rich pandas world generator (driver-side,
+    ~10^6 ceiling); the default 'synth' mode uses the Spark-native generator
+    (sources/docs.synthesize_bench_docs) sized by SCALE_DOCS_N."""
+    import pathlib
+
+    if os.environ.get("SCALE_DOCS_MODE", "synth") == "synth":
+        n_docs = int(os.environ.get("SCALE_DOCS_N", "4000000"))
+        path = f"/tmp/oshdb_bench_synth_{n_docs}.parquet"
+        if not pathlib.Path(path, "_SUCCESS").exists():
+            from oshdb_spark.session import get_spark
+            from oshdb_spark.sources.docs import synthesize_bench_docs
+
+            spark = get_spark(app_name="bench_gen", master="local[32]")
+            synthesize_bench_docs(spark, n_docs).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(path)
+            spark.stop()
+        return path, n_docs
+
+    path = f"/tmp/oshdb_bench_docs_{n_features}.parquet"
+    meta = pathlib.Path(path + ".count")
+    if not meta.exists():
+        from oshdb_spark.sources.docs import write_docs_parquet
+
+        docs, _ = write_docs_parquet(path, n_features=n_features, seed=42)
+        meta.write_text(str(len(docs)))
+    return path, int(meta.read_text())
+
+
+def _scaling_worker(cpus: int, docs_path: str) -> None:
+    """One subprocess per parallelism level: 2 JIT-warmup runs, then 3
+    measured runs each of (a) the narrow tile-assignment stage and (b) the
+    full tile-assign + cell-join + refine pipeline.  Prints one JSON line."""
+    from oshdb_spark.pipeline import tile_assign_throughput, tile_join_throughput
+    from oshdb_spark.session import get_spark
+
+    # shuffle partitions FIXED across parallelism levels: the scaling
+    # comparison isolates core count, not partitioning
+    spark = get_spark(
+        app_name=f"bench_pipeline_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SCALE_SHUFFLE_PARTS", "64")),
+        # the synthetic docs table is a handful of parquet files; split them
+        # finely so the narrow extract+tile stage has enough input tasks for
+        # every core (a production table has ample splits already)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+    bbox = (-120.0, -60.0, 120.0, 60.0)
+    docs = spark.read.parquet(docs_path)
+    docs.count()  # warm footers
+
+    def measure(fn, warmups=2, reps=3):
+        for _ in range(warmups):
+            fn(spark, docs, bbox).collect()
+        walls = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, docs, bbox).collect()
+            walls.append(round(time.monotonic() - t0, 3))
+        return walls
+
+    out = {
+        "assign": measure(tile_assign_throughput),
+        "join": measure(tile_join_throughput),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def run_pipeline(cpus: int, docs_path: str) -> dict[str, list[float]]:
+    """Run the scaling worker in a fresh subprocess (own JVM) and collect
+    its per-workload wall times."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+         str(cpus), docs_path],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        _scaling_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
     if "--scaling" in sys.argv:
+        # north-rule protocol (BASELINE.md): the SAME headline workload on
+        # the SAME docs input at two parallelism levels (the sandbox stand-in
+        # for N vs 4N executors); throughput = docs/sec; efficiency =
+        # throughput_hi / ((hi/lo) * throughput_lo); median of 3 warm runs
         lo = int(os.environ.get("SCALE_CPUS_LO", "8"))
         hi = int(os.environ.get("SCALE_CPUS_HI", "32"))
-        t_lo = run_suite(lo)
-        t_hi = run_suite(hi)
-        q_lo = {k: v for k, v in t_lo.items() if not k.startswith("__")}
-        q_hi = {k: v for k, v in t_hi.items() if not k.startswith("__")}
-        total_lo = sum(q_lo.values())
-        total_hi = sum(q_hi.values())
-        eff = (total_lo / total_hi) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff, 4),
-                    "unit": "ratio",
-                    "cpus": [lo, hi],
-                    "total_sec": {str(lo): round(total_lo, 3), str(hi): round(total_hi, 3)},
-                    "queries_lo": q_lo,
-                    "queries_hi": q_hi,
-                    "sf": sf,
-                }
-            )
-        )
+        n_features = int(os.environ.get("SCALE_DOCS_FEATURES", "200000"))
+        docs_path, n_docs = _docs_parquet(n_features)
+        r_lo = run_pipeline(lo, docs_path)
+        r_hi = run_pipeline(hi, docs_path)
+        report = {
+            "metric": "tile_join_scaling_efficiency",
+            "unit": "ratio",
+            "cpus": [lo, hi],
+            "n_docs": n_docs,
+            "workloads": {},
+        }
+        for wl in ("assign", "join"):
+            w_lo, w_hi = sorted(r_lo[wl]), sorted(r_hi[wl])
+            med_lo, med_hi = w_lo[len(w_lo) // 2], w_hi[len(w_hi) // 2]
+            thr_lo, thr_hi = n_docs / med_lo, n_docs / med_hi
+            report["workloads"][wl] = {
+                "efficiency": round(thr_hi / ((hi / lo) * thr_lo), 4),
+                "docs_per_sec": {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)},
+                "wall_sec": {str(lo): w_lo, str(hi): w_hi},
+            }
+        report["value"] = report["workloads"]["join"]["efficiency"]
+        print(json.dumps(report))
         return
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -450,6 +450,21 @@ class ContributionView(_MapReducer):
         match = None
         for n in alive_nodes:
             match = n.osm_column() if match is None else (match & n.osm_column())
+        # the AOI participates in ALIVENESS: a geometry moving out of the
+        # bbox/polygon is a DELETION, moving in a CREATION
+        # (CellIterator.java:665-679 "geometry became empty in AOI")
+        if self.state.bbox_deg is not None:
+            from oshdb_spark.operators.geometry_ops import clip_udf, is_empty_wkt_col
+
+            cu = clip_udf(self.state.bbox_deg)
+            aoi = ~is_empty_wkt_col(cu(F.col("wkt"))["clipped_wkt"])
+            match = aoi if match is None else (match & aoi)
+        if self.state.polygon is not None:
+            from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
+
+            poly = _thaw(self.state.polygon)
+            aoi = intersects_polygon_udf(poly)(F.col("wkt"))
+            match = aoi if match is None else (match & aoi)
         types = self._type_set()
         df = contribution_view(
             self._entities(),
@@ -464,27 +479,15 @@ class ContributionView(_MapReducer):
         for c in self.state.raw_filters:
             df = df.filter(c)
         if self.state.bbox_deg is not None:
-            minx, miny, maxx, maxy = self.state.bbox_deg
             from oshdb_spark.operators.geometry_ops import clip_udf
 
-            cu = clip_udf((minx, miny, maxx, maxy))
+            cu = clip_udf(self.state.bbox_deg)
             df = (
                 df.withColumn("c", cu(F.col("wkt")))
                 .withColumn("clipped_wkt", F.col("c.clipped_wkt"))
                 .drop("c")
             )
-            from oshdb_spark.operators.geometry_ops import is_empty_wkt_col
-
-            # contribution intersects the AOI if either state does
-            prev_cu = cu(F.col("prev_wkt"))
-            df = df.filter(
-                ~is_empty_wkt_col(F.col("clipped_wkt"))
-                | (
-                    F.col("prev_wkt").isNotNull()
-                    & ~is_empty_wkt_col(prev_cu["clipped_wkt"])
-                )
-            )
-        return self._apply_polygon(df)
+        return df
 
 
 class MapAggregator:

@@ -177,7 +177,9 @@ def lifetime_bboxes(entities: DataFrame) -> DataFrame:
     )
 
     ways = entities.filter(F.col("type") == "way")
-    way_refs = ways.select("id", F.explode("refs").alias("ref")).distinct()
+    # no dedup of the (id, ref) edge list: min/max aggregation is
+    # duplicate-insensitive and the distinct() would cost a full shuffle
+    way_refs = ways.select("id", F.explode("refs").alias("ref"))
     way_bbox = (
         way_refs.join(
             node_bbox.withColumnRenamed("id", "ref"),
@@ -325,25 +327,35 @@ def cell_rect_filter(
     """
     tree = XYGridTree(maxzoom)
     pred = F.lit(False)
+    coarse = F.lit(False)  # parquet-pushable superset: plain range compares
     for g in tree.grids:
         garbage, rects = g.bbox2_cell_rects(bbox_osm, enlarge)
         if garbage:
-            pred = pred | (
-                (F.col(zoom_col) == g.zoom) & (F.col(cell_col) == -1)
-            )
+            gp = (F.col(zoom_col) == g.zoom) & (F.col(cell_col) == -1)
+            pred = pred | gp
+            coarse = coarse | gp
         if not rects:
             continue
         col = F.col(cell_col) % F.lit(g.zoompow)
         row = F.floor(F.col(cell_col) / F.lit(g.zoompow))
         zp = F.lit(False)
+        cr = F.lit(False)
         for cmin, cmax, rmin, rmax in rects:
             zp = zp | (
                 col.between(cmin, cmax) & row.between(rmin, rmax)
             )
+            # coarse id interval [rmin*2^z + cmin, rmax*2^z + cmax] — a
+            # superset of the rectangle, but built only from <=/>= on the
+            # raw column, so it reaches parquet row-group stats (the `%`
+            # and FLOOR in the exact test block pushdown of the whole OR)
+            cr = cr | F.col(cell_col).between(
+                rmin * g.zoompow + cmin, rmax * g.zoompow + cmax
+            )
         pred = pred | (
             (F.col(zoom_col) == g.zoom) & (F.col(cell_col) >= 0) & zp
         )
-    return pred
+        coarse = coarse | ((F.col(zoom_col) == g.zoom) & cr)
+    return coarse & pred
 
 
 def query_cells_df(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,6 +83,110 @@ def prune_with_members(tiled: DataFrame, range_pred) -> DataFrame:
     return nodes.unionByName(all_ways).unionByName(rels_in)
 
 
+def tile_assign_throughput(
+    spark: SparkSession,
+    docs: DataFrame,
+    bbox_deg: tuple[float, float, float, float],
+) -> DataFrame:
+    """Narrow-only tile-assignment throughput: scan -> extract -> vectorized
+    insert-cell UDF over node coordinates -> rect-cover filter -> partial
+    aggregation.  No join, no wide shuffle (only the final tiny partial-agg
+    exchange) — isolates per-core compute scaling from shuffle-stage
+    latency; at production scale this is the shape of the ingest/tiling
+    stage itself."""
+    bbox_osm = tuple(int(round(v * 1e7)) for v in bbox_deg)
+    from oshdb_spark.operators.tiling import xy_insert_cell_udf
+
+    entities = extract_entities(docs)
+    nodes = entities.filter(F.col("type") == "node")
+    udf = xy_insert_cell_udf()
+    tiled = nodes.withColumn("c", udf("lon", "lat", "lon", "lat")).select(
+        "id",
+        "lon",
+        "lat",
+        F.col("c.cell_zoom").alias("cell_zoom"),
+        F.col("c.cell_id").alias("cell_id"),
+    )
+    pruned = tiled.filter(cell_rect_filter(bbox_osm)).filter(
+        (F.col("lon") >= bbox_osm[0])
+        & (F.col("lon") <= bbox_osm[2])
+        & (F.col("lat") >= bbox_osm[1])
+        & (F.col("lat") <= bbox_osm[3])
+    )
+    return pruned.groupBy("cell_zoom").agg(F.count(F.lit(1)).alias("n"))
+
+
+def tile_join_throughput(
+    spark: SparkSession,
+    docs: DataFrame,
+    bbox_deg: tuple[float, float, float, float],
+    polygon: dict | None = None,
+) -> DataFrame:
+    """The north-rule THROUGHPUT pipeline: tile-assignment + spatial join +
+    per-tile refinement, end to end, fully vectorized (BASELINE.json metric:
+    "spatial-join + tile-assignment throughput (docs/sec)").
+
+    Stages: extract (JVM expressions) -> lifetime-bbox + insert-cell
+    assignment (Arrow/numpy UDF, no per-row Python) -> cell cover join
+    (constant-size rect predicate == the hash join against the query-cell
+    set, in pushdown form) -> exact refinement (JVM bbox compare for
+    nodes/bboxes; vectorized numpy PIP when a polygon AOI is given) ->
+    per-(zoom, type) aggregation.  No temporal view, no per-row geometry
+    assembly — this is the hot path the reference's MapReducerJdbc scan +
+    spatial prefilter corresponds to (MapReducerJdbc.java:64-93,
+    CellIterator.java:242-278).
+    """
+    minx, miny, maxx, maxy = bbox_deg
+    bbox_osm = (
+        int(round(minx * 1e7)),
+        int(round(miny * 1e7)),
+        int(round(maxx * 1e7)),
+        int(round(maxy * 1e7)),
+    )
+    from oshdb_spark.operators.tiling import lifetime_bboxes, xy_insert_cell_udf
+
+    entities = extract_entities(docs)
+    boxes = lifetime_bboxes(entities)
+    udf = xy_insert_cell_udf()
+    tiled = (
+        boxes.withColumn("c", udf("minlon", "minlat", "maxlon", "maxlat"))
+        .select(
+            "type", "id", "minlon", "minlat", "maxlon", "maxlat",
+            F.col("c.cell_zoom").alias("cell_zoom"),
+            F.col("c.cell_id").alias("cell_id"),
+        )
+    )
+    pruned = tiled.filter(cell_rect_filter(bbox_osm))
+    # exact refinement: entity lifetime bbox intersects the query bbox
+    refined = pruned.filter(
+        (F.col("maxlon") >= bbox_osm[0])
+        & (F.col("minlon") <= bbox_osm[2])
+        & (F.col("maxlat") >= bbox_osm[1])
+        & (F.col("minlat") <= bbox_osm[3])
+    )
+    if polygon is not None:
+        from oshdb_spark.geometry.pip import points_in_polygon
+        from oshdb_spark.session import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
+
+        @F.pandas_udf("boolean")
+        def _pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            x = lon.to_numpy("int64") / 1e7
+            y = lat.to_numpy("int64") / 1e7
+            return pd.Series(
+                points_in_polygon(x, y, polygon, include_boundary=True)
+            )
+
+        refined = refined.filter(
+            _pip((F.col("minlon") + F.col("maxlon")) / 2,
+                 (F.col("minlat") + F.col("maxlat")) / 2)
+        )
+    return refined.groupBy("cell_zoom", "type").agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )
+
+
 @dataclass
 class PipelineResult:
     snapshots: DataFrame  # surviving (entity, snap_ts) rows w/ clipped geometry
@@ -104,18 +209,23 @@ def spatial_join_pipeline(
         int(round(maxx * 1e7)),
         int(round(maxy * 1e7)),
     )
-    # tiling is the ETL stage: in production the tiled entities table is
-    # written once (partitioned/clustered by cell) and queries read it back;
-    # here we materialize it in memory so the five downstream references
-    # (pruning closure + cell join) don't re-derive the extract+tile DAG
+    # Stage boundaries are CHECKPOINTED (plan truncation, not just data
+    # caching): tiled/pruned are each referenced by several downstream
+    # branches, and with plain persist() Catalyst still re-optimizes the
+    # full upstream logical tree per action — on the deep union/semi-join
+    # DAG here that made driver-side planning, not execution, the
+    # bottleneck.  localCheckpoint materializes AND truncates lineage.
+    # In production each boundary is the lineage-tracked bucketed write
+    # (plans/lineage.py) — same effect, resumable and executor-loss-safe;
+    # tiling in particular is the ETL output table (partitioned by cell).
     entities = extract_entities(docs)
-    tiled = assign_cells(entities).persist()
+    # Arrow-UDF tiling path: one vectorized numpy pass; the all-Column CASE
+    # variant is bit-identical (tests assert it) but codegens a huge method
+    # that measures ~2x slower end-to-end
+    tiled = assign_cells(entities, use_udf_path=True).localCheckpoint()
     pred = cell_rect_filter(bbox_osm)
-    pruned = prune_with_members(tiled, pred)
-    # persisted: callers run several actions over it (count, aggregate,
-    # span verification, bucketed write) — at scale this is the stage
-    # boundary you'd checkpoint to the lineage-tracked output anyway
-    snaps = snapshot_view(pruned, timestamps, bbox_deg=bbox_deg).persist()
+    pruned = prune_with_members(tiled, pred).localCheckpoint()
+    snaps = snapshot_view(pruned, timestamps, bbox_deg=bbox_deg).localCheckpoint()
     # per-tile aggregation at the analysis zoom; ways/relations aggregate
     # by their stored cell, nodes by position
     cell = F.when(

@@ -526,5 +526,63 @@ def write_docs_parquet(path: str, n_features: int = 1000, seed: int = 42):
             "spans": pa.array(docs["spans"].tolist(), span_type),
         }
     )
-    pq.write_table(table, path)
+    # small row groups: parquet splits only at row-group boundaries, and a
+    # single giant group serializes every scan regardless of core count
+    pq.write_table(table, path, row_group_size=8192)
     return docs, world
+
+
+def synthesize_bench_docs(spark, n_docs: int):
+    """Spark-native deterministic docs generator for large-scale benching.
+
+    Same (doc_id, spans) shape and JSON payload schema as the pandas world
+    generator, but built entirely from ``spark.range`` + JVM expressions so
+    10^7+ docs synthesize in seconds, distributed (the pandas generator is
+    driver-side and tops out around 10^6).  Content is simpler — one node
+    entity per doc, pseudo-random coords/versions via integer hashing —
+    which is exactly what the tile/join throughput benchmark exercises.
+    Payload is split into two text spans interleaved with one media span
+    (offset-ordered), so the span-reassembly path is exercised too.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_docs).select(
+        F.col("id"),
+        F.format_string("bench-%012d", F.col("id")).alias("doc_id"),
+        # deterministic pseudo-random fixed-point coords + metadata
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(3_600_000_000)) - 1_800_000_000).alias("lon"),
+        (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1_700_000_000)) - 850_000_000).alias("lat"),
+        (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int").alias("version"),
+        (F.lit(1_200_000_000) + F.pmod(F.xxhash64(F.col("id") + 2), F.lit(300_000_000))).alias("ts"),
+        F.pmod(F.col("id"), F.lit(100_000)).alias("changeset"),
+        F.pmod(F.col("id"), F.lit(5_000)).cast("int").alias("uid"),
+    )
+    payload = F.format_string(
+        '{"id": %d, "type": "node", "version": %d, "visible": true,'
+        ' "ts": %d, "changeset": %d, "uid": %d, "tags": {"2": 1},'
+        ' "lon": %d, "lat": %d, "refs": null, "members": null}',
+        F.col("id"), F.col("version"), F.col("ts"), F.col("changeset"),
+        F.col("uid"), F.col("lon"), F.col("lat"),
+    )
+    half = F.floor(F.length(payload) / 2).cast("int")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            payload.substr(F.lit(1), half).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.format_string("media://%s/img0", F.col("doc_id")).alias("media_ref"),
+            half.alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            payload.substr(half + 1, F.length(payload)).alias("text"),
+            F.lit("").alias("media_ref"),
+            (half + 1).alias("offset"),
+        ),
+    )
+    return df.select("doc_id", spans.alias("spans"))

@@ -1,0 +1,172 @@
+"""Reference CellIterator contribution scenarios, ported node fixture.
+
+Fixture data transcribed from
+/root/reference/oshdb-util/src/test/resources/different-timestamps/node.osm
+(nodes 1-8, 14); expected results from
+/root/reference/oshdb-util/src/test/java/org/heigit/ohsome/oshdb/util/celliterator/IterateByContributionNodesTest.java
+(testGeometryChange :46, testTagChange :86, testVisibleChange :122,
+testMultipleChanges :164, testTagChangeTagFilterWithSuccess :299,
+testTagChangeTagFilterDisused :336, testMoreComplicatedFilter :368,
+testTagChangeTagFilterWithoutSuccess :400).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.api import OSHDB, ContributionView
+from oshdb_spark.filters.dsl import TagTranslator
+from oshdb_spark.timestamps import parse_iso
+
+# key/value dictionary for the fixture (keytables)
+K = {"created_by": 1, "highway": 2, "shop": 3, "disused:shop": 4,
+     "leaf_cycle": 5, "leaf_type": 6, "natural": 7, "amenity": 8}
+V = {("created_by", "test"): 1,
+     ("highway", "traffic_signals"): 1, ("highway", "street_lamp"): 2,
+     ("shop", "supermarket"): 1, ("disused:shop", "supermarket"): 1,
+     ("leaf_cycle", "deciduous"): 1, ("leaf_type", "broadleaved"): 1,
+     ("natural", "tree"): 1}
+TR = TagTranslator(keys=K, values=V)
+
+
+def _t(iso: str) -> int:
+    return parse_iso(iso) // 1_000_000  # fixture works in epoch seconds
+
+
+def _tags(*pairs):
+    return {K[k]: V[(k, v)] for k, v in pairs}
+
+
+def _node(nid, version, visible, ts, cs, uid, lon, lat, tags):
+    return (
+        f"n{nid}v{version}", nid, "node", version, visible, _t(ts), cs, uid,
+        tags, int(lon * 1e7) if lon is not None else 0,
+        int(lat * 1e7) if lat is not None else 0, None, None,
+    )
+
+
+ROWS = [
+    # node 1: creation + two geometry changes (no tag changes)
+    _node(1, 1, True, "2008-01-01", 1, 1, 1.42, 1.22, _tags(("created_by", "test"))),
+    _node(1, 2, True, "2009-02-01", 2, 2, 1.42, 1.225, _tags(("created_by", "test"))),
+    _node(1, 3, True, "2010-02-03", 3, 1, 1.425, 1.23, _tags(("created_by", "test"))),
+    # node 2: creation + two tag changes (no geometry changes)
+    _node(2, 1, True, "2007-01-01", 3, 11, 1.43, 1.24, _tags(("created_by", "test"))),
+    _node(2, 2, True, "2008-01-01", 4, 12, 1.43, 1.24,
+          _tags(("created_by", "test"), ("highway", "traffic_signals"))),
+    _node(2, 3, True, "2014-01-01", 5, 13, 1.43, 1.24, _tags(("highway", "street_lamp"))),
+    # node 3: visibility flips
+    _node(3, 1, True, "2007-01-01", 6, 11, 1.44, 1.24,
+          _tags(("created_by", "test"), ("highway", "traffic_signals"))),
+    _node(3, 2, False, "2008-01-01", 7, 11, None, None, {}),
+    _node(3, 3, True, "2014-01-01", 8, 11, 1.44, 1.24,
+          _tags(("created_by", "test"), ("highway", "traffic_signals"))),
+    _node(3, 5, False, "2015-01-01", 9, 11, None, None, {}),
+    _node(3, 6, True, "2016-01-01", 10, 11, 1.44, 1.24,
+          _tags(("created_by", "test"), ("highway", "traffic_signals"))),
+    # node 4: many kinds of changes
+    _node(4, 1, True, "2007-01-01", 11, 1, 1.42, 1.21, _tags(("created_by", "test"))),
+    _node(4, 2, True, "2008-01-01", 12, 1, 1.425, 1.20,
+          _tags(("created_by", "test"), ("highway", "traffic_signals"))),
+    _node(4, 3, False, "2010-01-01", 13, 11, None, None, {}),
+    _node(4, 4, True, "2011-01-01", 14, 11, 1.42, 1.21, _tags(("highway", "traffic_signals"))),
+    _node(4, 5, True, "2014-01-01", 15, 1, 1.42, 1.215, _tags(("highway", "traffic_signals"))),
+    _node(4, 7, True, "2017-01-01", 16, 11, 1.42, 1.215,
+          _tags(("leaf_cycle", "deciduous"), ("leaf_type", "broadleaved"), ("natural", "tree"))),
+    # node 5: shop <-> disused:shop flips
+    _node(5, 1, True, "2007-01-01", 17, 11, 3.43, 1.24, _tags(("shop", "supermarket"))),
+    _node(5, 2, True, "2008-01-01", 18, 12, 3.43, 1.24, _tags(("disused:shop", "supermarket"))),
+    _node(5, 3, True, "2010-01-01", 19, 13, 3.43, 1.24, _tags(("shop", "supermarket"))),
+    _node(5, 4, True, "2016-01-01", 20, 12, 3.43, 1.24, _tags(("disused:shop", "supermarket"))),
+    # node 7: disused:shop focus
+    _node(7, 1, True, "2007-01-01", 23, 11, 3.43, 1.24, _tags(("shop", "supermarket"))),
+    _node(7, 2, True, "2008-01-01", 24, 12, 3.4, 1.24, _tags(("disused:shop", "supermarket"))),
+    _node(7, 3, True, "2014-01-01", 25, 13, 3.43, 1.24, _tags(("shop", "supermarket"))),
+    _node(7, 4, True, "2015-01-01", 26, 12, 3.43, 1.24, _tags(("disused:shop", "supermarket"))),
+    # node 8: shop + moves out of the query bbox in v2
+    _node(8, 1, True, "2007-01-01", 27, 11, 3.43, 1.24, _tags(("shop", "supermarket"))),
+    _node(8, 2, True, "2008-01-01", 28, 12, -10.0, 1.24, _tags(("shop", "supermarket"))),
+    _node(8, 3, True, "2008-01-02", 29, 12, 3.4, 1.24, _tags(("disused:shop", "supermarket"))),
+    _node(8, 4, True, "2014-01-01", 30, 13, 3.43, 1.24, _tags(("shop", "supermarket"))),
+    _node(8, 5, True, "2015-01-01", 31, 12, 3.43, 1.24, _tags(("disused:shop", "supermarket"))),
+]
+
+ENT_SCHEMA = (
+    "doc_id string, id long, type string, version int, visible boolean, "
+    "ts long, changeset long, uid int, tags map<int,int>, lon long, lat long, "
+    "refs array<long>, members array<struct<type:string,ref:long,role:string>>"
+)
+
+T2000, T2007, T2018 = _t("2000-01-01"), _t("2007-01-01"), _t("2018-01-01")
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    return OSHDB(spark, spark.createDataFrame(ROWS, ENT_SCHEMA), translator=TR)
+
+
+def _contribs(db, nid, t0=T2000, t1=T2018, flt=None, bbox=None):
+    v = ContributionView.on(db).timestamps([t0, t1]).filter(F.col("id") == nid)
+    if flt:
+        v = v.filter(flt)
+    if bbox:
+        v = v.area_of_interest(bbox=bbox)
+    rows = v.dataframe().orderBy("ts").collect()
+    return [(sorted(r["contrib_types"]), r["changeset"]) for r in rows]
+
+
+def test_geometry_change(db):  # IterateByContributionNodesTest:46-84
+    res = _contribs(db, 1)
+    assert [t for t, _ in res] == [
+        ["CREATION"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"]
+    ]
+    assert res[0][1] == 1
+
+
+def test_tag_change(db):  # :86-120
+    res = _contribs(db, 2)
+    assert [t for t, _ in res] == [["CREATION"], ["TAG_CHANGE"], ["TAG_CHANGE"]]
+    assert res[0][1] == 3
+
+
+def test_visible_change(db):  # :122-161
+    res = _contribs(db, 3)
+    assert [t for t, _ in res] == [
+        ["CREATION"], ["DELETION"], ["CREATION"], ["DELETION"], ["CREATION"]
+    ]
+    assert res[0][1] == 6
+
+
+def test_multiple_changes(db):  # :164-216
+    res = _contribs(db, 4)
+    assert [t for t, _ in res] == [
+        ["CREATION"],
+        ["GEOMETRY_CHANGE", "TAG_CHANGE"],
+        ["DELETION"],
+        ["CREATION"],
+        ["GEOMETRY_CHANGE"],
+        ["TAG_CHANGE"],
+    ]
+    assert res[0][1] == 11
+
+
+def test_tag_filter_with_success(db):  # :299-334 (filtered contributions)
+    res = _contribs(db, 5, flt="shop=*")
+    assert [t for t, _ in res] == [
+        ["CREATION"], ["DELETION"], ["CREATION"], ["DELETION"]
+    ]
+
+
+def test_tag_filter_disused(db):  # :336-366
+    res = _contribs(db, 7, t0=T2007, flt='"disused:shop"=*')
+    assert [t for t, _ in res] == [["CREATION"], ["DELETION"], ["CREATION"]]
+
+
+def test_filter_and_bbox(db):  # :368-398 testMoreComplicatedFilter
+    res = _contribs(db, 8, t0=T2007, flt="shop=*", bbox=(0.0, 0.0, 180.0, 90.0))
+    assert len(res) == 4
+    assert [t for t, _ in res][:3] == [["CREATION"], ["DELETION"], ["CREATION"]]
+
+
+def test_tag_filter_without_success(db):  # :400-419
+    res = _contribs(db, 5, flt="amenity=*")
+    assert res == []

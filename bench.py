@@ -55,7 +55,7 @@ def _docs_parquet(n_features: int) -> tuple[str, int]:
     import pathlib
 
     if os.environ.get("SCALE_DOCS_MODE", "synth") == "synth":
-        n_docs = int(os.environ.get("SCALE_DOCS_N", "4000000"))
+        n_docs = int(os.environ.get("SCALE_DOCS_N", "3000000"))
         path = f"/tmp/oshdb_bench_synth_{n_docs}.parquet"
         if not pathlib.Path(path, "_SUCCESS").exists():
             from oshdb_spark.session import get_spark
@@ -100,7 +100,7 @@ def _scaling_worker(cpus: int, docs_path: str) -> None:
     docs = spark.read.parquet(docs_path)
     docs.count()  # warm footers
 
-    def measure(fn, warmups=2, reps=3):
+    def measure(fn, warmups=1, reps=3):
         for _ in range(warmups):
             fn(spark, docs, bbox).collect()
         walls = []

@@ -170,3 +170,64 @@ def test_filter_and_bbox(db):  # :368-398 testMoreComplicatedFilter
 def test_tag_filter_without_success(db):  # :400-419
     res = _contribs(db, 5, flt="amenity=*")
     assert res == []
+
+
+# ---------------------------------------------------------------------------
+# snapshot view scenarios (IterateByTimestampsNodesTest.java:44-146)
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.api import SnapshotView  # noqa: E402
+from oshdb_spark.timestamps import timestamps as make_ts  # noqa: E402
+
+YEARLY = [t // 1_000_000 for t in make_ts("2000-01-01", "2018-01-01", "P1Y")]
+
+
+def _snaps(db, nid):
+    rows = (
+        SnapshotView.on(db)
+        .timestamps(YEARLY)
+        .filter(F.col("id") == nid)
+        .dataframe()
+        .orderBy("snap_ts")
+        .collect()
+    )
+    return rows
+
+
+def test_snapshot_geometry_change(db):  # IterateByTimestampsNodesTest:44-67
+    rows = _snaps(db, 1)
+    assert len(rows) == 11  # 2008..2018
+    # v1 at 2008+2009, v2 at 2010, v3 from 2011 on
+    assert rows[0]["wkt"] == rows[1]["wkt"]
+    assert rows[1]["wkt"] != rows[2]["wkt"]
+    assert rows[2]["wkt"] != rows[3]["wkt"]
+    assert rows[3]["wkt"] == rows[10]["wkt"]
+
+
+def test_snapshot_tag_change(db):  # :69-101
+    rows = _snaps(db, 2)
+    assert len(rows) == 12  # 2007..2018
+    assert rows[0]["tags"] != rows[1]["tags"]      # v2 @ 2008-01-01 exactly
+    assert rows[1]["tags"] == rows[6]["tags"]      # unchanged through 2013
+    assert rows[6]["tags"] != rows[7]["tags"]      # v3 @ 2014-01-01
+    assert rows[7]["tags"] == rows[11]["tags"]
+
+
+def test_snapshot_visible_change(db):  # :103-120
+    rows = _snaps(db, 3)
+    assert len(rows) == 5  # 2007, 2014, 2016, 2017, 2018
+    years = [r["snap_ts"] for r in rows]
+    assert years == [
+        _t("2007-01-01"), _t("2014-01-01"),
+        _t("2016-01-01"), _t("2017-01-01"), _t("2018-01-01"),
+    ]
+
+
+def test_snapshot_multiple_changes(db):  # :121-168
+    rows = _snaps(db, 4)
+    assert len(rows) == 11  # 2007-2009 + 2011-2018
+    assert rows[0]["wkt"] != rows[1]["wkt"]        # v2 geometry @ 2008
+    assert rows[1]["wkt"] == rows[2]["wkt"]
+    assert rows[2]["wkt"] != rows[3]["wkt"]        # recreated @ 2011
+    assert rows[0]["tags"] != rows[1]["tags"]
+    assert rows[2]["tags"] != rows[3]["tags"]

@@ -231,3 +231,88 @@ def test_snapshot_multiple_changes(db):  # :121-168
     assert rows[2]["wkt"] != rows[3]["wkt"]        # recreated @ 2011
     assert rows[0]["tags"] != rows[1]["tags"]
     assert rows[2]["tags"] != rows[3]["tags"]
+
+
+# ---------------------------------------------------------------------------
+# way scenarios with member resolution
+# (IterateByContributionWaysTest.java:43-141; fixture
+#  different-timestamps/way.osm nodes 1-15, ways 100-101)
+# ---------------------------------------------------------------------------
+
+
+def _way(wid, version, visible, ts, cs, uid, refs, tags):
+    return (
+        f"w{wid}v{version}", wid, "way", version, visible, _t(ts), cs, uid,
+        tags, None, None, refs, None,
+    )
+
+
+WAY_ROWS = [
+    # static nodes 1-10 (lat 1.22 + k/100 at lon 1.42/1.43)
+    *[
+        _node(k, 1, True, "2007-01-01", k, 1, 1.42 + (0.01 if k >= 8 else 0),
+              1.21 + k / 100.0, _tags(("created_by", "test")))
+        for k in range(1, 11)
+    ],
+    # node 11: three positions over time
+    _node(11, 1, True, "2008-01-01", 11, 1, 1.42, 1.22, _tags(("created_by", "test"))),
+    _node(11, 2, True, "2009-02-01", 12, 2, 1.42, 1.225, _tags(("created_by", "test"))),
+    _node(11, 3, True, "2010-02-03", 13, 1, 1.425, 1.23, _tags(("created_by", "test"))),
+    # node 15: three positions over time
+    _node(15, 1, True, "2007-01-01", 28, 1, 1.44, 1.22, _tags(("created_by", "test"))),
+    _node(15, 2, True, "2009-02-01", 29, 2, 1.445, 1.225, _tags(("created_by", "test"))),
+    _node(15, 3, True, "2010-02-03", 30, 1, 1.44, 1.23, _tags(("created_by", "test"))),
+    # way 100: grows 4 -> 8 -> 9 nodes
+    _way(100, 1, True, "2009-01-01", 31, 1, [1, 2, 3, 4], {}),
+    _way(100, 2, True, "2010-01-01", 32, 2, [1, 2, 3, 4, 5, 6, 7, 8], {}),
+    _way(100, 3, True, "2011-01-01", 33, 1, [1, 2, 3, 4, 5, 7, 8, 9, 10], {}),
+    # way 101: 2 nodes whose positions change, then a third node added
+    _way(101, 1, True, "2008-02-01", 34, 1, [11, 15], {}),
+    _way(101, 2, True, "2016-01-01", 35, 1, [11, 15, 9], {}),
+]
+
+
+@pytest.fixture(scope="module")
+def way_db(spark):
+    return OSHDB(spark, spark.createDataFrame(WAY_ROWS, ENT_SCHEMA), translator=TR)
+
+
+def _n_points(wkt: str) -> int:
+    return wkt.count(",") + 1
+
+
+def test_way_geometry_change(way_db):  # IterateByContributionWaysTest:43-90
+    v = (
+        ContributionView.on(way_db)
+        .timestamps([T2000, T2018])
+        .filter(F.col("id") == 100)
+    )
+    rows = v.dataframe().orderBy("ts").collect()
+    assert [sorted(r["contrib_types"]) for r in rows] == [
+        ["CREATION"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"]
+    ]
+    assert rows[0]["changeset"] == 31
+    assert [_n_points(r["wkt"]) for r in rows] == [4, 8, 9]
+    assert all(r["wkt"].startswith("LINESTRING") for r in rows)
+    assert rows[0]["prev_wkt"] is None
+    assert rows[1]["wkt"] != rows[1]["prev_wkt"]
+    assert rows[2]["wkt"] != rows[2]["prev_wkt"]
+
+
+def test_way_member_node_geometry_change(way_db):  # :92-141
+    """The way itself has 2 versions, but its member nodes move — member
+    modifications become way contributions (OSHEntityTimeUtils member
+    timestamp recursion)."""
+    v = (
+        ContributionView.on(way_db)
+        .timestamps([T2000, T2018])
+        .filter(F.col("id") == 101)
+    )
+    rows = v.dataframe().orderBy("ts").collect()
+    assert [sorted(r["contrib_types"]) for r in rows] == [
+        ["CREATION"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"]
+    ]
+    assert [r["ts"] for r in rows] == [
+        _t("2008-02-01"), _t("2009-02-01"), _t("2010-02-03"), _t("2016-01-01")
+    ]
+    assert [_n_points(r["wkt"]) for r in rows] == [2, 2, 2, 3]

@@ -896,6 +896,22 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=5, n_planes=3, dim=64)
 
 
+@_q("tdigest_quantiles", None)  # sketch estimate: no exact SQL oracle
+def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """estimatedQuantile parity path: a real merging t-digest
+    (compression=1000, like the reference's TdigestReducer) run as
+    partial-digest mapInPandas + merge applyInPandas; accuracy asserted in
+    tests/test_tdigest.py, driver records the rows-only check."""
+    from oshdb_spark.operators.tdigest import tdigest_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_linestatus", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+    return tdigest_quantiles(
+        li, "l_quantity", [0.25, 0.5, 0.75], group_cols=["l_linestatus"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # 9. interleaved-span machinery under the oracle gate
 # ---------------------------------------------------------------------------

@@ -256,10 +256,27 @@ class _MapReducer:
     def _apply_polygon(self, df: DataFrame) -> DataFrame:
         if self.state.polygon is None:
             return df
-        from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
+        from oshdb_spark.geometry.clip import is_convex_polygon
+        from oshdb_spark.operators.geometry_ops import (
+            clip_polygon_udf,
+            intersects_polygon_udf,
+        )
 
         poly = _thaw(self.state.polygon)
-        return df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
+        df = df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
+        # geometryClipped-to-polygon (OSHDBGeometryBuilder.getGeometryClipped,
+        # :110-137): exact for convex AOIs; non-convex keeps intersects-only
+        # semantics plus the polygon-bbox clip from area_of_interest
+        if is_convex_polygon(poly):
+            cu = clip_polygon_udf(poly)
+            df = (
+                df.withColumn("pc", cu(F.col("wkt")))
+                .withColumn("clipped_wkt", F.col("pc.clipped_wkt"))
+                .withColumn("clipped_area", F.col("pc.clipped_area"))
+                .withColumn("clipped_length", F.col("pc.clipped_length"))
+                .drop("pc")
+            )
+        return df
 
     # -- terminal reducers (global; MapReducer.java:1000-1283) -------------
 

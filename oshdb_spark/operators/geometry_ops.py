@@ -184,6 +184,39 @@ def clip_udf(bbox_deg: tuple[float, float, float, float]):
     return _udf
 
 
+def clip_polygon_udf(polygon_geom: dict):
+    """wkt -> struct(clipped_wkt, clipped_area, clipped_length) against a
+    CONVEX polygon AOI (geometry/clip.clip_to_convex_polygon; callers check
+    is_convex_polygon first and fall back to intersects-only)."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon
+    from oshdb_spark.geometry.model import bounds as _bounds
+
+    pb = _bounds(polygon_geom)
+
+    @F.pandas_udf(CLIP_RESULT_SCHEMA)
+    def _udf(wkt: pd.Series) -> pd.DataFrame:
+        out_w, out_a, out_l = [], [], []
+        for w in wkt:
+            g = from_wkt(w)
+            b = bounds(g)
+            if b is None or pb is None or b[2] < pb[0] or b[0] > pb[2] or b[3] < pb[1] or b[1] > pb[3]:
+                clipped = {"type": g["type"], "coordinates": []}
+            else:
+                clipped = clip_to_convex_polygon(g, polygon_geom)
+            cw, ca, cl = _measure(clipped)
+            out_w.append(cw)
+            out_a.append(ca)
+            out_l.append(cl)
+        return pd.DataFrame(
+            {"clipped_wkt": out_w, "clipped_area": out_a, "clipped_length": out_l}
+        )
+
+    return _udf
+
+
 def intersects_polygon_udf(polygon_geom: dict):
     """wkt -> boolean: geometry intersects the (broadcast) query polygon.
 

@@ -133,3 +133,64 @@ def test_clip_empty_typed():
     assert got["type"] == "Polygon" and is_empty(got)
     got = clip_to_bbox(line_string([[5, 5], [6, 6]]), (0, 0, 1, 1))
     assert got["type"] == "LineString" and is_empty(got)
+
+
+# ---------------------------------------------------------------------------
+# convex-polygon clipping (clip_to_convex_polygon)
+# ---------------------------------------------------------------------------
+
+
+def test_convex_clip_triangle_line():
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon, is_convex_polygon
+    from oshdb_spark.geometry.model import line_string, polygon
+
+    tri = polygon([[0, 0], [10, 0], [0, 10], [0, 0]])
+    assert is_convex_polygon(tri)
+    # horizontal line at y=2 crosses the hypotenuse x+y=10 at x=8
+    clipped = clip_to_convex_polygon(line_string([[-5, 2], [20, 2]]), tri)
+    assert clipped["type"] == "LineString"
+    (x1, y1), (x2, y2) = clipped["coordinates"]
+    assert (x1, y1) == (0.0, 2.0)
+    assert abs(x2 - 8.0) < 1e-9 and y2 == 2.0
+
+
+def test_convex_clip_polygon_square():
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon
+    from oshdb_spark.geometry.model import polygon
+
+    clip = polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    subject = polygon([[5, 5], [15, 5], [15, 15], [5, 15], [5, 5]])
+    out = clip_to_convex_polygon(subject, clip)
+    xs = [p[0] for p in out["coordinates"][0]]
+    ys = [p[1] for p in out["coordinates"][0]]
+    assert min(xs) == 5 and max(xs) == 10 and min(ys) == 5 and max(ys) == 10
+
+
+def test_convex_clip_point_and_outside():
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon
+    from oshdb_spark.geometry.model import is_empty, point, polygon
+
+    tri = polygon([[0, 0], [10, 0], [0, 10], [0, 0]])
+    assert clip_to_convex_polygon(point(1, 1), tri)["coordinates"] == [1, 1]
+    assert is_empty(clip_to_convex_polygon(point(9, 9), tri))
+
+
+def test_nonconvex_rejected():
+    import pytest as _pytest
+
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon, is_convex_polygon
+    from oshdb_spark.geometry.model import point, polygon
+
+    arrow = polygon([[0, 0], [10, 0], [5, 3], [10, 10], [0, 10], [0, 0]])
+    assert not is_convex_polygon(arrow)
+    with _pytest.raises(ValueError):
+        clip_to_convex_polygon(point(1, 1), arrow)
+
+
+def test_convex_clip_cw_polygon_normalized():
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon
+    from oshdb_spark.geometry.model import point
+
+    cw = {"type": "Polygon",
+          "coordinates": [[[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]]]}
+    assert clip_to_convex_polygon(point(5, 5), cw)["coordinates"] == [5, 5]

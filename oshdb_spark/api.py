@@ -380,15 +380,56 @@ class _MapReducer:
             pre=pre,
         )
 
-    def aggregate_by_geometry(self, zones: dict[str, dict]) -> "MapAggregator":
+    def aggregate_by_geometry(
+        self, zones: dict[str, dict], clip: bool = False
+    ) -> "MapAggregator":
         """Zonal split (aggregateByGeometry, MapReducer.java:748-784 +
         GeometrySplitter): the small zone dict is evaluated per feature via
         the vectorized intersects kernel; one row per (zone, feature);
-        zerofill over all zone keys."""
+        zerofill over all zone keys.
+
+        ``clip=True`` additionally clips each feature to each matched zone
+        (GeometrySplitter.java:120-137 clips via FastPolygonOperations) into
+        ``zone_clipped_wkt/area/length`` — requires convex zones."""
         zone_items = sorted(zones.items())
 
         def pre(df: DataFrame) -> DataFrame:
-            from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
+            from oshdb_spark.operators.geometry_ops import (
+                clip_polygon_udf,
+                intersects_polygon_udf,
+            )
+
+            if clip:
+                from oshdb_spark.geometry.clip import is_convex_polygon
+
+                for k, g in zone_items:
+                    if not is_convex_polygon(g):
+                        raise ValueError(
+                            f"aggregate_by_geometry(clip=True) needs convex "
+                            f"zones; zone {k!r} is not"
+                        )
+                entries = F.array(
+                    *[
+                        F.when(
+                            intersects_polygon_udf(g)(F.col("wkt")),
+                            F.struct(
+                                F.lit(k).alias("key"),
+                                clip_polygon_udf(g)(F.col("wkt")).alias("c"),
+                            ),
+                        )
+                        for k, g in zone_items
+                    ]
+                )
+                df = df.withColumn(
+                    "z", F.explode(F.filter(entries, lambda x: x.isNotNull()))
+                )
+                return df.select(
+                    "*",
+                    F.col("z.key").alias("zone_key"),
+                    F.col("z.c.clipped_wkt").alias("zone_clipped_wkt"),
+                    F.col("z.c.clipped_area").alias("zone_clipped_area"),
+                    F.col("z.c.clipped_length").alias("zone_clipped_length"),
+                ).drop("z")
 
             matches = F.array(
                 *[

@@ -217,3 +217,31 @@ def test_contribution_aggregate_by_timestamp(tag_flip_db):
     rows = {r["interval_ts"]: r["cnt"] for r in res.collect()}
     # intervals [0,250) and [250,1000): 2 contributions in each
     assert rows == {0: 2, 250: 2}
+
+
+def test_aggregate_by_geometry_clipped_partition(db):
+    """GeometrySplitter clip semantics: splitting the world at lon=0 must
+    conserve total clipped area (left + right == unclipped) for polygonal
+    features — MapAggregateByGeometryTest's consistency invariant."""
+    left = {
+        "type": "Polygon",
+        "coordinates": [[[-180, -90], [0, -90], [0, 90], [-180, 90], [-180, -90]]],
+    }
+    right = {
+        "type": "Polygon",
+        "coordinates": [[[0, -90], [180, -90], [180, 90], [0, 90], [0, -90]]],
+    }
+    view = (
+        SnapshotView.on(db)
+        .timestamps([TS[3]])
+        .filter("geometry:polygon")
+    )
+    agg = view.aggregate_by_geometry({"left": left, "right": right}, clip=True)
+    res = agg.sum("zone_clipped_area", name="area")
+    zones = {r["zone_key"]: r["area"] for r in res.collect()}
+    total = (
+        view.dataframe()
+        .agg(F.sum("area").alias("a"))
+        .collect()[0]["a"]
+    )
+    assert zones["left"] + zones["right"] == pytest.approx(total, rel=1e-6)

@@ -896,6 +896,99 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=5, n_planes=3, dim=64)
 
 
+# way member resolution under the oracle gate: ways reference 3 derived
+# nodes each; the engine resolves each ref to the node version valid at the
+# snapshot timestamp (OSHEntities.getByTimestamp as-of semantics) and the
+# oracle re-derives the same resolution in SQL
+_Q28_ORACLE = f"""
+WITH v AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+w(way_id) AS (SELECT DISTINCT CAST(FLOOR(id / 3) AS BIGINT) FROM v),
+r AS (SELECT way_id, way_id * 3 + p.pos AS ref, p.pos
+      FROM w, (SELECT UNNEST([0, 1, 2]) AS pos) p),
+t(snap_ts) AS (VALUES {_SNAP_VALUES}),
+res AS (
+  SELECT r.way_id, t.snap_ts, r.pos, v.visible, v.lon_fp
+  FROM r CROSS JOIN t
+  LEFT JOIN v ON v.id = r.ref AND v.ts_us <= t.snap_ts
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY r.way_id, t.snap_ts, r.pos
+    ORDER BY v.ts_us DESC, v.event_id DESC) = 1
+)
+SELECT way_id, snap_ts,
+       COUNT(CASE WHEN visible THEN 1 END) AS n_nodes,
+       CAST(SUM(CASE WHEN visible THEN lon_fp END) AS BIGINT) AS sum_lon_fp
+FROM res GROUP BY way_id, snap_ts
+HAVING COUNT(CASE WHEN visible THEN 1 END) > 0
+"""
+
+
+@_q("way_member_resolution", _Q28_ORACLE, bench=True)
+def q_member_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.snapshot import node_snapshots, way_lines
+
+    g = _derive(spark, sf_dir, GEO_VERSION_EXPRS)
+    win = Window.partitionBy("id").orderBy("ts_us", "event_id")
+    nodes = g.select(
+        F.lit("n").alias("doc_id"),
+        F.lit("node").alias("type"),
+        "id",
+        F.row_number().over(win).alias("version"),
+        "visible",
+        F.col("ts_us").alias("ts"),
+        F.lit(0).cast("long").alias("changeset"),
+        F.lit(0).cast("int").alias("uid"),
+        F.create_map(F.lit(1), F.lit(1)).alias("tags"),
+        F.col("lon_fp").alias("lon"),
+        F.col("lat_fp").alias("lat"),
+        F.lit(None).cast("array<bigint>").alias("refs"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:bigint,role:string>>")
+        .alias("members"),
+    )
+    ways = (
+        g.select(F.floor(F.col("id") / 3).cast("long").alias("way_id"))
+        .distinct()
+        .select(
+            F.lit("w").alias("doc_id"),
+            F.lit("way").alias("type"),
+            F.col("way_id").alias("id"),
+            F.lit(1).alias("version"),
+            F.lit(True).alias("visible"),
+            F.lit(0).cast("long").alias("ts"),
+            F.lit(0).cast("long").alias("changeset"),
+            F.lit(0).cast("int").alias("uid"),
+            F.create_map(F.lit(1), F.lit(1)).alias("tags"),
+            F.lit(None).cast("long").alias("lon"),
+            F.lit(None).cast("long").alias("lat"),
+            F.array(
+                F.col("way_id") * 3,
+                F.col("way_id") * 3 + 1,
+                F.col("way_id") * 3 + 2,
+            ).alias("refs"),
+            F.lit(None)
+            .cast("array<struct<type:string,ref:bigint,role:string>>")
+            .alias("members"),
+        )
+    )
+    entities = nodes.unionByName(ways)
+    nsnap = node_snapshots(entities, SNAP_TS_US)
+    wl = way_lines(entities, nsnap, SNAP_TS_US)
+    line_sum = F.aggregate(
+        F.col("line"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.round(p["lon"] * 1e7).cast("long"),
+    )
+    return (
+        wl.select(
+            F.col("id").alias("way_id"),
+            "snap_ts",
+            F.size("line").alias("n_nodes"),
+            line_sum.alias("sum_lon_fp"),
+        )
+        .filter(F.col("n_nodes") > 0)
+    )
+
+
 @_q("tdigest_quantiles", None)  # sketch estimate: no exact SQL oracle
 def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """estimatedQuantile parity path: a real merging t-digest

@@ -316,3 +316,101 @@ def test_way_member_node_geometry_change(way_db):  # :92-141
         _t("2008-02-01"), _t("2009-02-01"), _t("2010-02-03"), _t("2016-01-01")
     ]
     assert [_n_points(r["wkt"]) for r in rows] == [2, 2, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# relation (multipolygon) scenarios
+# (IterateByContributionRelationsTest.java:53-133; fixture
+#  different-timestamps/polygon.osm nodes 11-35, ways 102-108, rels 500-501)
+# ---------------------------------------------------------------------------
+
+
+def _rel(rid, version, visible, ts, cs, uid, way_refs, tags):
+    members = (
+        [{"type": "way", "ref": r, "role": "outer"} for r in way_refs]
+        if way_refs
+        else None
+    )
+    return (
+        f"r{rid}v{version}", rid, "relation", version, visible, _t(ts), cs, uid,
+        tags, None, None, None, members,
+    )
+
+
+# default interpreter tag codes: 4=type (1=multipolygon), 5=landuse
+MP_TAGS = {4: 1, 5: 1}
+
+REL_NODES = {
+    11: (7.31, 1.01), 12: (7.34, 1.01), 13: (7.34, 1.05), 14: (7.32, 1.05),
+    15: (7.32, 1.04), 16: (7.33, 1.04), 17: (7.33, 1.05), 18: (7.33, 1.06),
+    19: (7.32, 1.06), 20: (7.32, 1.05), 24: (7.33, 1.04), 25: (7.33, 1.03),
+    26: (7.31, 1.02), 27: (7.31, 1.04), 28: (7.34, 1.01), 29: (7.34, 1.02),
+    30: (7.35, 1.02), 31: (7.35, 1.01), 32: (7.32, 1.05), 33: (7.32, 1.07),
+    34: (7.31, 1.07), 35: (7.31, 1.05),
+}
+
+REL_WAYS = {
+    102: ("2007-01-01", 201, [11, 12, 13, 11]),
+    103: ("2007-01-01", 202, [13, 14, 15, 16, 13]),
+    104: ("2008-01-01", 203, [28, 29, 30, 31, 28]),
+    105: ("2008-01-01", 204, [24, 25, 26, 27, 24]),
+    107: ("2007-01-01", 206, [32, 33, 34, 35, 32]),
+    108: ("2007-01-01", 207, [17, 18, 19, 20, 17]),
+}
+
+REL_ROWS = [
+    *[
+        _node(nid, 1, True, "2007-01-01", nid, 1, lon, lat, {})
+        for nid, (lon, lat) in REL_NODES.items()
+    ],
+    *[
+        _way(wid, 1, True, ts, cs, 1, refs, {})
+        for wid, (ts, cs, refs) in REL_WAYS.items()
+    ],
+    # relation 500: member set grows, one way swapped out
+    _rel(500, 1, True, "2009-01-01", 300, 1, [102, 103], MP_TAGS),
+    _rel(500, 2, True, "2010-01-01", 301, 2, [102, 103, 107], MP_TAGS),
+    _rel(500, 3, True, "2012-01-01", 302, 2, [102, 107, 108], MP_TAGS),
+    # relation 501: visibility flips
+    _rel(501, 1, True, "2010-01-01", 303, 1, [104, 105], MP_TAGS),
+    _rel(501, 2, False, "2016-01-01", 304, 1, None, {}),
+    _rel(501, 3, True, "2018-01-01", 305, 3, [104, 105], MP_TAGS),
+]
+
+
+@pytest.fixture(scope="module")
+def rel_db(spark):
+    return OSHDB(spark, spark.createDataFrame(REL_ROWS, ENT_SCHEMA))
+
+
+def test_relation_geometry_change(rel_db):  # IterateByContributionRelationsTest:53-98
+    rows = (
+        ContributionView.on(rel_db)
+        .timestamps([T2000, _t("2020-01-01")])
+        .filter(F.col("id") == 500)
+        .dataframe()
+        .orderBy("ts")
+        .collect()
+    )
+    assert [sorted(r["contrib_types"]) for r in rows] == [
+        ["CREATION"], ["GEOMETRY_CHANGE"], ["GEOMETRY_CHANGE"]
+    ]
+    assert rows[0]["changeset"] == 300
+    # two outers touching only at one node -> MultiPolygon throughout
+    assert all(r["wkt"].startswith("MULTIPOLYGON") for r in rows)
+
+
+def test_relation_visible_change(rel_db):  # :100-133
+    rows = (
+        ContributionView.on(rel_db)
+        .timestamps([T2000, _t("2020-01-01")])
+        .filter(F.col("id") == 501)
+        .dataframe()
+        .orderBy("ts")
+        .collect()
+    )
+    assert [sorted(r["contrib_types"]) for r in rows] == [
+        ["CREATION"], ["DELETION"], ["CREATION"]
+    ]
+    assert rows[0]["changeset"] == 303
+    assert rows[0]["wkt"].startswith("MULTIPOLYGON")

@@ -8,12 +8,26 @@ interleaved text+media documents.
 Layout:
     grid/       pure-numpy XYGrid / XYGridTree / quad-cell index kernels
     geometry/   geodesic formulas, point-in-polygon, clipping, geometry builder
-    sources/    deterministic docs-table generator + span->entity extraction
+    sources/    deterministic docs-table generators, span->entity extraction,
+                tiled storage layout
     operators/  tiling, snapshot/contribution views, spatial join, kNN,
-                zonal aggregation, dedup, similarity search, text analysis
-    functions/  filter DSL -> pyspark Column compiler
-    plans/      driver-side pruning (cell ranges, type narrowing)
-    streaming/  structured-streaming wrappers for the events table
+                zonal aggregation, t-digest, dedup, similarity, text, media
+    filters/    filter DSL -> pyspark Column compiler (+ type narrowing)
+    plans/      salted skew joins, per-partition lineage + resumable writes
+    api.py      fluent SnapshotView / ContributionView query surface
+    pipeline.py end-to-end flagship pipelines (tile -> join -> refine -> agg)
+
+The reference is batch-only (SURVEY.md §2.8): resumability comes from
+checkpointed batch stages (plans/lineage.py), not Structured Streaming.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # convenience lazy exports (avoid importing pyspark at package import)
+    if name in ("OSHDB", "SnapshotView", "ContributionView", "MapAggregator"):
+        from oshdb_spark import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -164,9 +164,16 @@ def lifetime_bboxes(entities: DataFrame) -> DataFrame:
 
     Mirrors the reference's insert rule, which tiles each OSH entity by its
     lifetime bbox including referenced member histories (XYGridTree.java:93-100;
-    OSHEntityImpl co-stores member histories).  Three narrow aggregations +
-    two equi-joins, all on id keys (shuffle is unavoidable here and happens
-    once, at ETL time — the same trade the reference makes in its ETL).
+    OSHEntityImpl co-stores member histories).
+
+    Plan shape: everything is flattened into ONE (owner_type, owner_id,
+    node_ref) edge list — ways contribute their refs, relations their node
+    members plus their member ways' refs (a single way-expansion join) —
+    which joins the per-node bbox once and aggregates once.  This keeps the
+    shuffle-stage DEPTH at 3 (node agg -> edge join -> owner agg) instead
+    of chaining node->way->relation rounds; at 10^12 docs the depth, not
+    the volume, is what serializes the job.  No dedup anywhere: min/max is
+    duplicate-insensitive.
     """
     nodes = entities.filter(F.col("type") == "node")
     node_bbox = nodes.groupBy("id").agg(
@@ -177,16 +184,32 @@ def lifetime_bboxes(entities: DataFrame) -> DataFrame:
     )
 
     ways = entities.filter(F.col("type") == "way")
-    # no dedup of the (id, ref) edge list: min/max aggregation is
-    # duplicate-insensitive and the distinct() would cost a full shuffle
-    way_refs = ways.select("id", F.explode("refs").alias("ref"))
-    way_bbox = (
-        way_refs.join(
-            node_bbox.withColumnRenamed("id", "ref"),
-            "ref",
-            "inner",
+    way_edges = ways.select("id", F.explode("refs").alias("ref"))
+
+    rels = entities.filter(F.col("type") == "relation")
+    rel_members = rels.select(
+        "id", F.explode("members").alias("m")
+    ).select("id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"))
+    rel_node_edges = rel_members.filter(F.col("mtype") == "node").select("id", "ref")
+    # member ways expanded to their node refs (one join, not a bbox chain)
+    rel_way_edges = (
+        rel_members.filter(F.col("mtype") == "way")
+        .select("id", F.col("ref").alias("wid"))
+        .join(
+            way_edges.select(F.col("id").alias("wid"), "ref"),
+            "wid",
         )
-        .groupBy("id")
+        .select("id", "ref")
+    )
+
+    edges = (
+        way_edges.withColumn("type", F.lit("way"))
+        .unionByName(rel_node_edges.withColumn("type", F.lit("relation")))
+        .unionByName(rel_way_edges.withColumn("type", F.lit("relation")))
+    )
+    owner_bbox = (
+        edges.join(node_bbox.withColumnRenamed("id", "ref"), "ref", "inner")
+        .groupBy("type", "id")
         .agg(
             F.min("minlon").alias("minlon"),
             F.min("minlat").alias("minlat"),
@@ -194,30 +217,7 @@ def lifetime_bboxes(entities: DataFrame) -> DataFrame:
             F.max("maxlat").alias("maxlat"),
         )
     )
-
-    rels = entities.filter(F.col("type") == "relation")
-    rel_members = rels.select(
-        "id", F.explode("members").alias("m")
-    ).select("id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"))
-    member_boxes = rel_members.filter(F.col("mtype") == "way").join(
-        way_bbox.withColumnRenamed("id", "ref"), "ref", "inner"
-    ).unionByName(
-        rel_members.filter(F.col("mtype") == "node").join(
-            node_bbox.withColumnRenamed("id", "ref"), "ref", "inner"
-        )
-    )
-    rel_bbox = member_boxes.groupBy("id").agg(
-        F.min("minlon").alias("minlon"),
-        F.min("minlat").alias("minlat"),
-        F.max("maxlon").alias("maxlon"),
-        F.max("maxlat").alias("maxlat"),
-    )
-
-    return (
-        node_bbox.withColumn("type", F.lit("node"))
-        .unionByName(way_bbox.withColumn("type", F.lit("way")))
-        .unionByName(rel_bbox.withColumn("type", F.lit("relation")))
-    )
+    return node_bbox.withColumn("type", F.lit("node")).unionByName(owner_bbox)
 
 
 def assign_cells(

@@ -36,7 +36,7 @@ from oshdb_spark.operators.aggregations import (
 )
 from oshdb_spark.operators.contribution import contribution_view, squash_changesets
 from oshdb_spark.operators.snapshot import explode_snapshots
-from oshdb_spark.operators.tiling import xy_cell_id_col, xy_insert_cell_col
+from oshdb_spark.operators.tiling import xy_cell_id_col
 
 # ---------------------------------------------------------------------------
 # shared deterministic derivations (identical SQL text on both engines;
@@ -195,12 +195,11 @@ def q_tile_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lon_fp").alias("maxlon"),
         F.max("lat_fp").alias("maxlat"),
     )
-    c = boxes.withColumn(
-        "c",
-        xy_insert_cell_col(
-            F.col("minlon"), F.col("minlat"), F.col("maxlon"), F.col("maxlat")
-        ),
-    )
+    from oshdb_spark.operators.tiling import xy_insert_cell_udf
+
+    udf = xy_insert_cell_udf()  # bit-identical to the Column path (tested),
+    # ~2x faster: the 15-zoom CASE expression codegens a huge method
+    c = boxes.withColumn("c", udf("minlon", "minlat", "maxlon", "maxlat"))
     return c.groupBy(
         F.col("c.cell_zoom").alias("cell_zoom"), F.col("c.cell_id").alias("cell_id")
     ).agg(count_agg("n_entities"))

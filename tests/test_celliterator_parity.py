@@ -77,6 +77,16 @@ ROWS = [
     _node(5, 2, True, "2008-01-01", 18, 12, 3.43, 1.24, _tags(("disused:shop", "supermarket"))),
     _node(5, 3, True, "2010-01-01", 19, 13, 3.43, 1.24, _tags(("shop", "supermarket"))),
     _node(5, 4, True, "2016-01-01", 20, 12, 3.43, 1.24, _tags(("disused:shop", "supermarket"))),
+    # node 6: moves out of the query polygon in v2
+    _node(6, 1, True, "2007-01-01", 21, 11, 10.9, 12.1, _tags(("shop", "supermarket"))),
+    _node(6, 2, True, "2008-01-01", 22, 12, 8.1, 8.4, _tags(("disused:shop", "supermarket"))),
+    # nodes 10-14: positions relative to a query polygon
+    _node(10, 1, True, "2007-01-01", 32, 11, -1.0, -1.0, {}),
+    _node(11, 1, True, "2007-01-01", 33, 11, 2.0, 2.0, {}),
+    _node(12, 1, True, "2007-01-01", 34, 11, 1.0, 1.0, {}),
+    _node(13, 1, True, "2007-01-01", 35, 11, 0.5, 0.5, {}),
+    _node(14, 1, True, "2007-01-01", 36, 11, 1.0, 1.0, {}),
+    _node(14, 2, True, "2008-01-01", 37, 11, 0.5, 0.5, {}),
     # node 7: disused:shop focus
     _node(7, 1, True, "2007-01-01", 23, 11, 3.43, 1.24, _tags(("shop", "supermarket"))),
     _node(7, 2, True, "2008-01-01", 24, 12, 3.4, 1.24, _tags(("disused:shop", "supermarket"))),
@@ -414,3 +424,62 @@ def test_relation_visible_change(rel_db):  # :100-133
     ]
     assert rows[0]["changeset"] == 303
     assert rows[0]["wkt"].startswith("MULTIPOLYGON")
+
+
+# ---------------------------------------------------------------------------
+# polygon area-of-interest scenarios
+# (IterateByContributionNodesTest.java:421-508)
+# ---------------------------------------------------------------------------
+
+POLY_BIG = {
+    "type": "Polygon",
+    "coordinates": [[[10.8, 10.3], [10.8, 22.7], [22.7, 22.7], [22.7, 10.3],
+                     [10.8, 10.3]]],
+}
+POLY_TRI = {
+    "type": "Polygon",
+    "coordinates": [[[0.0, 0.0], [1.5, 0.0], [0.0, 1.5], [0.0, 0.0]]],
+}
+
+
+def test_polygon_intersecting_partly(db):  # :421-446
+    """node 6 moves out of the query polygon in v2 -> CREATION + DELETION."""
+    rows = (
+        ContributionView.on(db)
+        .timestamps([T2000, T2018])
+        .filter(F.col("id") == 6)
+        .area_of_interest(polygon=POLY_BIG)
+        .dataframe()
+        .orderBy("ts")
+        .collect()
+    )
+    assert [sorted(r["contrib_types"]) for r in rows] == [["CREATION"], ["DELETION"]]
+
+
+def test_tag_filter_and_polygon(db):  # :448-477
+    rows = (
+        ContributionView.on(db)
+        .timestamps([T2000, T2018])
+        .filter(F.col("id") == 6)
+        .filter("shop=*")
+        .area_of_interest(polygon=POLY_BIG)
+        .dataframe()
+        .orderBy("ts")
+        .collect()
+    )
+    assert [sorted(r["contrib_types"]) for r in rows] == [["CREATION"], ["DELETION"]]
+
+
+def test_coordinates_relative_to_polygon(db):  # :480-508
+    rows = (
+        ContributionView.on(db)
+        .timestamps([T2007, _t("2009-01-01")])
+        .filter((F.col("id") >= 10) & (F.col("id") < 20))
+        .area_of_interest(polygon=POLY_TRI)
+        .dataframe()
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r["id"], sorted(r["contrib_types"])) for r in rows] == [
+        (13, ["CREATION"]), (14, ["CREATION"])
+    ]

@@ -988,6 +988,32 @@ def q_member_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("media_features", None)  # binary payloads: no SQL oracle (rows-only)
+def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver contract: derive media refs
+    from the documents table, synthesize payload+metadata, run the
+    mapInPandas feature extraction, aggregate per media kind.  The decode
+    itself is the documented stub (operators/media.py); everything Spark-
+    side (schemas, Arrow batches, explode/aggregate) is real."""
+    from oshdb_spark.operators.media import extract_features, synthesize_media_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "array(named_struct('kind', 'media', 'text', '',"
+        " 'media_ref', concat('blob://', md5(text)), 'offset', 0)) AS spans",
+    )
+    media = synthesize_media_table(docs)
+    feats = extract_features(media)
+    return (
+        media.join(feats, "media_ref")
+        .groupBy(F.col("meta.kind").alias("kind"))
+        .agg(
+            count_agg("n_media"),
+            F.avg(F.element_at("features", 1)).alias("avg_f0"),
+        )
+    )
+
+
 @_q("tdigest_quantiles", None)  # sketch estimate: no exact SQL oracle
 def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """estimatedQuantile parity path: a real merging t-digest

@@ -48,6 +48,8 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
     spans — deterministic fake payloads (sha256 stream of the ref) with
     metadata decoded from the ref string.  Stands in for an object-store
     side table keyed by media_ref."""
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
     refs = (
         docs.select(F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")
@@ -111,6 +113,8 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     the feature is a bucketed histogram of the decoded signal (stands in
     for an embedding model forward pass).
     """
+    from oshdb_spark.session import ensure_package_on_workers
+    ensure_package_on_workers()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

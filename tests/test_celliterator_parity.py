@@ -483,3 +483,58 @@ def test_coordinates_relative_to_polygon(db):  # :480-508
     assert [(r["id"], sorted(r["contrib_types"])) for r in rows] == [
         (13, ["CREATION"]), (14, ["CREATION"])
     ]
+
+
+# ---------------------------------------------------------------------------
+# snapshot view over ways (IterateByTimestampsWaysTest.java:44-150)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_way_geometry_growth(way_db):  # :44-92 (10 rows, 4/8/9 pts)
+    rows = (
+        SnapshotView.on(way_db)
+        .timestamps(YEARLY)
+        .filter(F.col("id") == 100)
+        .dataframe()
+        .orderBy("snap_ts")
+        .collect()
+    )
+    assert len(rows) == 10  # 2009..2018
+    assert [_n_points(r["wkt"]) for r in rows[:3]] == [4, 8, 9]
+    assert all(r["wkt"].startswith("LINESTRING") for r in rows)
+
+
+def test_snapshot_way_member_motion(way_db):  # :94-126 member node moves
+    rows = (
+        SnapshotView.on(way_db)
+        .timestamps(YEARLY)
+        .filter(F.col("id") == 101)
+        .dataframe()
+        .orderBy("snap_ts")
+        .collect()
+    )
+    assert len(rows) == 10  # 2009..2018 (created 2008-02-01, after 2008-01-01)
+    # nodes moved in feb 2009 and feb 2010: snapshot geometries change at
+    # 2010 and 2011 snapshots; way v2 (3 nodes) from 2016
+    assert rows[0]["wkt"] != rows[1]["wkt"]
+    assert rows[1]["wkt"] != rows[2]["wkt"]
+    assert rows[2]["wkt"] == rows[3]["wkt"]
+    assert [_n_points(r["wkt"]) for r in rows] == [2] * 7 + [3] * 3
+
+
+def test_snapshot_relation_multipolygon(rel_db):
+    """Relation 500 snapshots: member growth reflected per year
+    (IterateByTimestampsRelationsTest geometry-change analogue)."""
+    rows = (
+        SnapshotView.on(rel_db)
+        .timestamps(YEARLY)
+        .filter(F.col("id") == 500)
+        .dataframe()
+        .orderBy("snap_ts")
+        .collect()
+    )
+    assert len(rows) == 10  # 2009..2018
+    assert all(r["wkt"].startswith("MULTIPOLYGON") for r in rows)
+    assert rows[0]["wkt"] != rows[1]["wkt"]  # member added 2010
+    assert rows[1]["wkt"] != rows[3]["wkt"]  # member swap 2012
+    assert rows[3]["wkt"] == rows[9]["wkt"]  # stable afterwards

@@ -529,7 +529,7 @@ class ContributionView(_MapReducer):
             t0,
             t1,
             interpreter=self.db.interpreter,
-            types=types if types != ALL_TYPES else None,
+            types=types,
             osm_filter=match,
         )
         for n in post_nodes:

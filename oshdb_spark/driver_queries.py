@@ -287,7 +287,7 @@ def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("array<struct<type:string,ref:bigint,role:string>>")
         .alias("members"),
     )
-    contribs = contribution_view(ent, 0, 1 << 62)
+    contribs = contribution_view(ent, 0, 1 << 62, types={"node"})
     typed = contribs.withColumn(
         "contrib_type",
         F.explode(

@@ -594,12 +594,13 @@ def contribution_view(
     emitted (CellIterator.java:602-618).
 
     ``types`` restricts the entity kinds to build (the reference's DNF
-    type-narrowing, MapReducer.java:1910-1935); when None it is detected
-    with one cheap distinct scan so pure-node inputs never pay for the
-    way/relation member-resolution join machinery.
+    type-narrowing, MapReducer.java:1910-1935); when None all three kinds
+    are assumed — pass the narrowed set explicitly to skip the way/relation
+    member-resolution machinery (an extra full-table type-discovery scan
+    here would cost more than it saves at scale).
     """
     if types is None:
-        types = {r["type"] for r in entities.select("type").distinct().collect()}
+        types = {"node", "way", "relation"}
     nodes = entities.filter(F.col("type") == "node")
 
     states: DataFrame | None = None
@@ -618,6 +619,8 @@ def contribution_view(
             rs = _relation_states(events, rels, ways, nodes, interpreter)
             states = rs if states is None else states.unionByName(rs)
     classified = classify_contributions(states, match_col=osm_filter)
+    # half-open [t_start, t_end): OSHDBTimestampInterval.includes is
+    # from <= t < to, so a contribution at exactly t_end is excluded
     return classified.filter(
-        (F.col("ts") >= F.lit(int(t_start))) & (F.col("ts") <= F.lit(int(t_end)))
+        (F.col("ts") >= F.lit(int(t_start))) & (F.col("ts") < F.lit(int(t_end)))
     )

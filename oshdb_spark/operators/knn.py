@@ -40,11 +40,18 @@ _OSM_90 = 900_000_000
 
 
 def _cell_xy(zoom: int, lon: F.Column, lat: F.Column) -> tuple[F.Column, F.Column]:
-    """XYGrid x/y cell coordinates (XYGrid.java:140-168) as Columns."""
+    """XYGrid-style x/y cell coordinates (XYGrid.java:140-168) as Columns.
+
+    Unlike the parity grid, lon == +180 is NOT wrapped to column 0: the
+    distance metric below is unwrapped planar degrees, so wrapping a
+    +180-boundary point next to a query near -180 would inflate the
+    histogram count at small rho and break the r_inner exactness bound.
+    The boundary gets the unwrapped column (nx), consistent with the
+    metric; it only matters for this module's internal bookkeeping.
+    """
     w = 360.0 / (1 << zoom) * 1e7
     lon_s = lon.cast("long") + F.lit(_OSM_180)
     lat_s = lat.cast("long") + F.lit(_OSM_90)
-    lon_s = F.when(lon_s == 2 * _OSM_180, F.lit(0)).otherwise(lon_s)
     lat_s = F.when(lat_s == 2 * _OSM_90, lat_s - 1).otherwise(lat_s)
     return F.floor(lon_s / F.lit(w)), F.floor(lat_s / F.lit(w))
 
@@ -53,8 +60,6 @@ def _cell_xy_py(zoom: int, lon_fp: int, lat_fp: int) -> tuple[int, int]:
     w = 360.0 / (1 << zoom) * 1e7
     lon_s = lon_fp + _OSM_180
     lat_s = lat_fp + _OSM_90
-    if lon_s == 2 * _OSM_180:
-        lon_s = 0
     if lat_s == 2 * _OSM_90:
         lat_s -= 1
     return int(math.floor(lon_s / w)), int(math.floor(lat_s / w))

@@ -256,8 +256,14 @@ def verify_spans(result: PipelineResult) -> int:
 def write_resumable(
     result: PipelineResult, out_dir: str, n_buckets: int = 8
 ) -> list:
-    """Bucketed, lineage-tracked, resumable write of the snapshot rows."""
-    from oshdb_spark.plans.lineage import run_partitioned
+    """Bucketed, lineage-tracked, resumable write of the snapshot rows.
+
+    The snapshots DataFrame is localCheckpoint'd (run-specific RDD leaves),
+    so its own plan is not a stable identity; the fingerprint is derived
+    from the TRUE source — the docs table's file listing + sizes/mtimes —
+    which is what resumability must key on.
+    """
+    from oshdb_spark.plans.lineage import input_fingerprint, run_partitioned
 
     return run_partitioned(
         result.snapshots.withColumn(
@@ -266,4 +272,5 @@ def write_resumable(
         out_dir,
         bucket_key="__key",
         n_buckets=n_buckets,
+        fingerprint=input_fingerprint(result.docs),
     )

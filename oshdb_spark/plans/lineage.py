@@ -55,13 +55,48 @@ def _bucket_dir(out_dir: str, bucket: int) -> str:
 
 
 def input_fingerprint(df: DataFrame) -> str:
-    """Cheap, deterministic fingerprint of the logical input: schema + the
-    resolved plan's leaf relations.  (An Iceberg table would use its
-    snapshot id; parquet has no snapshot, so the plan string is the
-    closest stable identity.)"""
+    """Deterministic fingerprint of the INPUT DATA identity, not the plan.
+
+    An Iceberg table would use its snapshot id; for file sources the
+    closest stable equivalent is the source file listing plus per-file
+    size and mtime — rewriting the input at the same path changes the
+    fingerprint (so stale checkpoints are invalidated), while re-running
+    the same job on unchanged input reproduces it (so resume works).
+    The schema and plan string participate too, so a changed projection
+    or filter also invalidates.
+
+    Plans whose leaves are not file scans (localCheckpoint / createDataFrame
+    RDD leaves) have NO stable identity — their plan string embeds
+    run-specific RDD ids, so an automatic fingerprint would never match on
+    resume.  Such plans must supply an explicit caller fingerprint
+    (run_partitioned(fingerprint=...)); we raise instead of silently
+    producing a fingerprint that defeats resumability.
+    """
     import hashlib
 
-    basis = df.schema.simpleString() + "\n" + df._jdf.queryExecution().logical().toString()
+    files = sorted(df.inputFiles())
+    plan = df._jdf.queryExecution().logical().toString()
+    if not files:
+        for marker in ("LogicalRDD", "ExistingRDD", "Scan ExistingRDD"):
+            if marker in plan:
+                raise ValueError(
+                    "input_fingerprint: plan has RDD/checkpoint leaves with no "
+                    "stable identity (its RDD ids change every run); pass an "
+                    "explicit fingerprint= derived from the true source data"
+                )
+    stats = []
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            stats.append(f"{uri}|{st.st_size}|{int(st.st_mtime)}")
+        except OSError:
+            stats.append(uri)  # non-local FS: listing alone still catches adds/drops
+    # strip run-varying plan ids (#123) so logically-identical reads match
+    import re
+
+    plan_stable = re.sub(r"#\d+L?", "#", plan)
+    basis = "\n".join([df.schema.simpleString(), plan_stable, *stats])
     return hashlib.sha256(basis.encode()).hexdigest()[:16]
 
 

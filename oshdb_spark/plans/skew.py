@@ -55,12 +55,21 @@ def salted_join(
 ) -> DataFrame:
     """fact ⋈ dim on `on`, fact side salted by `fact_unique_col`.
 
-    Result is row-identical to fact.join(dim, on, how) — the salt is an
-    extra equi-key that both sides agree on, then dropped.  With
-    broadcast_dim the dim side (replicated n_salts times) is broadcast, so
-    the fact side never shuffles at all — the preferred shape when dim is
-    a query-cell set.
+    Result is row-identical to fact.join(dim, on, how) for inner/left/
+    left_semi/left_anti joins — the salt is an extra equi-key both sides
+    agree on, then dropped.  Right/full-outer joins are rejected: every
+    unmatched dim row would surface n_salts times (once per exploded salt
+    replica).  With broadcast_dim the dim side (replicated n_salts times)
+    is broadcast, so the fact side never shuffles at all — the preferred
+    shape when dim is a query-cell set.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"{n_salts}x (dim side is exploded per salt); use one of {sorted(allowed)}"
+        )
     f = fact.withColumn("__salt", salt_col(fact_unique_col, n_salts))
     d = explode_salts(dim, n_salts)
     if broadcast_dim:

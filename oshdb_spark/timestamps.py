@@ -98,11 +98,17 @@ def timestamps(
     if period is None:
         return [t0, t1] if t1 != t0 else [t0]
     months, days, seconds = parse_period(period)
+    # Each step is start + i*period computed FROM THE ORIGINAL START, matching
+    # OSHDBTimestamps' fromDate.plus(intervalLength.multipliedBy(i)) — chaining
+    # from the previous (possibly day-clamped) timestamp would make the clamp
+    # stick (2020-01-31 + P1M + P1M would give Mar 29 instead of Mar 31).
+    start_dt = datetime.fromtimestamp(t0 / 1_000_000, tz=timezone.utc)
     out = []
-    dt = datetime.fromtimestamp(t0 / 1_000_000, tz=timezone.utc)
+    i = 0
     cur = t0
     while cur <= t1:
         out.append(cur)
-        dt = _add_period(dt, months, days, seconds)
+        i += 1
+        dt = _add_period(start_dt, i * months, i * days, i * seconds)
         cur = int(dt.timestamp()) * 1_000_000 + dt.microsecond
     return out

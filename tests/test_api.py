@@ -39,12 +39,14 @@ def test_timestamps_yearly():
 
 def test_timestamps_month_clamp():
     ts = timestamps("2014-01-31", "2014-04-30", MONTHLY)
-    # Jan 31 -> Feb 28 -> Mar 28 -> Apr 28 (java.time day-of-month clamp)
+    # OSHDBTimestamps computes start.plus(period.multipliedBy(i)) from the
+    # ORIGINAL start each step, so the day-of-month clamp never sticks:
+    # Jan 31 -> Feb 28 -> Mar 31 -> Apr 30 (not Mar/Apr 28)
     assert [t // 1_000_000 for t in ts] == [
         parse_iso("2014-01-31") // 1_000_000,
         parse_iso("2014-02-28") // 1_000_000,
-        parse_iso("2014-03-28") // 1_000_000,
-        parse_iso("2014-04-28") // 1_000_000,
+        parse_iso("2014-03-31") // 1_000_000,
+        parse_iso("2014-04-30") // 1_000_000,
     ]
 
 

@@ -256,7 +256,6 @@ class _MapReducer:
     def _apply_polygon(self, df: DataFrame) -> DataFrame:
         if self.state.polygon is None:
             return df
-        from oshdb_spark.geometry.clip import is_convex_polygon
         from oshdb_spark.operators.geometry_ops import (
             clip_polygon_udf,
             intersects_polygon_udf,
@@ -265,17 +264,16 @@ class _MapReducer:
         poly = _thaw(self.state.polygon)
         df = df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
         # geometryClipped-to-polygon (OSHDBGeometryBuilder.getGeometryClipped,
-        # :110-137): exact for convex AOIs; non-convex keeps intersects-only
-        # semantics plus the polygon-bbox clip from area_of_interest
-        if is_convex_polygon(poly):
-            cu = clip_polygon_udf(poly)
-            df = (
-                df.withColumn("pc", cu(F.col("wkt")))
-                .withColumn("clipped_wkt", F.col("pc.clipped_wkt"))
-                .withColumn("clipped_area", F.col("pc.clipped_area"))
-                .withColumn("clipped_length", F.col("pc.clipped_length"))
-                .drop("pc")
-            )
+        # :110-137): exact for arbitrary (Multi)Polygon AOIs — convex fast
+        # path or triangle-decomposed general clip (geometry/polyclip)
+        cu = clip_polygon_udf(poly)
+        df = (
+            df.withColumn("pc", cu(F.col("wkt")))
+            .withColumn("clipped_wkt", F.col("pc.clipped_wkt"))
+            .withColumn("clipped_area", F.col("pc.clipped_area"))
+            .withColumn("clipped_length", F.col("pc.clipped_length"))
+            .drop("pc")
+        )
         return df
 
     # -- terminal reducers (global; MapReducer.java:1000-1283) -------------
@@ -390,7 +388,9 @@ class _MapReducer:
 
         ``clip=True`` additionally clips each feature to each matched zone
         (GeometrySplitter.java:120-137 clips via FastPolygonOperations) into
-        ``zone_clipped_wkt/area/length`` — requires convex zones."""
+        ``zone_clipped_wkt/area/length``; zones may be arbitrary
+        (Multi)Polygons — non-convex/holed zones route through the
+        triangle-decomposed general clipper (geometry/polyclip)."""
         zone_items = sorted(zones.items())
 
         def pre(df: DataFrame) -> DataFrame:
@@ -400,14 +400,6 @@ class _MapReducer:
             )
 
             if clip:
-                from oshdb_spark.geometry.clip import is_convex_polygon
-
-                for k, g in zone_items:
-                    if not is_convex_polygon(g):
-                        raise ValueError(
-                            f"aggregate_by_geometry(clip=True) needs convex "
-                            f"zones; zone {k!r} is not"
-                        )
                 entries = F.array(
                     *[
                         F.when(

@@ -1073,6 +1073,189 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# non-convex polygon AOI operators (round-2: FastPolygonOperations parity)
+# ---------------------------------------------------------------------------
+#
+# Zone bounds are offset by +500 fixed-point units (0.00005 deg) while every
+# derived coordinate is a multiple of 1000, so no point/vertex ever lies
+# EXACTLY on a zone boundary — engine (IEEE-double kernels) and oracle
+# (exact integer/double SQL) then provably agree on every membership and
+# crossing decision: true sign magnitudes are >= the 1e-8 coordinate
+# quantum while double round-off is ~1e-12.
+
+_PZ = 500  # fixed-point offset
+
+
+def _rect_deg(x0: int, y0: int, x1: int, y1: int) -> list[list[float]]:
+    return [
+        [x0 / 1e7, y0 / 1e7],
+        [x1 / 1e7, y0 / 1e7],
+        [x1 / 1e7, y1 / 1e7],
+        [x0 / 1e7, y1 / 1e7],
+        [x0 / 1e7, y0 / 1e7],
+    ]
+
+
+# L-shape = [0,40]x[0,20] UNION [0,20]x[20,40] degrees (all bounds +0.00005)
+_L_R1 = (_PZ, _PZ, 400_000_000 + _PZ, 200_000_000 + _PZ)
+_L_R2 = (_PZ, 200_000_000 + _PZ, 200_000_000 + _PZ, 400_000_000 + _PZ)
+L_POLY = {
+    "type": "Polygon",
+    "coordinates": [[
+        [_PZ / 1e7, _PZ / 1e7],
+        [(400_000_000 + _PZ) / 1e7, _PZ / 1e7],
+        [(400_000_000 + _PZ) / 1e7, (200_000_000 + _PZ) / 1e7],
+        [(200_000_000 + _PZ) / 1e7, (200_000_000 + _PZ) / 1e7],
+        [(200_000_000 + _PZ) / 1e7, (400_000_000 + _PZ) / 1e7],
+        [_PZ / 1e7, (400_000_000 + _PZ) / 1e7],
+        [_PZ / 1e7, _PZ / 1e7],
+    ]],
+}
+
+# square [60,100]x[-40,0] with central hole [70,90]x[-30,-10] (all +0.00005)
+_H_OUT = (600_000_000 + _PZ, -400_000_000 + _PZ, 1_000_000_000 + _PZ, _PZ)
+_H_IN = (700_000_000 + _PZ, -300_000_000 + _PZ, 900_000_000 + _PZ, -100_000_000 + _PZ)
+HOLED_POLY = {
+    "type": "Polygon",
+    "coordinates": [
+        _rect_deg(*_H_OUT),
+        list(reversed(_rect_deg(*_H_IN))),
+    ],
+}
+
+_Q28_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+z(zone_key) AS (VALUES ('l_shape'), ('holed_square')),
+m AS (
+  SELECT 'l_shape' AS zone_key, event_id, user_id FROM g
+  WHERE (lon_fp >= {_L_R1[0]} AND lon_fp <= {_L_R1[2]}
+         AND lat_fp >= {_L_R1[1]} AND lat_fp <= {_L_R1[3]})
+     OR (lon_fp >= {_L_R2[0]} AND lon_fp <= {_L_R2[2]}
+         AND lat_fp >= {_L_R2[1]} AND lat_fp <= {_L_R2[3]})
+  UNION ALL
+  SELECT 'holed_square' AS zone_key, event_id, user_id FROM g
+  WHERE lon_fp >= {_H_OUT[0]} AND lon_fp <= {_H_OUT[2]}
+    AND lat_fp >= {_H_OUT[1]} AND lat_fp <= {_H_OUT[3]}
+    AND NOT (lon_fp > {_H_IN[0]} AND lon_fp < {_H_IN[2]}
+             AND lat_fp > {_H_IN[1]} AND lat_fp < {_H_IN[3]})
+)
+SELECT z.zone_key, COUNT(m.event_id) AS cnt,
+       COUNT(DISTINCT m.user_id) AS uniq_users
+FROM z LEFT JOIN m USING (zone_key) GROUP BY z.zone_key
+"""
+
+
+@_q("zonal_polygon_agg", _Q28_ORACLE, bench=True)
+def q_zonal_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal aggregation over NON-CONVEX polygon zones (an L-shape and a
+    holed square) via the vectorized crossing-number PIP kernel — the
+    aggregateByGeometry path the reference drives through GeometrySplitter
+    (GeometrySplitter.java:43-277) for arbitrary region shapes.  The
+    oracle re-derives zone membership as rectangle algebra (L = union of
+    2 rects; holed square = outer AND NOT strictly-in-hole)."""
+    from oshdb_spark.operators.zonal import zonal_polygon_aggregate
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return zonal_polygon_aggregate(
+        spark, g,
+        [("l_shape", L_POLY), ("holed_square", HOLED_POLY)],
+        [F.count("event_id").alias("cnt"), count_uniq_agg("user_id", "uniq_users")],
+    )
+
+
+# segments around/through the L-zone: coords are multiples of 1000 fp
+GEO_SEGMENT_EXPRS = [
+    "event_id",
+    "(event_id % 500) * 1000000 + (event_id % 83) * 1000 AS ax",
+    "((event_id * 13) % 500) * 1000000 + (event_id % 79) * 1000 AS ay",
+    "(event_id % 500) * 1000000 + (event_id % 83) * 1000"
+    " + ((event_id % 41) - 20) * 20000000 AS bx",
+    "((event_id * 13) % 500) * 1000000 + (event_id % 79) * 1000"
+    " + (((event_id * 7) % 37) - 18) * 20000000 AS by",
+]
+
+
+def _lb_interval_sql(rect: tuple[int, int, int, int], suffix: str) -> str:
+    """Liang-Barsky [t0,t1] of segment (axd,ayd)-(bxd,byd) inside a closed
+    rect, as SQL columns t0{suffix}, t1{suffix} (degree doubles)."""
+    x0, y0, x1, y1 = (v / 1e7 for v in rect)
+    return f"""
+      CASE WHEN bxd = axd
+           THEN CASE WHEN axd >= {x0!r} AND axd <= {x1!r} THEN 0.0 ELSE 2.0 END
+           ELSE LEAST(({x0!r} - axd) / (bxd - axd), ({x1!r} - axd) / (bxd - axd))
+      END AS tminx{suffix},
+      CASE WHEN bxd = axd
+           THEN CASE WHEN axd >= {x0!r} AND axd <= {x1!r} THEN 1.0 ELSE -1.0 END
+           ELSE GREATEST(({x0!r} - axd) / (bxd - axd), ({x1!r} - axd) / (bxd - axd))
+      END AS tmaxx{suffix},
+      CASE WHEN byd = ayd
+           THEN CASE WHEN ayd >= {y0!r} AND ayd <= {y1!r} THEN 0.0 ELSE 2.0 END
+           ELSE LEAST(({y0!r} - ayd) / (byd - ayd), ({y1!r} - ayd) / (byd - ayd))
+      END AS tminy{suffix},
+      CASE WHEN byd = ayd
+           THEN CASE WHEN ayd >= {y0!r} AND ayd <= {y1!r} THEN 1.0 ELSE -1.0 END
+           ELSE GREATEST(({y0!r} - ayd) / (byd - ayd), ({y1!r} - ayd) / (byd - ayd))
+      END AS tmaxy{suffix}
+    """
+
+
+_Q29_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_SEGMENT_EXPRS)}),
+d AS (SELECT event_id,
+             CAST(ax AS DOUBLE) / 1e7 AS axd, CAST(ay AS DOUBLE) / 1e7 AS ayd,
+             CAST(bx AS DOUBLE) / 1e7 AS bxd, CAST(by AS DOUBLE) / 1e7 AS byd
+      FROM g),
+t AS (SELECT event_id, axd, ayd, bxd, byd,
+             {_lb_interval_sql(_L_R1, "1")},
+             {_lb_interval_sql(_L_R2, "2")}
+      FROM d),
+iv AS (SELECT event_id,
+              GREATEST(0.0, tminx1, tminy1) AS t0a, LEAST(1.0, tmaxx1, tmaxy1) AS t1a,
+              GREATEST(0.0, tminx2, tminy2) AS t0b, LEAST(1.0, tmaxx2, tmaxy2) AS t1b
+       FROM t),
+p AS (SELECT event_id,
+             (t1a - t0a) > 1e-9 AS ha, (t1b - t0b) > 1e-9 AS hb,
+             CASE WHEN (t1a - t0a) > 1e-9 AND (t1b - t0b) > 1e-9
+                  THEN (GREATEST(t0a, t0b) < LEAST(t1a, t1b) + 1e-9)
+                  ELSE FALSE END AS merged
+      FROM iv)
+SELECT CAST(CASE WHEN NOT ha AND NOT hb THEN 0
+            WHEN ha AND hb AND NOT merged THEN 2
+            ELSE 1 END AS INT) AS n_parts,
+       COUNT(*) AS cnt
+FROM p GROUP BY 1
+"""
+
+
+@_q("polygon_line_clip", _Q29_ORACLE, bench=True)
+def q_polygon_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General line-vs-non-convex-polygon clipping: each derived segment is
+    clipped against the L-shaped AOI (geometry/polyclip._clip_line_general
+    — split at ring-edge crossings, keep inside runs) and classified by
+    its number of surviving parts (0 = outside, 1 = one run, 2 = crosses
+    the concave notch and re-enters).  A segment with BOTH endpoints
+    outside that crosses the polygon lands in class 1/2 — exactly the
+    case the round-1 vertex-only intersects test missed.  The oracle
+    computes the same classes as Liang-Barsky intervals against the two
+    rectangles whose union is the L, merging abutting intervals.
+
+    Plan shape: the vectorized batch kernel (one numpy broadcast per
+    Arrow batch, geometry/polyclip.segment_clip_part_counts) — tests
+    assert it agrees with the generic per-geometry clipper."""
+    from oshdb_spark.operators.geometry_ops import segment_clip_parts_udf
+
+    g = _derive(spark, sf_dir, GEO_SEGMENT_EXPRS)
+    pu = segment_clip_parts_udf(L_POLY)
+    n_parts = pu(
+        F.col("ax").cast("double") / 1e7,
+        F.col("ay").cast("double") / 1e7,
+        F.col("bx").cast("double") / 1e7,
+        F.col("by").cast("double") / 1e7,
+    )
+    return g.withColumn("n_parts", n_parts).groupBy("n_parts").agg(count_agg("cnt"))
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__.py
 # ---------------------------------------------------------------------------
 

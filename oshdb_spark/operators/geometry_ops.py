@@ -12,6 +12,7 @@ for clipping short-circuits, Geo.java formulas for measures.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -185,16 +186,26 @@ def clip_udf(bbox_deg: tuple[float, float, float, float]):
 
 
 def clip_polygon_udf(polygon_geom: dict):
-    """wkt -> struct(clipped_wkt, clipped_area, clipped_length) against a
-    CONVEX polygon AOI (geometry/clip.clip_to_convex_polygon; callers check
-    is_convex_polygon first and fall back to intersects-only)."""
+    """wkt -> struct(clipped_wkt, clipped_area, clipped_length) against an
+    ARBITRARY (Multi)Polygon AOI — non-convex, holes, multi parts.
+
+    Convex AOIs take the direct Sutherland-Hodgman/Cyrus-Beck path; the
+    general case goes through the driver-side triangle decomposition
+    (geometry/polyclip.PreparedPolygon — the FastPolygonOperations analog,
+    fip/FastPolygonOperations.java:26-60).  Both apply the bbox
+    inside/outside short-circuits before any clip work
+    (CellIterator.java:417-459).
+    """
     from oshdb_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers()
-    from oshdb_spark.geometry.clip import clip_to_convex_polygon
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon, is_convex_polygon
     from oshdb_spark.geometry.model import bounds as _bounds
+    from oshdb_spark.geometry.polyclip import PreparedPolygon, clip_to_polygon
 
     pb = _bounds(polygon_geom)
+    convex = is_convex_polygon(polygon_geom)
+    prepared = None if convex else PreparedPolygon(polygon_geom)
 
     @F.pandas_udf(CLIP_RESULT_SCHEMA)
     def _udf(wkt: pd.Series) -> pd.DataFrame:
@@ -204,8 +215,10 @@ def clip_polygon_udf(polygon_geom: dict):
             b = bounds(g)
             if b is None or pb is None or b[2] < pb[0] or b[0] > pb[2] or b[3] < pb[1] or b[1] > pb[3]:
                 clipped = {"type": g["type"], "coordinates": []}
-            else:
+            elif convex:
                 clipped = clip_to_convex_polygon(g, polygon_geom)
+            else:
+                clipped = clip_to_polygon(g, prepared)
             cw, ca, cl = _measure(clipped)
             out_w.append(cw)
             out_a.append(ca)
@@ -220,38 +233,57 @@ def clip_polygon_udf(polygon_geom: dict):
 def intersects_polygon_udf(polygon_geom: dict):
     """wkt -> boolean: geometry intersects the (broadcast) query polygon.
 
-    PIP-based refinement (FastPointInPolygon / bbox short-circuits): any
-    vertex inside, OR polygon vertex inside geometry bbox + edge checks.
-    Conservative-exact for the fixtures used (vertex or bbox evidence).
+    EXACT (geometry/polyclip.geometry_intersects_polygon): bbox in/out
+    short-circuits, then vertex-in-polygon, polygon-vertex-in-geometry,
+    and segment x ring-edge crossing — a way crossing the polygon with
+    every vertex outside is now caught (the round-1 conservative test
+    missed it).  Parity: FastInPolygon + PreparedGeometry.intersects
+    (GeometrySplitter.java:120-137).
     """
     from oshdb_spark.session import ensure_package_on_workers
     ensure_package_on_workers()
-    import numpy as np
+    from oshdb_spark.geometry.polyclip import geometry_intersects_polygon
 
     @F.pandas_udf("boolean")
     def _udf(wkt: pd.Series) -> pd.Series:
-        out = []
-        for w in wkt:
-            g = from_wkt(w)
-            b = bounds(g)
-            if b is None:
-                out.append(False)
-                continue
-            if bbox_outside_polygon(b, polygon_geom):
-                out.append(False)
-                continue
-            if bbox_in_polygon(b, polygon_geom):
-                out.append(True)
-                continue
-            # border case: test the geometry's vertices
-            from oshdb_spark.geometry.model import _iter_coords
+        return pd.Series(
+            [geometry_intersects_polygon(from_wkt(w), polygon_geom) for w in wkt]
+        )
 
-            pts = np.asarray(list(_iter_coords(g)), dtype=np.float64)
-            inside = points_in_polygon(
-                pts[:, 0], pts[:, 1], polygon_geom, include_boundary=True
-            )
-            out.append(bool(inside.any()))
-        return pd.Series(out)
+    return _udf
+
+
+def segment_clip_parts_udf(polygon_geom: dict):
+    """(ax, ay, bx, by degree doubles) -> int: number of parts the segment
+    splits into when clipped to the polygon (0 = fully outside).
+
+    Thin Arrow wrapper over the fully vectorized batch kernel
+    (geometry/polyclip.segment_clip_part_counts) — one numpy broadcast per
+    batch, no per-row Python; the scale path for line x polygon clipping
+    when geometries are plain 2-point segments.
+    """
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    from oshdb_spark.geometry.polyclip import (
+        PreparedPolygon,
+        segment_clip_part_counts,
+    )
+
+    prepared = PreparedPolygon(polygon_geom)
+
+    @F.pandas_udf("int")
+    def _udf(
+        ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series
+    ) -> pd.Series:
+        out = segment_clip_part_counts(
+            ax.to_numpy(np.float64),
+            ay.to_numpy(np.float64),
+            bx.to_numpy(np.float64),
+            by.to_numpy(np.float64),
+            prepared,
+        )
+        return pd.Series(out.astype("int32"))
 
     return _udf
 

@@ -91,7 +91,9 @@ def zonal_polygon_aggregate(
             if not mask.any():
                 continue
             idx = np.nonzero(mask)[0]
-            inside = points_in_polygon(x[idx], y[idx], geom)
+            # boundary-inclusive: JTS intersects semantics, matching the
+            # exact test GeometrySplitter applies (GeometrySplitter.java:120)
+            inside = points_in_polygon(x[idx], y[idx], geom, include_boundary=True)
             for i in idx[inside]:
                 hits[int(i)].append(key)
         return pd.Series(hits)

@@ -247,3 +247,50 @@ def test_aggregate_by_geometry_clipped_partition(db):
         .collect()[0]["a"]
     )
     assert zones["left"] + zones["right"] == pytest.approx(total, rel=1e-6)
+
+
+def test_aggregate_by_geometry_nonconvex_clipped_partition(db):
+    """Round-2: GeometrySplitter clip with a NON-CONVEX zone.  Partition
+    the world into an L-shaped zone (reflex corner at the origin) and its
+    rectangular complement; clipped areas must conserve the unclipped
+    total — same invariant as the convex split, now through the
+    triangle-decomposed general clipper (geometry/polyclip)."""
+    l_zone = {
+        "type": "Polygon",
+        "coordinates": [[[-180, -90], [180, -90], [180, 0], [0, 0],
+                         [0, 90], [-180, 90], [-180, -90]]],
+    }
+    rest = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [180, 0], [180, 90], [0, 90], [0, 0]]],
+    }
+    view = SnapshotView.on(db).timestamps([TS[3]]).filter("geometry:polygon")
+    agg = view.aggregate_by_geometry({"l": l_zone, "rest": rest}, clip=True)
+    res = agg.sum("zone_clipped_area", name="area")
+    zones = {r["zone_key"]: r["area"] for r in res.collect()}
+    total = view.dataframe().agg(F.sum("area").alias("a")).collect()[0]["a"]
+    assert zones["l"] > 0 and zones["rest"] > 0
+    assert zones["l"] + zones["rest"] == pytest.approx(total, rel=1e-6)
+
+
+def test_polygon_aoi_nonconvex_clip(db):
+    """Polygon area-of-interest with a non-convex AOI now produces exact
+    clipped geometries (round 1 degraded to intersects-only)."""
+    l_zone = {
+        "type": "Polygon",
+        "coordinates": [[[-180, -90], [180, -90], [180, 0], [0, 0],
+                         [0, 90], [-180, 90], [-180, -90]]],
+    }
+    view = (
+        SnapshotView.on(db)
+        .timestamps([TS[3]])
+        .filter("geometry:polygon")
+        .area_of_interest(polygon=l_zone)
+    )
+    df = view.dataframe()
+    assert "clipped_area" in df.columns
+    row = df.agg(
+        F.sum("clipped_area").alias("ca"), F.sum("area").alias("a")
+    ).collect()[0]
+    # clipping can only shrink, and the AOI holds at least one feature
+    assert 0 < row["ca"] <= row["a"] * (1 + 1e-9)

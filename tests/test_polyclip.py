@@ -1,0 +1,343 @@
+"""General polygon intersects/clip tests.
+
+Scenario sources (fixtures re-created from the reference's test suite):
+  * FastPointInPolygonTest.createPolygon — reversed Σ-shaped CONCAVE
+    polygon (0,0) (1,1) (-1,1) ... (-1,-1) (1,-1) (0,0)
+  * FastPointInPolygonTest.createPolygonWithHole — square (2..4 x -1..1)
+    with central hole (2.5..3.5 x -0.5..0.5)
+  * FastPointInPolygonTest.createMultiPolygon — both side by side
+  * FastPolygonOperationsTest.testGeometries — grid sweep of points,
+    lines, small polygons; result equals the unrestricted intersection
+  (/root/reference/oshdb-util/src/test/java/org/heigit/ohsome/oshdb/util/geometry/fip/*.java)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from oshdb_spark.geometry.geo import area_of, length_of
+from oshdb_spark.geometry.model import (
+    bounds,
+    from_wkt,
+    is_empty,
+    line_string,
+    point,
+    polygon,
+    to_wkt,
+)
+from oshdb_spark.geometry.pip import points_in_polygon
+from oshdb_spark.geometry.polyclip import (
+    PreparedPolygon,
+    clip_to_polygon,
+    geometry_intersects_polygon,
+    triangulate_polygon,
+)
+
+
+def sigma_polygon():
+    """Reversed Σ-shaped concave polygon (FastPointInPolygonTest:20-35)."""
+    coords = [[0.0, 0.0], [1.0, 1.0], [-1.0, 1.0]]
+    for i in range(3, 97):
+        coords.append([-1.0, 1.0 - 2.0 * (i - 2) / 95])
+    coords += [[-1.0, -1.0], [1.0, -1.0], [0.0, 0.0]]
+    return polygon(coords)
+
+
+def square_with_hole():
+    """Square with central square hole (FastPointInPolygonTest:40-57)."""
+    return polygon(
+        [[4, -1], [4, 1], [2, 1], [2, -1], [4, -1]],
+        [[[3.5, -0.5], [3.5, 0.5], [2.5, 0.5], [2.5, -0.5], [3.5, -0.5]]],
+    )
+
+
+def both_multipolygon():
+    s, h = sigma_polygon(), square_with_hole()
+    return {
+        "type": "MultiPolygon",
+        "coordinates": [s["coordinates"], h["coordinates"]],
+    }
+
+
+def l_shape():
+    """Non-convex L: unit square columns — (0,0)-(2,1) plus (0,1)-(1,2)."""
+    return polygon([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]])
+
+
+def _tri_area2(t):
+    (ax, ay), (bx, by), (cx, cy) = t
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+# ---------------------------------------------------------------------------
+
+
+class TestTriangulation:
+    def test_l_shape_area(self):
+        tris = triangulate_polygon(l_shape()["coordinates"][0])
+        assert len(tris) >= 4
+        assert sum(_tri_area2(t) for t in tris) / 2 == pytest.approx(3.0)
+
+    def test_sigma_area(self):
+        ring = sigma_polygon()["coordinates"][0]
+        tris = triangulate_polygon(ring)
+        # shoelace of the ring itself is the ground truth
+        sh = 0.0
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            sh += x1 * y2 - x2 * y1
+        assert sum(_tri_area2(t) for t in tris) == pytest.approx(abs(sh))
+
+    def test_hole_area(self):
+        p = square_with_hole()
+        tris = triangulate_polygon(p["coordinates"][0], p["coordinates"][1:])
+        assert sum(_tri_area2(t) for t in tris) / 2 == pytest.approx(4.0 - 1.0)
+        # no triangle centroid may fall in the hole
+        for t in tris:
+            cx = sum(pt[0] for pt in t) / 3
+            cy = sum(pt[1] for pt in t) / 3
+            assert not (2.5 < cx < 3.5 and -0.5 < cy < 0.5)
+
+    def test_all_ccw(self):
+        for t in triangulate_polygon(l_shape()["coordinates"][0]):
+            assert _tri_area2(t) > 0
+
+
+# ---------------------------------------------------------------------------
+# exact intersects — FastPointInPolygonTest ported points + edge-crossing
+# ---------------------------------------------------------------------------
+
+
+class TestIntersects:
+    def test_point_in_sigma(self):
+        p = sigma_polygon()
+        assert geometry_intersects_polygon(point(-0.5, 0), p)  # inside
+        assert not geometry_intersects_polygon(point(0.5, 0), p)  # concave notch
+        assert not geometry_intersects_polygon(point(1.5, 0), p)  # outside bbox
+
+    def test_point_in_hole(self):
+        p = square_with_hole()
+        assert geometry_intersects_polygon(point(2.25, 0), p)  # inside
+        assert not geometry_intersects_polygon(point(3.0, 0), p)  # in hole
+        assert not geometry_intersects_polygon(point(4.5, 0), p)  # outside
+
+    def test_point_in_multipolygon(self):
+        p = both_multipolygon()
+        assert geometry_intersects_polygon(point(-0.5, 0), p)
+        assert not geometry_intersects_polygon(point(0.5, 0), p)
+        assert not geometry_intersects_polygon(point(1.5, 0), p)
+        assert geometry_intersects_polygon(point(2.25, 0), p)
+        assert not geometry_intersects_polygon(point(3.0, 0), p)
+
+    def test_edge_crossing_line_all_vertices_outside(self):
+        """The round-1 correctness hole: a way crossing the polygon with
+        every vertex outside must intersect."""
+        p = l_shape()
+        ln = line_string([[-1, 0.5], [3, 0.5]])  # crosses the L's base
+        assert geometry_intersects_polygon(ln, p)
+
+    def test_line_through_notch_misses(self):
+        p = sigma_polygon()
+        # passes through the concave notch, never entering the polygon
+        ln = line_string([[0.8, 0.05], [0.8, -0.05]])
+        assert not geometry_intersects_polygon(ln, p)
+
+    def test_line_through_hole_misses(self):
+        p = square_with_hole()
+        ln = line_string([[2.6, -0.4], [3.4, 0.4]])  # entirely inside hole
+        assert not geometry_intersects_polygon(ln, p)
+
+    def test_line_crossing_hole_boundary(self):
+        p = square_with_hole()
+        ln = line_string([[2.6, 0.0], [2.4, 0.0]])  # hole -> solid part
+        assert geometry_intersects_polygon(ln, p)
+
+    def test_polygon_swallows_aoi(self):
+        big = polygon([[-10, -10], [10, -10], [10, 10], [-10, 10], [-10, -10]])
+        assert geometry_intersects_polygon(big, l_shape())
+
+    def test_aoi_swallows_polygon(self):
+        small = polygon([[0.2, 0.2], [0.4, 0.2], [0.4, 0.4], [0.2, 0.4], [0.2, 0.2]])
+        assert geometry_intersects_polygon(small, l_shape())
+
+    def test_touching_at_vertex(self):
+        ln = line_string([[2, 1], [3, 2]])  # touches L corner (2,1)... outside
+        assert geometry_intersects_polygon(ln, l_shape())
+
+    def test_disjoint_polygon(self):
+        other = polygon([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]])
+        assert not geometry_intersects_polygon(other, l_shape())
+
+
+# ---------------------------------------------------------------------------
+# general clip — FastPolygonOperationsTest-style sweeps with an
+# independent numeric oracle (planar areas / lengths)
+# ---------------------------------------------------------------------------
+
+
+def _planar_area(geom):
+    t = geom["type"]
+    if is_empty(geom):
+        return 0.0
+    polys = geom["coordinates"] if t == "MultiPolygon" else [geom["coordinates"]]
+    total = 0.0
+    for rings in polys:
+        for k, ring in enumerate(rings):
+            s = 0.0
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                s += x1 * y2 - x2 * y1
+            total += abs(s) / 2 * (1 if k == 0 else -1)
+    return total
+
+
+def _planar_length(geom):
+    t = geom["type"]
+    if is_empty(geom):
+        return 0.0
+    lines = geom["coordinates"] if t == "MultiLineString" else [geom["coordinates"]]
+    total = 0.0
+    for l in lines:
+        for (x1, y1), (x2, y2) in zip(l[:-1], l[1:]):
+            total += math.hypot(x2 - x1, y2 - y1)
+    return total
+
+
+class TestClip:
+    def test_point_clip(self):
+        prep = PreparedPolygon(sigma_polygon())
+        assert not is_empty(clip_to_polygon(point(-0.5, 0), prep))
+        assert is_empty(clip_to_polygon(point(0.5, 0), prep))
+
+    def test_line_clip_l_shape(self):
+        prep = PreparedPolygon(l_shape())
+        out = clip_to_polygon(line_string([[-1, 0.5], [3, 0.5]]), prep)
+        # enters at x=0, leaves at x=2 through the L base
+        assert _planar_length(out) == pytest.approx(2.0)
+
+    def test_line_clip_through_notch(self):
+        prep = PreparedPolygon(sigma_polygon())
+        # horizontal line at y=0.5: inside from x=-1 to the notch edge x=0.5
+        out = clip_to_polygon(line_string([[-2, 0.5], [2, 0.5]]), prep)
+        assert _planar_length(out) == pytest.approx(1.5)
+
+    def test_line_clip_with_hole(self):
+        prep = PreparedPolygon(square_with_hole())
+        # crosses the full square at y=0: solid 2..2.5 and 3.5..4
+        out = clip_to_polygon(line_string([[0, 0], [5, 0]]), prep)
+        assert _planar_length(out) == pytest.approx(1.0)
+        assert out["type"] == "MultiLineString"
+
+    def test_polygon_clip_l_shape(self):
+        prep = PreparedPolygon(l_shape())
+        # unit square overlapping the notch corner: covers [0.5,1.5]^2;
+        # intersection with L = [0.5,1]x[0.5,1.5] + [1,1.5]x[0.5,1]
+        sq = polygon([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]])
+        out = clip_to_polygon(sq, prep)
+        assert _planar_area(out) == pytest.approx(0.75)
+
+    def test_polygon_clip_with_hole(self):
+        prep = PreparedPolygon(square_with_hole())
+        # square covering the hole and some solid frame
+        sq = polygon([[2.25, -0.75], [3.75, -0.75], [3.75, 0.75], [2.25, 0.75],
+                      [2.25, -0.75]])
+        out = clip_to_polygon(sq, prep)
+        assert _planar_area(out) == pytest.approx(1.5 * 1.5 - 1.0)
+
+    def test_clip_identity_inside(self):
+        prep = PreparedPolygon(l_shape())
+        sq = polygon([[0.1, 0.1], [0.4, 0.1], [0.4, 0.4], [0.1, 0.4], [0.1, 0.1]])
+        assert clip_to_polygon(sq, prep) == sq  # bbox-inside identity
+
+    def test_clip_empty_outside(self):
+        prep = PreparedPolygon(l_shape())
+        sq = polygon([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]])
+        assert is_empty(clip_to_polygon(sq, prep))
+
+    def test_sweep_matches_unrestricted(self):
+        """FastPolygonOperationsTest.testGeometries analog: sweep of small
+        squares; block-decomposed clip area equals direct shoelace of the
+        true intersection computed per cell."""
+        prep = PreparedPolygon(l_shape())
+        for i in range(12):
+            x0, y0 = 0.25 * i - 0.5, 0.2 * i - 0.3
+            sq = polygon(
+                [[x0, y0], [x0 + 0.3, y0], [x0 + 0.3, y0 + 0.3], [x0, y0 + 0.3],
+                 [x0, y0]]
+            )
+            out = clip_to_polygon(sq, prep)
+            # oracle: L is a union of two axis-aligned rects -> rect overlap
+            def overlap(ax0, ay0, ax1, ay1):
+                w = max(0.0, min(ax1, x0 + 0.3) - max(ax0, x0))
+                h = max(0.0, min(ay1, y0 + 0.3) - max(ay0, y0))
+                return w * h
+
+            expect = overlap(0, 0, 2, 1) + overlap(0, 1, 1, 2)
+            assert _planar_area(out) == pytest.approx(expect, abs=1e-12), (x0, y0)
+
+    def test_wkt_roundtrip(self):
+        prep = PreparedPolygon(l_shape())
+        sq = polygon([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]])
+        out = clip_to_polygon(sq, prep)
+        assert _planar_area(from_wkt(to_wkt(out))) == pytest.approx(0.75)
+
+    def test_geodesic_area_additivity(self):
+        """Spherical-excess area of the pieced MultiPolygon ~ equals the
+        area of the equivalent single clip region.  Not bit-equal: the
+        spherical-excess edge term is nonlinear in the endpoints, so
+        boundary edges split at triangle crossings contribute O(h^2)
+        differently — ~1e-7 relative here, far below the formula's own
+        <1e-3 stated error vs true geodesic area (Geo.java:268-308)."""
+        prep = PreparedPolygon(l_shape())
+        sq = polygon([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]])
+        out = clip_to_polygon(sq, prep)
+        # ground truth: same region as one polygon (an L of area .75 at
+        # these exact coords) — build it directly
+        direct = polygon(
+            [[0.5, 0.5], [1.5, 0.5], [1.5, 1.0], [1.0, 1.0], [1.0, 1.5],
+             [0.5, 1.5], [0.5, 0.5]]
+        )
+        assert area_of(out) == pytest.approx(area_of(direct), rel=1e-6)
+
+
+class TestSegmentPartsKernel:
+    def test_agrees_with_generic_clipper(self):
+        """The vectorized batch kernel must count exactly the parts the
+        generic per-geometry clipper produces, across a deterministic
+        sweep that covers 0/1/2-part configurations."""
+        from oshdb_spark.geometry.polyclip import segment_clip_part_counts
+
+        prep = PreparedPolygon(l_shape())
+        segs = []
+        for e in range(1, 400):
+            ax = (e % 37) * 0.13 - 1.0
+            ay = ((e * 13) % 41) * 0.11 - 1.0
+            segs.append((ax, ay, ax + ((e % 17) - 8) * 0.45,
+                         ay + (((e * 7) % 19) - 9) * 0.4))
+        arr = np.asarray(segs)
+        vec = segment_clip_part_counts(arr[:, 0], arr[:, 1], arr[:, 2],
+                                       arr[:, 3], prep)
+        expected = []
+        for ax, ay, bx, by in segs:
+            out = clip_to_polygon(line_string([[ax, ay], [bx, by]]), prep)
+            if is_empty(out):
+                expected.append(0)
+            elif out["type"] == "LineString":
+                expected.append(1)
+            else:
+                expected.append(len(out["coordinates"]))
+        assert vec.tolist() == expected
+        assert max(expected) >= 2 and 0 in expected  # sweep hits all classes
+
+    def test_degenerate_zero_length(self):
+        from oshdb_spark.geometry.polyclip import segment_clip_part_counts
+
+        prep = PreparedPolygon(l_shape())
+        # zero-length segments: inside -> 1 part, outside -> 0
+        out = segment_clip_part_counts(
+            np.array([0.5, 5.0]), np.array([0.5, 5.0]),
+            np.array([0.5, 5.0]), np.array([0.5, 5.0]), prep)
+        assert out.tolist() == [1, 0]

@@ -819,7 +819,13 @@ SELECT vec_a, vec_b, rank FROM r WHERE rank <= 50
 @_q("embedding_neardup_rank", _Q25_ORACLE)
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: offset-paired docs ranked
-    by cosine similarity (rank output keeps the compare float-free)."""
+    by cosine similarity (rank output keeps the compare float-free).
+
+    Two-phase top-k: local top-50 per deterministic hash bucket (parallel
+    windows), then the global rank over the <= 50 * N_BUCKETS survivors —
+    the final single-task sort is bounded by the bucket count, never by
+    the pair count (round 1 had a global Window.orderBy pulling every pair
+    through one task)."""
     from oshdb_spark.operators.similarity import with_norm
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -840,7 +846,19 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("na") * F.col("nb"))
     )
-    ranked = j.withColumn("sim", sim).withColumn(
+    n_buckets = 32
+    local = (
+        j.withColumn("sim", sim)
+        .withColumn("__b", F.pmod(F.xxhash64("vec_a"), F.lit(n_buckets)))
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("__b").orderBy(F.col("sim").desc(), "vec_a")
+            ),
+        )
+        .filter(F.col("lrank") <= 50)
+    )
+    ranked = local.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.col("sim").desc(), "vec_a")),
     )
@@ -988,13 +1006,50 @@ def q_member_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("media_features", None)  # binary payloads: no SQL oracle (rows-only)
+# media oracle: the fake payload pipeline is sha256-deterministic, so DuckDB
+# can re-derive EVERY feature bit with hex/list arithmetic: ref = 'blob://'
+# || md5(text); digest bytes from sha256(ref) hex; payload = digest cycled
+# to min(64 + b2, 256) bytes; decoded signal = payload cycled to the
+# metadata-determined length; feature-0 count = #signal bytes in histogram
+# bin 0 (byte <= 15).  All-integer outputs -> hash-exact compare.
+_HEXD = "strpos('0123456789abcdef', {c}) - 1"
+_Q30_ORACLE = f"""
+WITH refs AS (SELECT DISTINCT 'blob://' || md5(text) AS ref FROM documents),
+h AS (SELECT ref, sha256(ref) AS hx FROM refs),
+b AS (SELECT ref,
+        [({_HEXD.format(c="substr(hx, 2*i-1, 1)")}) * 16
+         + ({_HEXD.format(c="substr(hx, 2*i, 1)")})
+         FOR i IN GENERATE_SERIES(1, 32)] AS by FROM h),
+m AS (SELECT ref, by,
+        ['image', 'audio', 'video'][by[1] % 3 + 1] AS kind,
+        LEAST(64 + by[2], 256) AS paylen,
+        CASE by[1] % 3
+          WHEN 0 THEN (16 + by[3] % 64) * (16 + by[4] % 64)
+          WHEN 1 THEN 160
+          ELSE (1 + by[5] % 30) * 64 END AS sig_len
+      FROM b),
+f AS (SELECT ref, kind, sig_len,
+        LIST_SUM([CASE WHEN by[(p % 32) + 1] <= 15 AND p < sig_len
+                       THEN (sig_len - 1 - p) // paylen + 1
+                       ELSE 0 END
+                  FOR p IN GENERATE_SERIES(0, paylen - 1)]) AS f0_cnt
+      FROM m)
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(f0_cnt) AS BIGINT) AS sum_f0,
+       CAST(SUM(sig_len) AS BIGINT) AS sum_len
+FROM f GROUP BY kind
+"""
+
+
+@_q("media_features", _Q30_ORACLE)
 def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the driver contract: derive media refs
     from the documents table, synthesize payload+metadata, run the
     mapInPandas feature extraction, aggregate per media kind.  The decode
     itself is the documented stub (operators/media.py); everything Spark-
-    side (schemas, Arrow batches, explode/aggregate) is real."""
+    side (schemas, Arrow batches, explode/aggregate) is real — and since
+    the stub is sha256-deterministic, the oracle re-derives the exact
+    bin-0 histogram counts in SQL (integer outputs, hash-exact)."""
     from oshdb_spark.operators.media import extract_features, synthesize_media_table
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
@@ -1004,30 +1059,74 @@ def q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synthesize_media_table(docs)
     feats = extract_features(media)
+    sig_len = (
+        F.when(F.col("meta.kind") == "image", F.col("meta.width") * F.col("meta.height"))
+        .when(F.col("meta.kind") == "audio", F.floor(F.col("meta.sample_rate") / 100))
+        .otherwise(F.col("meta.n_frames") * 64)
+        .cast("long")
+    )
+    # features[0] is the float32 FRACTION hist0/sig_len; the count round-
+    # trips exactly (relative error ~1e-7 << 0.5/sig_len)
+    f0_cnt = F.round(F.element_at("features", 1).cast("double") * sig_len).cast("long")
     return (
         media.join(feats, "media_ref")
+        .withColumn("sig_len", sig_len)
+        .withColumn("f0_cnt", f0_cnt)
         .groupBy(F.col("meta.kind").alias("kind"))
         .agg(
             count_agg("n_media"),
-            F.avg(F.element_at("features", 1)).alias("avg_f0"),
+            F.sum("f0_cnt").alias("sum_f0"),
+            F.sum("sig_len").alias("sum_len"),
         )
     )
 
 
-@_q("tdigest_quantiles", None)  # sketch estimate: no exact SQL oracle
+# t-digest oracle: the sketch estimate cannot be reproduced in SQL, but its
+# RANK-ERROR BOUND can be asserted exactly: the engine computes the exact
+# rank window of each estimate within its group (ties widen the window) and
+# emits ok = window intersects [q +/- eps]; the oracle states the expected
+# fixed point — every (group, quantile) present, ok = TRUE, with the group
+# counts computed from data.  A sketch drifting beyond eps = 0.01 rank
+# error flips ok and fails the hash compare.
+_Q31_ORACLE = """
+SELECT l_linestatus, COUNT(*) AS n,
+       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@_q("tdigest_quantiles", _Q31_ORACLE)
 def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """estimatedQuantile parity path: a real merging t-digest
     (compression=1000, like the reference's TdigestReducer) run as
-    partial-digest mapInPandas + merge applyInPandas; accuracy asserted in
-    tests/test_tdigest.py, driver records the rows-only check."""
+    partial-digest mapInPandas + merge applyInPandas, then oracle-gated by
+    an exact rank-error assertion (see _Q31_ORACLE)."""
     from oshdb_spark.operators.tdigest import tdigest_quantiles
 
+    eps = 0.01
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_linestatus", F.col("l_quantity").cast("double").alias("l_quantity")
     )
-    return tdigest_quantiles(
+    est = tdigest_quantiles(
         li, "l_quantity", [0.25, 0.5, 0.75], group_cols=["l_linestatus"]
     )
+    j = li.join(F.broadcast(est), "l_linestatus")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in (25, 50, 75):
+        qc = F.col(f"q{q}_l_quantity")
+        aggs += [
+            F.sum((F.col("l_quantity") < qc).cast("long")).alias(f"lt{q}"),
+            F.sum((F.col("l_quantity") <= qc).cast("long")).alias(f"le{q}"),
+        ]
+    ranks = j.groupBy("l_linestatus").agg(*aggs)
+    out = ranks
+    for q in (25, 50, 75):
+        frac = q / 100.0
+        ok = (F.col(f"lt{q}") / F.col("n") <= frac + eps) & (
+            F.col(f"le{q}") / F.col("n") >= frac - eps
+        )
+        out = out.withColumn(f"ok{q}", ok)
+    return out.select("l_linestatus", "n", "ok25", "ok50", "ok75")
 
 
 # ---------------------------------------------------------------------------

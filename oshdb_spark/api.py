@@ -253,6 +253,26 @@ class _MapReducer:
     def _materialize(self) -> DataFrame:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _attach_metric_columns(self, df: DataFrame) -> DataFrame:
+        """Attach g_vertices/g_outers/g_inners/g_roundness/g_squareness
+        columns (one Arrow pass) iff the compiled filter tree references a
+        derived geometry metric — lazy geometry evaluation, columnar style
+        (LazyEvaluatedObject / GeometryFilter subclasses)."""
+        from oshdb_spark.filters.dsl import metrics_needed
+
+        needed: set[str] = set()
+        for n in self.state.filters:
+            needed |= metrics_needed(n)
+        if not needed:
+            return df
+        from oshdb_spark.operators.geometry_ops import geometry_metrics_udf
+
+        m = geometry_metrics_udf()(F.col("wkt"))
+        for c in ("g_vertices", "g_outers", "g_inners", "g_roundness",
+                  "g_squareness"):
+            df = df.withColumn(c, m[c])
+        return df
+
     def _apply_polygon(self, df: DataFrame) -> DataFrame:
         if self.state.polygon is None:
             return df
@@ -471,6 +491,7 @@ class SnapshotView(_MapReducer):
             bbox_deg=self.state.bbox_deg,
             interpreter=self.db.interpreter,
         )
+        df = self._attach_metric_columns(df)
         # version/geometry predicate on the UNCLIPPED state
         # (FilterExpression.java:87-89)
         for node in self.state.filters:
@@ -497,6 +518,16 @@ class ContributionView(_MapReducer):
         for node in self.state.filters:
             for c in _conjuncts(node):
                 (post_nodes if _has_contrib_selector(c) else alive_nodes).append(c)
+        from oshdb_spark.filters.dsl import metrics_needed
+
+        for c in alive_nodes:
+            if metrics_needed(c):
+                raise NotImplementedError(
+                    "derived geometry metric filters (vertices/outers/inners/"
+                    "roundness/squareness) are not yet evaluated inside "
+                    "contribution aliveness; use the snapshot view or filter "
+                    "the contribution DataFrame explicitly"
+                )
         match = None
         for n in alive_nodes:
             match = n.osm_column() if match is None else (match & n.osm_column())

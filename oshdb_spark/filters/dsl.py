@@ -87,7 +87,36 @@ _METRIC_COLS = {
     "area": "area",
     "length": "length",
     "perimeter": "length",  # perimeter of polygons == boundary length column
+    # derived metrics: views attach these columns lazily (one Arrow pass,
+    # operators/geometry_ops.geometry_metrics_udf) only when the compiled
+    # filter tree references them — the columnar analog of the reference's
+    # lazy geometry evaluation (GeometryFilter.java:8-34 subclasses
+    # Vertices/OuterRings/InnerRings/Roundness/Squareness)
+    "vertices": "g_vertices",
+    "outers": "g_outers",
+    "inners": "g_inners",
+    "roundness": "g_roundness",
+    "squareness": "g_squareness",
 }
+
+# metrics whose columns are not part of the base view output and must be
+# derived from the built geometry on demand
+DERIVED_METRICS = {"vertices", "outers", "inners", "roundness", "squareness"}
+
+
+def metrics_needed(node: "Node") -> set[str]:
+    """Derived geometry metrics referenced anywhere in a filter tree."""
+    out: set[str] = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, GeometryMetricFilter) and n.metric in DERIVED_METRICS:
+            out.add(n.metric)
+        for attr in ("left", "right", "child"):
+            c = getattr(n, attr, None)
+            if c is not None:
+                stack.append(c)
+    return out
 
 
 class Node:
@@ -220,12 +249,7 @@ class GeometryMetricFilter(Node):
     hi: float | None
 
     def osm_column(self) -> Column:
-        col = _METRIC_COLS.get(self.metric)
-        if col is None:
-            raise FilterParseError(
-                f"geometry metric '{self.metric}' requires a geometry column "
-                "not produced by the current view"
-            )
+        col = _METRIC_COLS[self.metric]
         cond = F.lit(True)
         if self.lo is not None:
             cond = cond & (F.col(col) >= self.lo)

@@ -253,6 +253,59 @@ def intersects_polygon_udf(polygon_geom: dict):
     return _udf
 
 
+METRICS_RESULT_SCHEMA = (
+    "g_vertices int, g_outers int, g_inners int,"
+    " g_roundness double, g_squareness double"
+)
+
+
+def geometry_metrics_udf():
+    """wkt -> struct(g_vertices, g_outers, g_inners, g_roundness,
+    g_squareness) — the GeometryFilter metric columns
+    (oshdb-filter/.../GeometryFilter.java:8-34 subclasses Vertices/
+    OuterRings/InnerRings/Roundness/Squareness; formulas Geo.java:327-507).
+    Attached lazily by the views only when a compiled filter references one
+    of these metrics (dsl.metrics_needed)."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    from oshdb_spark.geometry.geo import roundness, squareness
+    from oshdb_spark.geometry.model import _iter_coords
+
+    @F.pandas_udf(METRICS_RESULT_SCHEMA)
+    def _udf(wkt: pd.Series) -> pd.DataFrame:
+        nv, no, ni, rd, sq = [], [], [], [], []
+        for w in wkt:
+            g = from_wkt(w)
+            t = g["type"]
+            nv.append(sum(1 for _ in _iter_coords(g)))
+            # non-polygonal geometries get the reference's -1 sentinel so
+            # outers:0 / inners:0 do NOT match points/lines
+            # (GeometryFilterOuterRings.java / GeometryFilterInnerRings.java)
+            if t == "Polygon" and g["coordinates"]:
+                no.append(1)
+                ni.append(len(g["coordinates"]) - 1)
+            elif t == "MultiPolygon":
+                no.append(len(g["coordinates"]))
+                ni.append(sum(len(rings) - 1 for rings in g["coordinates"]))
+            else:
+                no.append(-1)
+                ni.append(-1)
+            rd.append(roundness(g))
+            sq.append(squareness(g))
+        return pd.DataFrame(
+            {
+                "g_vertices": pd.array(nv, dtype="int32"),
+                "g_outers": pd.array(no, dtype="int32"),
+                "g_inners": pd.array(ni, dtype="int32"),
+                "g_roundness": rd,
+                "g_squareness": sq,
+            }
+        )
+
+    return _udf
+
+
 def segment_clip_parts_udf(polygon_geom: dict):
     """(ax, ay, bx, by degree doubles) -> int: number of parts the segment
     splits into when clipped to the polygon (0 = fully outside).

@@ -78,23 +78,32 @@ def _docs_parquet(n_features: int) -> tuple[str, int]:
     return path, int(meta.read_text())
 
 
-def _scaling_worker(cpus: int, docs_path: str) -> None:
+def _scaling_worker(master: str, docs_path: str) -> None:
     """One subprocess per parallelism level: 2 JIT-warmup runs, then 3
     measured runs each of (a) the narrow tile-assignment stage and (b) the
-    full tile-assign + cell-join + refine pipeline.  Prints one JSON line."""
+    full tile-assign + cell-join + refine pipeline.  Prints one JSON line.
+
+    ``master`` is either local[N] (shared-JVM thread scaling) or
+    local-cluster[W,C,MEM] (SEPARATE executor JVMs — the honest sandbox
+    model of N vs 4N executors: constant cores+heap per executor, more
+    executors, independent young-gens and Python worker pools)."""
     from oshdb_spark.pipeline import tile_assign_throughput, tile_join_throughput
     from oshdb_spark.session import get_spark
 
+    extra = {"spark.sql.files.maxPartitionBytes": "4m"}
+    if master.startswith("local-cluster"):
+        mem_mb = int(master.rstrip("]").split(",")[-1])
+        extra["spark.executor.memory"] = f"{max(mem_mb - 1024, 1024)}m"
     # shuffle partitions FIXED across parallelism levels: the scaling
     # comparison isolates core count, not partitioning
     spark = get_spark(
-        app_name=f"bench_pipeline_{cpus}",
-        master=f"local[{cpus}]",
+        app_name="bench_pipeline",
+        master=master,
         shuffle_partitions=int(os.environ.get("SCALE_SHUFFLE_PARTS", "64")),
         # the synthetic docs table is a handful of parquet files; split them
         # finely so the narrow extract+tile stage has enough input tasks for
         # every core (a production table has ample splits already)
-        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+        extra_conf=extra,
     )
     bbox = (-120.0, -60.0, 120.0, 60.0)
     docs = spark.read.parquet(docs_path)
@@ -118,25 +127,76 @@ def _scaling_worker(cpus: int, docs_path: str) -> None:
     print(json.dumps(out))
 
 
-def run_pipeline(cpus: int, docs_path: str) -> dict[str, list[float]]:
+def run_pipeline(master: str, docs_path: str) -> dict[str, list[float]]:
     """Run the scaling worker in a fresh subprocess (own JVM) and collect
     its per-workload wall times."""
     import subprocess
 
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-         str(cpus), docs_path],
+         master, docs_path],
         capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _scaling_report(
+    masters: tuple[str, str], cpus: tuple[int, int], docs_path: str, n_docs: int
+) -> dict:
+    lo, hi = cpus
+    r_lo = run_pipeline(masters[0], docs_path)
+    r_hi = run_pipeline(masters[1], docs_path)
+    report = {
+        "metric": "tile_join_scaling_efficiency",
+        "unit": "ratio",
+        "cpus": [lo, hi],
+        "masters": list(masters),
+        "n_docs": n_docs,
+        "workloads": {},
+    }
+    for wl in ("assign", "join"):
+        w_lo, w_hi = sorted(r_lo[wl]), sorted(r_hi[wl])
+        med_lo, med_hi = w_lo[len(w_lo) // 2], w_hi[len(w_hi) // 2]
+        thr_lo, thr_hi = n_docs / med_lo, n_docs / med_hi
+        report["workloads"][wl] = {
+            "efficiency": round(thr_hi / ((hi / lo) * thr_lo), 4),
+            "docs_per_sec": {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)},
+            "wall_sec": {str(lo): w_lo, str(hi): w_hi},
+        }
+    report["value"] = report["workloads"]["join"]["efficiency"]
+    return report
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
-        _scaling_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
+        _scaling_worker(sys.argv[i + 1], sys.argv[i + 2])
+        return
+    if "--scaling-cluster" in sys.argv:
+        # N vs 4N EXECUTOR scaling with separate executor JVMs
+        # (local-cluster): constant cores + heap per executor, 4x the
+        # executors — the faithful sandbox model of the north rule's
+        # two-cluster-size criterion (independent heaps/GC/Python pools;
+        # only disk + memory bus remain shared)
+        w_lo = int(os.environ.get("SCALE_WORKERS_LO", "2"))
+        w_hi = int(os.environ.get("SCALE_WORKERS_HI", "8"))
+        cores = int(os.environ.get("SCALE_CORES_PER_WORKER", "4"))
+        mem = int(os.environ.get("SCALE_MEM_PER_WORKER_MB", "6144"))
+        n_features = int(os.environ.get("SCALE_DOCS_FEATURES", "200000"))
+        docs_path, n_docs = _docs_parquet(n_features)
+        report = _scaling_report(
+            (
+                f"local-cluster[{w_lo},{cores},{mem}]",
+                f"local-cluster[{w_hi},{cores},{mem}]",
+            ),
+            (w_lo * cores, w_hi * cores),
+            docs_path,
+            n_docs,
+        )
+        report["metric"] = "executor_scaling_efficiency"
+        print(json.dumps(report))
         return
     if "--scaling" in sys.argv:
         # north-rule protocol (BASELINE.md): the SAME headline workload on
@@ -147,25 +207,9 @@ def main() -> None:
         hi = int(os.environ.get("SCALE_CPUS_HI", "32"))
         n_features = int(os.environ.get("SCALE_DOCS_FEATURES", "200000"))
         docs_path, n_docs = _docs_parquet(n_features)
-        r_lo = run_pipeline(lo, docs_path)
-        r_hi = run_pipeline(hi, docs_path)
-        report = {
-            "metric": "tile_join_scaling_efficiency",
-            "unit": "ratio",
-            "cpus": [lo, hi],
-            "n_docs": n_docs,
-            "workloads": {},
-        }
-        for wl in ("assign", "join"):
-            w_lo, w_hi = sorted(r_lo[wl]), sorted(r_hi[wl])
-            med_lo, med_hi = w_lo[len(w_lo) // 2], w_hi[len(w_hi) // 2]
-            thr_lo, thr_hi = n_docs / med_lo, n_docs / med_hi
-            report["workloads"][wl] = {
-                "efficiency": round(thr_hi / ((hi / lo) * thr_lo), 4),
-                "docs_per_sec": {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)},
-                "wall_sec": {str(lo): w_lo, str(hi): w_hi},
-            }
-        report["value"] = report["workloads"]["join"]["efficiency"]
+        report = _scaling_report(
+            (f"local[{lo}]", f"local[{hi}]"), (lo, hi), docs_path, n_docs
+        )
         print(json.dumps(report))
         return
 

@@ -414,44 +414,25 @@ class _MapReducer:
         zone_items = sorted(zones.items())
 
         def pre(df: DataFrame) -> DataFrame:
-            from oshdb_spark.operators.geometry_ops import (
-                clip_polygon_udf,
-                intersects_polygon_udf,
-            )
+            from oshdb_spark.operators.zonal import zone_clip_udf, zones_of_wkt_udf
 
+            # ONE Arrow pass regardless of zone count: ZoneIndex candidate
+            # lookup (the STRtree of GeometrySplitter.java:46-95) + exact
+            # intersects on candidates, emitting the matched keys as an
+            # array that explodes to one row per (zone, feature)
+            df = df.withColumn(
+                "zone_key", F.explode(zones_of_wkt_udf(zone_items)(F.col("wkt")))
+            )
             if clip:
-                entries = F.array(
-                    *[
-                        F.when(
-                            intersects_polygon_udf(g)(F.col("wkt")),
-                            F.struct(
-                                F.lit(k).alias("key"),
-                                clip_polygon_udf(g)(F.col("wkt")).alias("c"),
-                            ),
-                        )
-                        for k, g in zone_items
-                    ]
+                cu = zone_clip_udf(zone_items)
+                df = (
+                    df.withColumn("__zc", cu(F.col("wkt"), F.col("zone_key")))
+                    .withColumn("zone_clipped_wkt", F.col("__zc.clipped_wkt"))
+                    .withColumn("zone_clipped_area", F.col("__zc.clipped_area"))
+                    .withColumn("zone_clipped_length", F.col("__zc.clipped_length"))
+                    .drop("__zc")
                 )
-                df = df.withColumn(
-                    "z", F.explode(F.filter(entries, lambda x: x.isNotNull()))
-                )
-                return df.select(
-                    "*",
-                    F.col("z.key").alias("zone_key"),
-                    F.col("z.c.clipped_wkt").alias("zone_clipped_wkt"),
-                    F.col("z.c.clipped_area").alias("zone_clipped_area"),
-                    F.col("z.c.clipped_length").alias("zone_clipped_length"),
-                ).drop("z")
-
-            matches = F.array(
-                *[
-                    F.when(intersects_polygon_udf(g)(F.col("wkt")), F.lit(k))
-                    for k, g in zone_items
-                ]
-            )
-            return df.withColumn(
-                "zone_key", F.explode(F.filter(matches, lambda x: x.isNotNull()))
-            )
+            return df
 
         return MapAggregator(
             self,

@@ -23,6 +23,18 @@ from dataclasses import dataclass, field
 
 ALL_VALUES = "*"
 
+
+@dataclass(frozen=True)
+class InvertedValues:
+    """Match every value EXCEPT the excluded set — the reference's
+    InvertedHashSet used for polygon="all" (all but value "no") and
+    polygon="blacklist" entries (DefaultTagInterpreter.java:66-99)."""
+
+    excluded: frozenset = frozenset()
+
+    def __contains__(self, v) -> bool:
+        return v not in self.excluded
+
 # role int codes used across the engine (reference stores roles int-coded via
 # keytables; these three are fixed by convention in our synthetic data)
 ROLE_OUTER = 0
@@ -45,7 +57,7 @@ class TagInterpreter:
             vals = allow.get(k)
             if vals is None:
                 continue
-            if vals == ALL_VALUES or v in vals:
+            if vals == ALL_VALUES or v in vals:  # InvertedValues: not-excluded
                 return True
         return False
 
@@ -105,4 +117,105 @@ def default_tag_interpreter() -> TagInterpreter:
         },
         relation_area_tags={TAG_TYPE: {VAL_MULTIPOLYGON, VAL_BOUNDARY}},
         uninteresting_tag_keys=frozenset({TAG_CREATED_BY}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# polygon-features.json loading (DefaultTagInterpreter parity)
+# ---------------------------------------------------------------------------
+
+
+def interpreter_from_json(
+    area_tags,
+    uninteresting_keys,
+    translator,
+) -> TagInterpreter:
+    """Build a TagInterpreter from polygon-features.json-format config +
+    an uninterestingTags.json-format key list, resolved through a
+    TagTranslator (string<->int keytables).
+
+    Parity: DefaultTagInterpreter.java:47-140 —
+      * polygon "all"       -> match any value EXCEPT "no" (InvertedHashSet)
+      * polygon "whitelist" -> listed value ids, PLUS the id of "no" when
+        present (reference quirk preserved verbatim,
+        DefaultTagInterpreter.java:74-86)
+      * polygon "blacklist" -> any value except the listed ids
+      * relations: hardcoded type=multipolygon / type=boundary
+      * keys/values missing from the keytables are skipped (ifPresent)
+
+    ``area_tags`` / ``uninteresting_keys``: parsed JSON (list) or a path /
+    JSON string.
+    """
+    import json as _json
+    import os as _os
+
+    def _load(x):
+        if isinstance(x, (list, tuple)):
+            return x
+        if isinstance(x, str) and _os.path.exists(x):
+            with open(x) as f:
+                return _json.load(f)
+        return _json.loads(x)
+
+    area_tags = _load(area_tags)
+    uninteresting_keys = _load(uninteresting_keys)
+
+    way_area: dict[int, object] = {}
+    for entry in area_tags:
+        key = entry["key"]
+        kid = translator.key_id(key)
+        if kid is None:
+            continue
+        mode = entry["polygon"]
+        if mode == "all":
+            no_id = translator.value_id(key, "no")
+            way_area[kid] = InvertedValues(
+                frozenset(() if no_id is None else (no_id,))
+            )
+        elif mode == "whitelist":
+            ids = {
+                vid
+                for v in entry.get("values", ())
+                if (vid := translator.value_id(key, v)) is not None
+            }
+            no_id = translator.value_id(key, "no")
+            if no_id is not None:
+                ids.add(no_id)
+            way_area[kid] = frozenset(ids)
+        elif mode == "blacklist":
+            ids = {
+                vid
+                for v in entry.get("values", ())
+                if (vid := translator.value_id(key, v)) is not None
+            }
+            way_area[kid] = InvertedValues(frozenset(ids))
+        else:
+            raise ValueError(f"unknown polygon mode {mode!r} for key {key!r}")
+
+    type_key = translator.key_id("type")
+    rel_vals = {
+        vid
+        for v in ("multipolygon", "boundary")
+        if (vid := translator.value_id("type", v)) is not None
+    }
+    relation_area = {type_key: rel_vals} if type_key is not None and rel_vals else {}
+
+    area_kid = translator.key_id("area")
+    area_no_vid = translator.value_id("area", "no")
+    area_no = (
+        (area_kid, area_no_vid)
+        if area_kid is not None and area_no_vid is not None
+        else None
+    )
+
+    uninteresting = frozenset(
+        kid
+        for k in uninteresting_keys
+        if (kid := translator.key_id(k)) is not None
+    )
+    return TagInterpreter(
+        area_no_tag=area_no,
+        way_area_tags=way_area,
+        relation_area_tags=relation_area,
+        uninteresting_tag_keys=uninteresting,
     )

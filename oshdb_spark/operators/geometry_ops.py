@@ -41,6 +41,10 @@ from oshdb_spark.geometry.taginterpreter import (
 GEOM_RESULT_SCHEMA = "wkt string, area double, length double"
 
 
+def _is_empty_geom(g) -> bool:
+    return is_empty(g)
+
+
 def _measure(geom) -> tuple[str, float, float]:
     return to_wkt(geom), area_of(geom), length_of(geom)
 
@@ -133,6 +137,15 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
                 geom = None
                 if mtype == "node" and nodes:
                     geom = point(nodes[0][1], nodes[0][2])
+                elif mtype == "relation":
+                    # nested relation member: the child's prebuilt geometry
+                    # (one nesting level per resolution pass,
+                    # OSHDBGeometryBuilderInternal.java:305-358)
+                    mw = m["m_wkt"] if "m_wkt" in m else None
+                    if mw:
+                        child = from_wkt(mw)
+                        if not _is_empty_geom(child):
+                            geom = child
                 member_lines.append({"kind": kind, "nodes": nodes, "geom": geom})
             g = build_relation_geometry(
                 bool(vis), ti.relation_is_area(tag_map), member_lines

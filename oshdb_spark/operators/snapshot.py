@@ -154,8 +154,18 @@ def relation_lines(
     way_lines_df: DataFrame,
     node_snaps: DataFrame,
     timestamps: list[int],
+    rel_side: DataFrame | None = None,
 ) -> DataFrame:
-    """Relation snapshots with each member way's resolved line."""
+    """Relation snapshots with each member way's resolved line.
+
+    ``rel_side`` (optional): previously built relation snapshot geometries
+    (id, snap_ts, visible, wkt, last_mod_ts) to resolve RELATION members
+    against — one nesting level per pass, mirroring the reference's
+    recursion into member entities
+    (OSHDBGeometryBuilderInternal.java:305-358 calls getGeometry on each
+    member, relations included).  Without it, relation members stay
+    unresolved (skipped like missing members).
+    """
     rels = entities.filter(F.col("type") == "relation")
     snaps = explode_snapshots(rels, timestamps)
     mem = snaps.select(
@@ -206,20 +216,41 @@ def relation_lines(
         )
         .withColumn("m_ts", F.coalesce("w_ts", "nm_ts"))
     )
+    if rel_side is not None:
+        r_side = rel_side.select(
+            F.col("id").alias("ref"),
+            "snap_ts",
+            F.col("wkt").alias("r_wkt"),
+            F.col("last_mod_ts").alias("r_ts"),
+        )
+        joined = (
+            joined.join(r_side, ["ref", "snap_ts"], "left")
+            .withColumn(
+                "m_wkt",
+                F.when(F.col("mtype") == "relation", F.col("r_wkt")),
+            )
+            .withColumn("m_ts", F.coalesce("m_ts", "r_ts"))
+            .drop("r_wkt", "r_ts")
+        )
+    else:
+        joined = joined.withColumn("m_wkt", F.lit(None).cast("string"))
     grouped = joined.groupBy(
         "doc_id", "type", "id", "version", "visible", "changeset",
         "uid", "snap_ts", "own_ts",
     ).agg(
         F.first("tags").alias("tags"),
         F.array_sort(
-            F.collect_list(F.struct("pos", "role", "mtype", "line"))
+            F.collect_list(F.struct("pos", "role", "mtype", "line", "m_wkt"))
         ).alias("pmembers"),
         F.max("m_ts").alias("member_ts"),
     )
     members = F.transform(
         F.col("pmembers"),
         lambda p: F.struct(
-            p["role"].alias("role"), p["mtype"].alias("mtype"), p["line"].alias("line")
+            p["role"].alias("role"),
+            p["mtype"].alias("mtype"),
+            p["line"].alias("line"),
+            p["m_wkt"].alias("m_wkt"),
         ),
     )
     return grouped.withColumn("members", members).withColumn(
@@ -269,21 +300,46 @@ def snapshot_view(
         )
     )
 
-    rl = relation_lines(entities, wl, node_snaps, timestamps)
     rudf = relation_geometry_udf(interpreter)
-    rels_out = (
-        rl.filter("visible")
-        .withColumn("g", rudf("visible", "tags", "members"))
-        .select(
-            "doc_id", "type", "id", "version", "snap_ts", "visible", "tags",
-            "changeset", "uid", "last_mod_ts",
-            F.lit(None).cast("long").alias("lon"),
-            F.lit(None).cast("long").alias("lat"),
-            F.col("g.wkt").alias("wkt"),
-            F.col("g.area").alias("area"),
-            F.col("g.length").alias("length"),
+
+    def _build_rels(rl_df: DataFrame) -> DataFrame:
+        return (
+            rl_df.filter("visible")
+            .withColumn("g", rudf("visible", "tags", "members"))
+            .select(
+                "doc_id", "type", "id", "version", "snap_ts", "visible", "tags",
+                "changeset", "uid", "last_mod_ts",
+                F.lit(None).cast("long").alias("lon"),
+                F.lit(None).cast("long").alias("lat"),
+                F.col("g.wkt").alias("wkt"),
+                F.col("g.area").alias("area"),
+                F.col("g.length").alias("length"),
+            )
         )
+
+    rl = relation_lines(entities, wl, node_snaps, timestamps)
+    rels_out = _build_rels(rl)
+
+    # nested relation members (relation -> relation,
+    # OSHDBGeometryBuilderInternal.java:305-358 recursion): one cheap probe
+    # on the (small) relation subset; if super-relations exist, a second
+    # resolution pass joins their relation members against the first-pass
+    # geometries.  One nesting level per pass (real OSM super-relations);
+    # deeper nests resolve their relation members to the previous level.
+    rels = entities.filter(F.col("type") == "relation")
+    has_nested = (
+        rels.filter(
+            F.exists("members", lambda m: m["type"] == F.lit("relation"))
+        ).limit(1).count()
+        > 0
     )
+    if has_nested:
+        is_parent = F.exists("members", lambda m: m["mtype"] == F.lit("relation"))
+        rl2 = relation_lines(
+            entities, wl, node_snaps, timestamps, rel_side=rels_out
+        )
+        rebuilt = _build_rels(rl2.filter(is_parent))
+        rels_out = _build_rels(rl.filter(~is_parent)).unionByName(rebuilt)
 
     out = nodes_out.unionByName(ways_out).unionByName(rels_out)
     if not keep_empty:

@@ -56,6 +56,136 @@ def zonal_rect_aggregate(
     return joined.groupBy("zone_key").agg(*aggs)
 
 
+class ZoneIndex:
+    """Grid-bucketed spatial index over the zone set — the STRtree
+    candidate lookup of the reference's GeometrySplitter
+    (GeometrySplitter.java:46-95: build STRtree of subregions once, query
+    by feature envelope, exact-test only the candidates).
+
+    Bucket size = median zone extent, so a feature bbox touches O(1)
+    buckets and the per-row exact-intersects cost is ~O(candidates), not
+    O(zones) — the difference between 5 zones and 10k zones at scale.
+    Zones spanning more than MAX_SPAN buckets go to a small always-checked
+    global list (a country-sized zone among city blocks).
+    """
+
+    MAX_SPAN = 64
+
+    def __init__(self, zones: list[tuple[str, dict]]):
+        from oshdb_spark.geometry.model import bounds
+
+        self.keys = [k for k, _ in zones]
+        self.geoms = [g for _, g in zones]
+        bs = [bounds(g) for g in self.geoms]
+        self.bounds = np.asarray(
+            [b if b is not None else (0, 0, -1, -1) for b in bs], dtype=np.float64
+        )
+        widths = self.bounds[:, 2] - self.bounds[:, 0]
+        heights = self.bounds[:, 3] - self.bounds[:, 1]
+        ok = (widths >= 0) & (heights >= 0)
+        ext = np.concatenate([widths[ok], heights[ok]])
+        self.cell = float(np.median(ext[ext > 0])) if (ext > 0).any() else 1.0
+        self.buckets: dict[tuple[int, int], list[int]] = {}
+        self.global_zones: list[int] = []
+        for i, b in enumerate(self.bounds):
+            if b[2] < b[0]:
+                continue  # empty zone
+            x0, x1 = int(np.floor(b[0] / self.cell)), int(np.floor(b[2] / self.cell))
+            y0, y1 = int(np.floor(b[1] / self.cell)), int(np.floor(b[3] / self.cell))
+            if (x1 - x0 + 1) * (y1 - y0 + 1) > self.MAX_SPAN:
+                self.global_zones.append(i)
+                continue
+            for cx in range(x0, x1 + 1):
+                for cy in range(y0, y1 + 1):
+                    self.buckets.setdefault((cx, cy), []).append(i)
+
+    def candidates(self, b: tuple[float, float, float, float]) -> list[int]:
+        """Zone indices whose bucket cells overlap bbox b (superset of the
+        true intersecting set; caller exact-tests)."""
+        x0, x1 = int(np.floor(b[0] / self.cell)), int(np.floor(b[2] / self.cell))
+        y0, y1 = int(np.floor(b[1] / self.cell)), int(np.floor(b[3] / self.cell))
+        out: set[int] = set(self.global_zones)
+        for cx in range(x0, x1 + 1):
+            for cy in range(y0, y1 + 1):
+                out.update(self.buckets.get((cx, cy), ()))
+        # bbox-level reject before the caller's exact test
+        bb = self.bounds
+        return [
+            i
+            for i in out
+            if bb[i, 0] <= b[2] and bb[i, 2] >= b[0]
+            and bb[i, 1] <= b[3] and bb[i, 3] >= b[1]
+        ]
+
+
+def zones_of_wkt_udf(zones: list[tuple[str, dict]]):
+    """wkt -> array<string> of intersecting zone keys, ONE UDF call per row
+    regardless of zone count: ZoneIndex candidate lookup + exact
+    geometry_intersects_polygon on candidates only."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    from oshdb_spark.geometry.model import bounds, from_wkt
+    from oshdb_spark.geometry.polyclip import geometry_intersects_polygon
+
+    index = ZoneIndex(zones)
+
+    @F.pandas_udf("array<string>")
+    def _udf(wkt: pd.Series) -> pd.Series:
+        out = []
+        for w in wkt:
+            g = from_wkt(w)
+            b = bounds(g)
+            if b is None:
+                out.append([])
+                continue
+            hits = [
+                index.keys[i]
+                for i in index.candidates(b)
+                if geometry_intersects_polygon(g, index.geoms[i])
+            ]
+            out.append(hits)
+        return pd.Series(out)
+
+    return _udf
+
+
+def zone_clip_udf(zones: list[tuple[str, dict]]):
+    """(wkt, zone_key) -> struct(clipped_wkt, clipped_area, clipped_length)
+    against the named zone — one UDF for ALL zones (the per-zone clippers
+    are prepared once, driver-side) so the clip stage after the zone
+    explode stays a single Arrow pass."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    from oshdb_spark.geometry.clip import clip_to_convex_polygon, is_convex_polygon
+    from oshdb_spark.geometry.geo import area_of, length_of
+    from oshdb_spark.geometry.model import from_wkt, to_wkt
+    from oshdb_spark.geometry.polyclip import PreparedPolygon, clip_to_polygon
+
+    convex = {k: is_convex_polygon(g) for k, g in zones}
+    geoms = dict(zones)
+    prepared = {k: PreparedPolygon(g) for k, g in zones if not convex[k]}
+
+    @F.pandas_udf("clipped_wkt string, clipped_area double, clipped_length double")
+    def _udf(wkt: pd.Series, key: pd.Series) -> pd.DataFrame:
+        ws, ars, ls = [], [], []
+        for w, k in zip(wkt, key):
+            g = from_wkt(w)
+            if convex[k]:
+                c = clip_to_convex_polygon(g, geoms[k])
+            else:
+                c = clip_to_polygon(g, prepared[k])
+            ws.append(to_wkt(c))
+            ars.append(area_of(c))
+            ls.append(length_of(c))
+        return pd.DataFrame(
+            {"clipped_wkt": ws, "clipped_area": ars, "clipped_length": ls}
+        )
+
+    return _udf
+
+
 def zonal_polygon_aggregate(
     spark: SparkSession,
     points: DataFrame,

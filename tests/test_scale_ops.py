@@ -154,3 +154,82 @@ def test_pipeline_resumable_write(spark, docs_df, tmp_path):
     manifests = write_resumable(res, out, n_buckets=3)
     assert sum(m.rows for m in manifests) == res.snapshots.count()
     assert len(lineage_report(out)) == 3
+
+
+# ---------------------------------------------------------------------------
+# ZoneIndex (STRtree-analog candidate lookup, GeometrySplitter.java:46-95)
+# ---------------------------------------------------------------------------
+
+
+def _grid_zones(n_side, size=1.0):
+    zones = []
+    for i in range(n_side):
+        for j in range(n_side):
+            x0, y0 = i * size, j * size
+            zones.append((
+                f"z_{i}_{j}",
+                {"type": "Polygon", "coordinates": [[
+                    [x0, y0], [x0 + size, y0], [x0 + size, y0 + size],
+                    [x0, y0 + size], [x0, y0],
+                ]]},
+            ))
+    return zones
+
+
+def test_zone_index_candidates_superset_and_small():
+    from oshdb_spark.geometry.polyclip import geometry_intersects_polygon
+    from oshdb_spark.operators.zonal import ZoneIndex
+
+    zones = _grid_zones(50)  # 2500 zones
+    idx = ZoneIndex(zones)
+    # a small feature bbox must get a small candidate set (sublinear in
+    # zone count) that still contains every truly intersecting zone
+    b = (10.4, 20.6, 10.9, 21.1)
+    cands = idx.candidates(b)
+    assert len(cands) <= 16  # O(1) buckets, not O(2500)
+    feature = {"type": "Polygon", "coordinates": [[
+        [b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]], [b[0], b[1]],
+    ]]}
+    truth = {
+        k for k, g in zones if geometry_intersects_polygon(feature, g)
+    }
+    assert truth <= {idx.keys[i] for i in cands}
+
+
+def test_zone_index_global_zone():
+    from oshdb_spark.operators.zonal import ZoneIndex
+
+    zones = _grid_zones(20)
+    zones.append(("world", {"type": "Polygon", "coordinates": [[
+        [-180, -90], [180, -90], [180, 90], [-180, 90], [-180, -90]]]}))
+    idx = ZoneIndex(zones)
+    assert any(idx.keys[i] == "world" for i in idx.candidates((5.5, 5.5, 5.6, 5.6)))
+
+
+def test_zones_of_wkt_udf_many_zones(spark):
+    """2500-zone zonal tagging through the single-UDF indexed path: every
+    point lands in its containing cell zone(s)."""
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.zonal import zones_of_wkt_udf
+
+    zones = _grid_zones(50)
+    pts = spark.range(500).select(
+        F.col("id"),
+        F.concat(
+            F.lit("POINT ("),
+            ((F.col("id") % 47) * 1.03 + 0.011).cast("string"),
+            F.lit(" "),
+            ((F.col("id") % 43) * 1.07 + 0.013).cast("string"),
+            F.lit(")"),
+        ).alias("wkt"),
+    )
+    tagged = pts.withColumn("zk", F.explode(zones_of_wkt_udf(zones)(F.col("wkt"))))
+    rows = tagged.collect()
+    assert len(rows) == 500  # interior points -> exactly one zone each
+    for r in rows:
+        x = (r["id"] % 47) * 1.03 + 0.011
+        y = (r["id"] % 43) * 1.07 + 0.013
+        i, j = int(x // 1.0), int(y // 1.0)
+        if i < 50 and j < 50:
+            assert r["zk"] == f"z_{i}_{j}", (x, y, r["zk"])

@@ -182,3 +182,69 @@ def test_deleted_entities_not_emitted(snapshots, docs_parquet):
         for t in TS:
             if t >= row.ts:
                 assert (row.id, t) not in got, (row.id, t)
+
+
+# ---------------------------------------------------------------------------
+# nested relation members (relation -> relation,
+# OSHDBGeometryBuilderInternal.java:305-358 recursion)
+# ---------------------------------------------------------------------------
+
+NEST_SCHEMA = (
+    "doc_id string, id long, type string, version int, visible boolean, "
+    "ts long, changeset long, uid int, tags map<int,int>, lon long, lat long, "
+    "refs array<long>, members array<struct<type:string,ref:long,role:string>>"
+)
+
+
+def _mk(doc, id_, typ, ver, vis, ts, lon=None, lat=None, refs=None, members=None,
+        tags=None):
+    return (doc, id_, typ, ver, vis, ts, 0, 0, tags or {}, lon, lat, refs, members)
+
+
+def test_nested_relation_geometry(spark):
+    """A super-relation with a relation member resolves one level deep: its
+    GeometryCollection contains the child relation's geometry; a missing
+    (unresolvable) relation member is skipped with a partial result."""
+    t0 = 100
+    rows = [
+        _mk("d", 1, "node", 1, True, t0, 10_0000000, 10_0000000),
+        _mk("d", 2, "node", 1, True, t0, 20_0000000, 10_0000000),
+        _mk("d", 3, "node", 1, True, t0, 30_0000000, 30_0000000),
+        # child relation 50: collection of nodes 1,2
+        _mk("d", 50, "relation", 1, True, t0, members=[
+            ("node", 1, ""), ("node", 2, "")]),
+        # super-relation 60: child relation 50 + node 3
+        _mk("d", 60, "relation", 1, True, t0, members=[
+            ("relation", 50, ""), ("node", 3, "")]),
+        # super-relation 61: only a DANGLING relation member (no data)
+        _mk("d", 61, "relation", 1, True, t0, members=[
+            ("relation", 999, ""), ("node", 3, "")]),
+    ]
+    ents = spark.createDataFrame(rows, NEST_SCHEMA)
+    out = snapshot_view(ents, [t0 + 1], keep_empty=True)
+    wkts = {r["id"]: r["wkt"] for r in out.filter("type = 'relation'").collect()}
+    child = from_wkt(wkts[50])
+    assert child["type"] == "GeometryCollection"
+    assert len(child["geometries"]) == 2
+    sup = from_wkt(wkts[60])
+    assert sup["type"] == "GeometryCollection"
+    # child collection + node 3 point
+    assert len(sup["geometries"]) == 2
+    assert any(g["type"] == "GeometryCollection" for g in sup["geometries"])
+    # dangling relation member skipped, partial result (reference logs+skips)
+    dangling = from_wkt(wkts[61])
+    assert len(dangling["geometries"]) == 1
+
+
+def test_flat_relations_unaffected_by_nesting_path(spark):
+    """Without any relation-type members the probe short-circuits and the
+    plan stays single-pass (same results as before)."""
+    t0 = 100
+    rows = [
+        _mk("d", 1, "node", 1, True, t0, 10_0000000, 10_0000000),
+        _mk("d", 50, "relation", 1, True, t0, members=[("node", 1, "")]),
+    ]
+    ents = spark.createDataFrame(rows, NEST_SCHEMA)
+    out = snapshot_view(ents, [t0 + 1], keep_empty=True)
+    wkts = {r["id"]: r["wkt"] for r in out.filter("type = 'relation'").collect()}
+    assert from_wkt(wkts[50])["type"] == "GeometryCollection"

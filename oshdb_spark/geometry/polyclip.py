@@ -14,13 +14,14 @@ convex.  Reference semantics covered here:
   * general clipping: FastPolygonOperations pre-decomposes the clip
     polygon so each piece is cheap to intersect
     (fip/FastPolygonOperations.java:26-60 — 2^k x 2^k quad blocks of
-    ~40 vertices).  We decompose further, to TRIANGLES (ear clipping
-    with hole bridging): a triangle is convex, so each piece-clip is the
-    exact Sutherland-Hodgman/Cyrus-Beck kernel already proven for the
-    convex path (geometry/clip.py).  intersection(geom, poly) =
-    union over triangles of intersection(geom, tri); since triangle
-    interiors are disjoint, areas are additive and the union region is
-    exactly the true intersection.
+    ~40 vertices).  We decompose further, to TRIANGLES (even-odd
+    trapezoidal slab decomposition, see triangulate_polygon): a triangle
+    is convex, so each piece-clip is the exact Sutherland-Hodgman/
+    Cyrus-Beck kernel already proven for the convex path
+    (geometry/clip.py).  intersection(geom, poly) = union over triangles
+    of intersection(geom, tri); triangle interiors are disjoint, so
+    areas are additive and the union region is exactly the true
+    intersection.
 
 Output-shape note (documented divergence from JTS): polygonal clip
 results come back as a MultiPolygon of triangle-clipped pieces that
@@ -39,8 +40,6 @@ broadcasting it with the query.
 """
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 
@@ -93,145 +92,68 @@ def _dedupe_consecutive(pts: list[list[float]]) -> list[list[float]]:
 
 
 # ---------------------------------------------------------------------------
-# ear-clipping triangulation with hole bridging
+# triangulation (trapezoidal slab decomposition)
 # ---------------------------------------------------------------------------
 
 
-def _point_in_tri_blocking(p, a, b, c) -> bool:
-    """True if p blocks ear (a,b,c): inside or on its boundary, and not
-    coincident with a corner (bridged vertices duplicate coordinates)."""
-    if p == a or p == b or p == c:
-        return False
-    d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
-    d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
-    d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
-    return d1 >= 0 and d2 >= 0 and d3 >= 0
-
-
-def _ear_clip(pts: list[list[float]]) -> list[tuple]:
-    """Triangulate a simple CCW polygon (may contain duplicated bridge
-    vertices) by ear clipping.  O(n^2) worst case — run once per query
-    polygon on the driver, never per row."""
-    idx = list(range(len(pts)))
-    tris: list[tuple] = []
-    stuck = 0
-    while len(idx) > 3:
-        n = len(idx)
-        found = False
-        for k in range(n):
-            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n]
-            a, b, c = pts[i0], pts[i1], pts[i2]
-            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-            if cross < 0:
-                continue  # reflex
-            if cross == 0:
-                # collinear spike/bridge seam: removing the middle vertex is
-                # always safe (zero-area ear)
-                del idx[k]
-                found = True
-                break
-            if any(
-                _point_in_tri_blocking(pts[j], a, b, c)
-                for j in idx
-                if j not in (i0, i1, i2)
-            ):
-                continue
-            tris.append((tuple(a), tuple(b), tuple(c)))
-            del idx[k]
-            found = True
-            break
-        if not found:
-            stuck += 1
-            if stuck > 1:
-                raise ValueError(
-                    "ear clipping failed: polygon is self-intersecting or "
-                    "numerically degenerate"
-                )
-        else:
-            stuck = 0
-    a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
-    if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) > 0:
-        tris.append((tuple(a), tuple(b), tuple(c)))
-    return tris
-
-
-def _bridge_hole(outer: list[list[float]], hole: list[list[float]]) -> list[list[float]]:
-    """Splice one hole (CW, open) into the outer ring (CCW, open) via a
-    mutually visible vertex pair (Eberly, "Triangulation by Ear Clipping"
-    §5 — the same hole-elimination JTS performs internally before its
-    polygon triangulations)."""
-    mi = max(range(len(hole)), key=lambda i: (hole[i][0], hole[i][1]))
-    mx, my = hole[mi]
-    # closest outer-edge intersection of the +x ray from M
-    best_t = math.inf
-    best_edge = -1
-    n = len(outer)
-    for e in range(n):
-        x1, y1 = outer[e]
-        x2, y2 = outer[(e + 1) % n]
-        if (y1 > my) == (y2 > my):
-            continue
-        t = x1 + (my - y1) / (y2 - y1) * (x2 - x1)
-        if t >= mx and t < best_t:
-            best_t = t
-            best_edge = e
-    if best_edge < 0:
-        raise ValueError("hole outside outer ring")
-    x1, y1 = outer[best_edge]
-    x2, y2 = outer[(best_edge + 1) % n]
-    # candidate visible vertex: endpoint of the hit edge with larger x
-    p_idx = best_edge if x1 > x2 else (best_edge + 1) % n
-    ix, iy = best_t, my
-    # a reflex outer vertex inside triangle (M, I, P) would occlude P; pick
-    # the occluder minimizing the angle to the ray (then distance)
-    px, py = outer[p_idx]
-    best = None
-    for j in range(n):
-        if j == p_idx:
-            continue
-        a, b, c = outer[j - 1], outer[j], outer[(j + 1) % n]
-        reflex = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) < 0
-        if not reflex:
-            continue
-        if _point_in_tri_blocking(b, [mx, my], [ix, iy], [px, py]):
-            dx, dy = b[0] - mx, b[1] - my
-            d = math.hypot(dx, dy)
-            cos_a = dx / d if d else 1.0
-            key = (-cos_a, d)
-            if best is None or key < best[0]:
-                best = (key, j)
-    if best is not None:
-        p_idx = best[1]
-    # splice: outer[0..p] + M + hole(rotated from M) + M + P + outer[p+1..]
-    rotated = hole[mi:] + hole[:mi]
-    return (
-        outer[: p_idx + 1]
-        + [list(rotated[0])]
-        + [list(p) for p in rotated[1:]]
-        + [list(rotated[0]), list(outer[p_idx])]
-        + outer[p_idx + 1 :]
-    )
-
-
 def triangulate_polygon(shell, holes=()) -> list[tuple]:
-    """Triangles (CCW coordinate triples) covering shell minus holes."""
-    outer = _dedupe_consecutive(_open_ring(shell))
-    if len(outer) < 3:
-        return []
-    if _signed_area2(outer) < 0:
-        outer = outer[::-1]
-    hs = []
+    """Triangles (CCW coordinate triples) covering shell minus holes.
+
+    Implementation: even-odd TRAPEZOIDAL SLAB decomposition, split into
+    triangles.  All ring x-coordinates become slab boundaries; within a
+    slab every spanning edge is crossing-free (edges of valid rings meet
+    only at endpoints, which lie on slab boundaries), so sorting the
+    spanning edges by height and pairing them even-odd yields the exact
+    interior trapezoids — shell-minus-holes falls out of the even-odd
+    rule with NO hole bridging and no ear-clipping, which makes the
+    decomposition immune to the degenerate inputs real boundaries throw
+    at it (touching holes, rings meeting at a point, collinear spikes —
+    osm-testdata 7xx).  Linear interpolation at slab edges is exact, so
+    total area is exact.  Runs once per query polygon on the driver.
+    """
+    rings = [_dedupe_consecutive(_open_ring(shell))]
     for h in holes:
         hh = _dedupe_consecutive(_open_ring(h))
-        if len(hh) < 3:
+        if len(hh) >= 3:
+            rings.append(hh)
+    if len(rings[0]) < 3:
+        return []
+    xs1, ys1, xs2, ys2 = [], [], [], []
+    for r in rings:
+        a = np.asarray(r + [r[0]], dtype=np.float64)
+        xs1.append(a[:-1, 0]); ys1.append(a[:-1, 1])
+        xs2.append(a[1:, 0]); ys2.append(a[1:, 1])
+    ex1 = np.concatenate(xs1); ey1 = np.concatenate(ys1)
+    ex2 = np.concatenate(xs2); ey2 = np.concatenate(ys2)
+    nonvert = ex1 != ex2
+    ex1, ey1, ex2, ey2 = ex1[nonvert], ey1[nonvert], ex2[nonvert], ey2[nonvert]
+    if len(ex1) == 0:
+        return []
+    eminx = np.minimum(ex1, ex2); emaxx = np.maximum(ex1, ex2)
+    with np.errstate(invalid="ignore"):
+        slope = (ey2 - ey1) / (ex2 - ex1)
+    xs = np.unique(np.concatenate([ex1, ex2]))
+    tris: list[tuple] = []
+    for xa, xb in zip(xs[:-1], xs[1:]):
+        active = (eminx <= xa) & (emaxx >= xb)
+        if not active.any():
             continue
-        if _signed_area2(hh) > 0:
-            hh = hh[::-1]  # holes clockwise
-        hs.append(hh)
-    # merge holes rightmost-first so later bridges cannot cross them
-    for hh in sorted(hs, key=lambda h: -max(p[0] for p in h)):
-        outer = _bridge_hole(outer, hh)
-    return _ear_clip(outer)
+        idx = np.nonzero(active)[0]
+        ya = ey1[idx] + slope[idx] * (xa - ex1[idx])
+        yb = ey1[idx] + slope[idx] * (xb - ex1[idx])
+        order = np.argsort((ya + yb) / 2, kind="stable")
+        ya, yb = ya[order], yb[order]
+        for k in range(0, len(idx) - 1, 2):
+            y0a, y0b, y1a, y1b = ya[k], yb[k], ya[k + 1], yb[k + 1]
+            # trapezoid (xa,y0a)-(xb,y0b)-(xb,y1b)-(xa,y1a), CCW
+            for tri in (
+                ((xa, y0a), (xb, y0b), (xb, y1b)),
+                ((xa, y0a), (xb, y1b), (xa, y1a)),
+            ):
+                (tax, tay), (tbx, tby), (tcx, tcy) = tri
+                if (tbx - tax) * (tcy - tay) - (tby - tay) * (tcx - tax) > 0:
+                    tris.append(tri)
+    return tris
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +334,14 @@ class PreparedPolygon:
         for rings in polys:
             if not rings:
                 continue
-            tris.extend(triangulate_polygon(rings[0], rings[1:]))
+            for tri in triangulate_polygon(rings[0], rings[1:]):
+                (ax, ay), (bx, by), (cx, cy) = tri
+                a2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                # float-noise slivers (collinear in exact arithmetic) carry
+                # no area and break the convex kernel — drop them
+                scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+                if abs(a2) > 1e-12 * scale * scale:
+                    tris.append(tri)
         self.triangles = [
             {"type": "Polygon", "coordinates": [[list(a), list(b), list(c), list(a)]]}
             for a, b, c in tris
@@ -607,7 +536,10 @@ def clip_to_polygon(geom: Geometry | None, prepared: PreparedPolygon) -> Geometr
     if t in ("Polygon", "MultiPolygon"):
         pieces = []
         for ti in prepared.candidate_triangles(b):
-            piece = clip_to_convex_polygon(geom, prepared.triangles[ti])
+            try:
+                piece = clip_to_convex_polygon(geom, prepared.triangles[ti])
+            except ValueError:
+                continue  # degenerate (zero-area) triangle: measure zero
             if is_empty(piece):
                 continue
             pc = piece["coordinates"]

@@ -305,6 +305,18 @@ class _MapReducer:
     def count(self) -> int:
         return int(self._agg_scalar(F.count(F.lit(1))))
 
+    def reduce(self, identity_supplier, accumulator, combiner):
+        """Arbitrary-monoid reduce (MapReducer.reduce(identitySupplier,
+        accumulator, combiner), MapReducer.java:834-935): the accumulator
+        folds Arrow batches per partition, the combiner merges the
+        per-partition partials driver-side.  See
+        operators/aggregations.generic_reduce."""
+        from oshdb_spark.operators.aggregations import generic_reduce
+
+        return generic_reduce(
+            self.dataframe(), identity_supplier, accumulator, combiner
+        )
+
     def sum(self, col: str | Column):
         return self._agg_scalar(F.sum(col))
 

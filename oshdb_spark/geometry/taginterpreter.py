@@ -219,3 +219,26 @@ def interpreter_from_json(
         relation_area_tags=relation_area,
         uninteresting_tag_keys=uninteresting,
     )
+
+
+def _old_style_relation(
+    interpreter: TagInterpreter,
+    member_pairs: list[tuple[str, str]],
+    tags: dict[int, int],
+) -> bool:
+    """BaseTagInterpreter.isOldStyleMultipolygon (BaseTagInterpreter.java:108-134):
+    exactly ONE way member with role "outer" (the empty role does NOT
+    count here), and every relation tag is either a relation-area tag
+    (type=multipolygon/boundary) or an uninteresting key — i.e. the
+    semantic tags live on the outer way, old-style."""
+    outer_ways = sum(1 for t, r in member_pairs if t == "way" and r == "outer")
+    if outer_ways != 1:
+        return False
+    for k, v in tags.items():
+        vals = interpreter.relation_area_tags.get(k)
+        if vals is not None and (vals == ALL_VALUES or v in vals):
+            continue
+        if k in interpreter.uninteresting_tag_keys:
+            continue
+        return False
+    return True

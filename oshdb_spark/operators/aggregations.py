@@ -155,3 +155,38 @@ def quantile_agg(col: str, q: float, name: str | None = None) -> Column:
 
 def exact_quantile_agg(col: str, q: float, name: str | None = None) -> Column:
     return F.expr(f"percentile({col}, {q})").alias(name or f"q{int(q*100)}_{col}_exact")
+
+
+def generic_reduce(df, identity_supplier, accumulator, combiner):
+    """Arbitrary-monoid reduce over a DataFrame — the reference's generic
+    reduce(identitySupplier, accumulator, combiner) contract
+    (MapReducer.java:834-935; per-cell fold + cross-cell combine,
+    Kernels.java:62-74).
+
+    Spark shape: mapInPandas folds each PARTITION into one pickled state
+    (the map-side partial, one Arrow pass, no per-row Python beyond the
+    user's own accumulator), then the driver combines the per-partition
+    partials — a bounded list (one blob per partition), never the rows.
+
+      accumulator(state, batch: pandas.DataFrame) -> state
+      combiner(state, state) -> state
+
+    The accumulator MUST be associative-compatible with combiner and the
+    identity (same contract as the reference: reduce(identity, combine)
+    merges partials in arbitrary order).
+    """
+    import pickle
+
+    import pandas as _pd
+
+    def partials(batches):
+        state = identity_supplier()
+        for pdf in batches:
+            state = accumulator(state, pdf)
+        yield _pd.DataFrame({"p": [pickle.dumps(state)]})
+
+    parts = df.mapInPandas(partials, "p binary").collect()
+    out = identity_supplier()
+    for r in parts:
+        out = combiner(out, pickle.loads(bytes(r["p"])))
+    return out

@@ -266,6 +266,62 @@ def intersects_polygon_udf(polygon_geom: dict):
     return _udf
 
 
+def old_style_flag_udf(interpreter: TagInterpreter | None = None):
+    """(tags, members) -> boolean: relation is an OLD-STYLE multipolygon
+    (one outer way, no interesting relation tags —
+    BaseTagInterpreter.isOldStyleMultipolygon, BaseTagInterpreter.java:108-134)."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    from oshdb_spark.geometry.taginterpreter import _old_style_relation
+
+    ti = interpreter or default_tag_interpreter()
+
+    @F.pandas_udf("boolean")
+    def _udf(tags: pd.Series, members: pd.Series) -> pd.Series:
+        out = []
+        for tg, mems in zip(tags, members):
+            tag_map = {int(k): int(v) for k, v in (tg or {}).items()}
+            pairs = [
+                (m["mtype"], m["role"])
+                for m in (mems if mems is not None and len(mems) else [])
+            ]
+            out.append(_old_style_relation(ti, pairs, tag_map))
+        return pd.Series(out)
+
+    return _udf
+
+
+def holes_only_udf():
+    """wkt -> struct(wkt, area, length): the MultiPolygon of the
+    geometry's INTERIOR rings only — the reference's old-style
+    multipolygon fix-up geometry (CellIterator.java:358-380: 'return only
+    the inner holes ... used to fix the results obtained from
+    calculating the geometry on the object's outer way')."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    @F.pandas_udf(GEOM_RESULT_SCHEMA)
+    def _udf(wkt: pd.Series) -> pd.DataFrame:
+        wkts, areas, lengths = [], [], []
+        for w in wkt:
+            g = from_wkt(w)
+            holes = []
+            if g["type"] == "Polygon":
+                holes = [[r] for r in g["coordinates"][1:]]
+            elif g["type"] == "MultiPolygon":
+                holes = [[r] for rings in g["coordinates"] for r in rings[1:]]
+            mp = {"type": "MultiPolygon", "coordinates": holes}
+            ww, a, l = _measure(mp)
+            wkts.append(ww)
+            areas.append(a)
+            lengths.append(l)
+        return pd.DataFrame({"wkt": wkts, "area": areas, "length": lengths})
+
+    return _udf
+
+
 METRICS_RESULT_SCHEMA = (
     "g_vertices int, g_outers int, g_inners int,"
     " g_roundness double, g_squareness double"

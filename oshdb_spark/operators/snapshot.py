@@ -240,7 +240,7 @@ def relation_lines(
     ).agg(
         F.first("tags").alias("tags"),
         F.array_sort(
-            F.collect_list(F.struct("pos", "role", "mtype", "line", "m_wkt"))
+            F.collect_list(F.struct("pos", "role", "mtype", "ref", "line", "m_wkt"))
         ).alias("pmembers"),
         F.max("m_ts").alias("member_ts"),
     )
@@ -249,6 +249,7 @@ def relation_lines(
         lambda p: F.struct(
             p["role"].alias("role"),
             p["mtype"].alias("mtype"),
+            p["ref"].alias("ref"),
             p["line"].alias("line"),
             p["m_wkt"].alias("m_wkt"),
         ),
@@ -270,12 +271,20 @@ def snapshot_view(
     bbox_deg: tuple[float, float, float, float] | None = None,
     interpreter: TagInterpreter | None = None,
     keep_empty: bool = False,
+    include_old_style_multipolygons: bool = False,
 ) -> DataFrame:
     """The full snapshot view over all three entity kinds.
 
     Returns one row per (entity, snapshot timestamp) where the entity exists,
     is visible, and (if bbox_deg given) its clipped geometry is non-empty;
     adds clipped_wkt/clipped_area/clipped_length when clipping.
+
+    ``include_old_style_multipolygons`` (CellIterator.java:102-205
+    constructor flag, :330-380 handling): relations with exactly one
+    outer way and no interesting relation tags emit only their INNER
+    HOLES as geometry (the fix-up applied against the outer way's own
+    result), and their tags are substituted with the outer way's tags so
+    downstream filters test the way, as the reference does.
     """
     node_snaps = node_snapshots(entities, timestamps)
     nodes_out = node_snaps.filter("visible").select(
@@ -340,6 +349,52 @@ def snapshot_view(
         )
         rebuilt = _build_rels(rl2.filter(is_parent))
         rels_out = _build_rels(rl.filter(~is_parent)).unionByName(rebuilt)
+
+    if include_old_style_multipolygons:
+        from oshdb_spark.operators.geometry_ops import (
+            holes_only_udf,
+            old_style_flag_udf,
+        )
+
+        flag = old_style_flag_udf(interpreter)
+        outer_ref = F.filter(
+            F.col("members"),
+            lambda m: (m["mtype"] == F.lit("way")) & (m["role"] == F.lit("outer")),
+        )[0]["ref"]
+        flagged = (
+            rl.filter("visible")
+            .withColumn("__old", flag("tags", "members"))
+            .filter("__old")
+            .select("type", "id", "version", "snap_ts",
+                    outer_ref.alias("__outer_ref"))
+        )
+        way_tags = wl.select(
+            F.col("id").alias("__outer_ref"),
+            "snap_ts",
+            F.col("tags").alias("__way_tags"),
+        )
+        flagged = flagged.join(way_tags, ["__outer_ref", "snap_ts"], "left")
+        rels_out = rels_out.join(
+            flagged, ["type", "id", "version", "snap_ts"], "left"
+        )
+        hu = holes_only_udf()
+        is_old = F.col("__outer_ref").isNotNull()
+        rels_out = (
+            rels_out.withColumn(
+                "__h", F.when(is_old, hu(F.col("wkt")))
+            )
+            .withColumn("wkt", F.when(is_old, F.col("__h.wkt")).otherwise(F.col("wkt")))
+            .withColumn("area", F.when(is_old, F.col("__h.area")).otherwise(F.col("area")))
+            .withColumn(
+                "length", F.when(is_old, F.col("__h.length")).otherwise(F.col("length"))
+            )
+            .withColumn(
+                "tags",
+                F.when(is_old, F.coalesce(F.col("__way_tags"), F.col("tags")))
+                .otherwise(F.col("tags")),
+            )
+            .drop("__h", "__outer_ref", "__way_tags", "__old")
+        )
 
     out = nodes_out.unionByName(ways_out).unionByName(rels_out)
     if not keep_empty:

@@ -294,3 +294,35 @@ def test_polygon_aoi_nonconvex_clip(db):
     ).collect()[0]
     # clipping can only shrink, and the AOI holds at least one feature
     assert 0 < row["ca"] <= row["a"] * (1 + 1e-9)
+
+
+def test_generic_reduce(db):
+    """Arbitrary-monoid reduce (MapReducer.java:834-935): a custom
+    (count, sum, max) monoid over snapshot ids matches the column aggs."""
+    view = SnapshotView.on(db).timestamps([TS[3]]).filter("type:node")
+
+    def identity():
+        return (0, 0, None)
+
+    def acc(state, pdf):
+        c, s, m = state
+        ids = pdf["id"]
+        mx = int(ids.max()) if len(ids) else None
+        return (
+            c + len(ids),
+            s + int(ids.sum()),
+            mx if m is None else (m if mx is None else max(m, mx)),
+        )
+
+    def comb(a, b):
+        m = a[2] if b[2] is None else (b[2] if a[2] is None else max(a[2], b[2]))
+        return (a[0] + b[0], a[1] + b[1], m)
+
+    got = view.reduce(identity, acc, comb)
+    df = view.dataframe()
+    row = df.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("id").alias("s"),
+        F.max("id").alias("m"),
+    ).collect()[0]
+    assert got == (row["c"], row["s"], row["m"])

@@ -248,3 +248,51 @@ def test_flat_relations_unaffected_by_nesting_path(spark):
     out = snapshot_view(ents, [t0 + 1], keep_empty=True)
     wkts = {r["id"]: r["wkt"] for r in out.filter("type = 'relation'").collect()}
     assert from_wkt(wkts[50])["type"] == "GeometryCollection"
+
+
+def test_old_style_multipolygons(spark):
+    """includeOldStyleMultipolygons (CellIterator.java:330-380): a relation
+    with one outer way and no interesting tags emits only its inner holes,
+    with the outer way's tags substituted; ordinary relations unchanged."""
+    t0 = 100
+    sq = [(1, 0, 0), (2, 10, 0), (3, 10, 10), (4, 0, 10)]
+    hole = [(5, 4, 4), (6, 6, 4), (7, 6, 6), (8, 4, 6)]
+    rows = []
+    for nid, x, y in sq + hole:
+        rows.append(_mk("d", nid, "node", 1, True, t0,
+                        x * 10_000_000, y * 10_000_000))
+    # outer way closed ring, carries the semantic tag (building=1 -> key 2)
+    rows.append(("d", 20, "way", 1, True, t0, 0, 0, {2: 1}, None, None,
+                 [1, 2, 3, 4, 1], None))
+    # inner way closed ring
+    rows.append(("d", 21, "way", 1, True, t0, 0, 0, {}, None, None,
+                 [5, 6, 7, 8, 5], None))
+    # old-style relation: ONLY type=multipolygon (key 4 val 1), tags on way
+    rows.append(("d", 30, "relation", 1, True, t0, 0, 0, {4: 1}, None, None,
+                 None, [("way", 20, "outer"), ("way", 21, "inner")]))
+    # new-style relation: carries its own building tag too
+    rows.append(("d", 31, "relation", 1, True, t0, 0, 0, {4: 1, 2: 7}, None,
+                 None, None, [("way", 20, "outer"), ("way", 21, "inner")]))
+    ents = spark.createDataFrame(rows, NEST_SCHEMA)
+
+    out = snapshot_view(ents, [t0 + 1], include_old_style_multipolygons=True)
+    rels = {r["id"]: r for r in out.filter("type = 'relation'").collect()}
+
+    old = rels[30]
+    g = from_wkt(old["wkt"])
+    assert g["type"] == "MultiPolygon"  # holes-only fix-up geometry
+    assert len(g["coordinates"]) == 1
+    xs = [p[0] for p in g["coordinates"][0][0]]
+    assert min(xs) == 4.0 and max(xs) == 6.0  # it IS the hole ring
+    assert dict(old["tags"]) == {2: 1}  # outer way's tags substituted
+
+    new = rels[31]
+    gn = from_wkt(new["wkt"])
+    assert gn["type"] == "Polygon" and len(gn["coordinates"]) == 2
+    assert dict(new["tags"]) == {4: 1, 2: 7}
+
+    # without the flag, the old-style relation builds normally
+    out2 = snapshot_view(ents, [t0 + 1])
+    r30 = out2.filter("type = 'relation' and id = 30").collect()[0]
+    assert from_wkt(r30["wkt"])["type"] == "Polygon"
+    assert dict(r30["tags"]) == {4: 1}

@@ -39,6 +39,12 @@ from oshdb_spark.geometry.taginterpreter import (
 )
 
 GEOM_RESULT_SCHEMA = "wkt string, area double, length double"
+# geometry build results carry the geometry bbox so downstream clipping can
+# classify inside/outside JVM-side and invoke Python only on border rows
+GEOM_BBOX_SCHEMA = (
+    "wkt string, area double, length double,"
+    " minx double, miny double, maxx double, maxy double"
+)
 
 
 def _is_empty_geom(g) -> bool:
@@ -47,6 +53,14 @@ def _is_empty_geom(g) -> bool:
 
 def _measure(geom) -> tuple[str, float, float]:
     return to_wkt(geom), area_of(geom), length_of(geom)
+
+
+def _measure_bbox(geom):
+    w, a, l = _measure(geom)
+    b = bounds(geom)
+    if b is None:
+        return w, a, l, None, None, None, None
+    return w, a, l, b[0], b[1], b[2], b[3]
 
 
 def node_geometry_cols(lon_col, lat_col, visible_col):
@@ -74,11 +88,11 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
     ensure_package_on_workers()
     ti = interpreter or default_tag_interpreter()
 
-    @F.pandas_udf(GEOM_RESULT_SCHEMA)
+    @F.pandas_udf(GEOM_BBOX_SCHEMA)
     def _udf(
         visible: pd.Series, tags: pd.Series, refs: pd.Series, line: pd.Series
     ) -> pd.DataFrame:
-        wkts, areas, lengths = [], [], []
+        rows = []
         for vis, tg, rf, ln in zip(visible, tags, refs, line):
             tag_map = {int(k): int(v) for k, v in (tg or {}).items()}
             rf = list(rf) if rf is not None and len(rf) else []
@@ -89,11 +103,10 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
             )
             is_area = ti.way_is_area(rf, tag_map)
             g = build_way_geometry(bool(vis), is_area, nodes)
-            w, a, l = _measure(g)
-            wkts.append(w)
-            areas.append(a)
-            lengths.append(l)
-        return pd.DataFrame({"wkt": wkts, "area": areas, "length": lengths})
+            rows.append(_measure_bbox(g))
+        return pd.DataFrame(
+            rows, columns=["wkt", "area", "length", "minx", "miny", "maxx", "maxy"]
+        )
 
     return _udf
 
@@ -111,11 +124,11 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
     ti = interpreter or default_tag_interpreter()
     role_code = {"outer": ROLE_OUTER, "inner": ROLE_INNER, "": ROLE_EMPTY}
 
-    @F.pandas_udf(GEOM_RESULT_SCHEMA)
+    @F.pandas_udf(GEOM_BBOX_SCHEMA)
     def _udf(
         visible: pd.Series, tags: pd.Series, members: pd.Series
     ) -> pd.DataFrame:
-        wkts, areas, lengths = [], [], []
+        rows = []
         for vis, tg, mems in zip(visible, tags, members):
             tag_map = {int(k): int(v) for k, v in (tg or {}).items()}
             member_lines = []
@@ -150,11 +163,10 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
             g = build_relation_geometry(
                 bool(vis), ti.relation_is_area(tag_map), member_lines
             )
-            w, a, l = _measure(g)
-            wkts.append(w)
-            areas.append(a)
-            lengths.append(l)
-        return pd.DataFrame({"wkt": wkts, "area": areas, "length": lengths})
+            rows.append(_measure_bbox(g))
+        return pd.DataFrame(
+            rows, columns=["wkt", "area", "length", "minx", "miny", "maxx", "maxy"]
+        )
 
     return _udf
 

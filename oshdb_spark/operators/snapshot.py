@@ -287,10 +287,14 @@ def snapshot_view(
     downstream filters test the way, as the reference does.
     """
     node_snaps = node_snapshots(entities, timestamps)
+    lon_deg = F.col("lon").cast("double") / 1e7
+    lat_deg = F.col("lat").cast("double") / 1e7
     nodes_out = node_snaps.filter("visible").select(
         "doc_id", "type", "id", "version", "snap_ts", "visible", "tags",
         "changeset", "uid", "last_mod_ts", "lon", "lat", "wkt",
         F.lit(0.0).alias("area"), F.lit(0.0).alias("length"),
+        lon_deg.alias("minx"), lat_deg.alias("miny"),
+        lon_deg.alias("maxx"), lat_deg.alias("maxy"),
     )
 
     wl = way_lines(entities, node_snaps, timestamps)
@@ -306,6 +310,10 @@ def snapshot_view(
             F.col("g.wkt").alias("wkt"),
             F.col("g.area").alias("area"),
             F.col("g.length").alias("length"),
+            F.col("g.minx").alias("minx"),
+            F.col("g.miny").alias("miny"),
+            F.col("g.maxx").alias("maxx"),
+            F.col("g.maxy").alias("maxy"),
         )
     )
 
@@ -323,6 +331,10 @@ def snapshot_view(
                 F.col("g.wkt").alias("wkt"),
                 F.col("g.area").alias("area"),
                 F.col("g.length").alias("length"),
+                F.col("g.minx").alias("minx"),
+                F.col("g.miny").alias("miny"),
+                F.col("g.maxx").alias("maxx"),
+                F.col("g.maxy").alias("maxy"),
             )
         )
 
@@ -400,12 +412,49 @@ def snapshot_view(
     if not keep_empty:
         out = out.filter(~is_empty_wkt_col(F.col("wkt")))
     if bbox_deg is not None:
-        out = out.withColumn("c", clip_udf(bbox_deg)(F.col("wkt"))).select(
+        # JVM-side classification against the geometry bbox columns
+        # (CellIterator.java:417-459 short-circuits, columnar): fully
+        # inside -> identity, fully outside -> typed empty — both pure
+        # Column expressions; ONLY border geometries cross into the
+        # Python clip kernel.  Three narrow branches, no shuffle.
+        minx, miny, maxx, maxy = (float(v) for v in bbox_deg)
+        has_b = F.col("minx").isNotNull()
+        inside = (
+            (F.col("minx") >= minx) & (F.col("miny") >= miny)
+            & (F.col("maxx") <= maxx) & (F.col("maxy") <= maxy)
+        )
+        outside = (
+            (F.col("maxx") < minx) | (F.col("minx") > maxx)
+            | (F.col("maxy") < miny) | (F.col("miny") > maxy)
+        )
+        in_df = out.filter(~has_b | inside).select(
             "*",
-            F.col("c.clipped_wkt").alias("clipped_wkt"),
-            F.col("c.clipped_area").alias("clipped_area"),
-            F.col("c.clipped_length").alias("clipped_length"),
-        ).drop("c")
+            F.col("wkt").alias("clipped_wkt"),
+            F.col("area").alias("clipped_area"),
+            F.col("length").alias("clipped_length"),
+        )
+        empty_wkt = F.concat(
+            F.regexp_extract("wkt", "^[A-Z]+", 0), F.lit(" EMPTY")
+        )
+        out_df = out.filter(has_b & ~inside & outside).select(
+            "*",
+            empty_wkt.alias("clipped_wkt"),
+            F.lit(0.0).alias("clipped_area"),
+            F.lit(0.0).alias("clipped_length"),
+        )
+        border = (
+            out.filter(has_b & ~inside & ~outside)
+            .withColumn("c", clip_udf(bbox_deg)(F.col("wkt")))
+            .select(
+                "*",
+                F.col("c.clipped_wkt").alias("clipped_wkt"),
+                F.col("c.clipped_area").alias("clipped_area"),
+                F.col("c.clipped_length").alias("clipped_length"),
+            )
+            .drop("c")
+        )
+        out = in_df.unionByName(out_df).unionByName(border)
         if not keep_empty:
             out = out.filter(~is_empty_wkt_col(F.col("clipped_wkt")))
+    out = out.drop("minx", "miny", "maxx", "maxy")
     return out

@@ -109,7 +109,11 @@ def _scaling_worker(master: str, docs_path: str) -> None:
     docs = spark.read.parquet(docs_path)
     docs.count()  # warm footers
 
-    def measure(fn, warmups=1, reps=3):
+    def measure(
+        fn,
+        warmups=int(os.environ.get("SCALE_WARMUPS", "1")),
+        reps=int(os.environ.get("SCALE_REPS", "3")),
+    ):
         for _ in range(warmups):
             fn(spark, docs, bbox).collect()
         walls = []

@@ -133,7 +133,11 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
             tag_map = {int(k): int(v) for k, v in (tg or {}).items()}
             member_lines = []
             for m in (mems if mems is not None and len(mems) else []):
-                role = role_code.get(m["role"], ROLE_EMPTY)
+                # unknown roles (label/platform/...) get their own code —
+                # they are NOT outer members (only outer/"" are,
+                # BaseTagInterpreter role ids); collapsing them to the
+                # empty role would wrongly promote them to ring material
+                role = role_code.get(m["role"], -1)
                 mtype = m["mtype"]
                 ln = m["line"]
                 nodes = (

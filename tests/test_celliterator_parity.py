@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from oshdb_spark.api import OSHDB, ContributionView
 from oshdb_spark.filters.dsl import TagTranslator
+from oshdb_spark.geometry.model import from_wkt
 from oshdb_spark.timestamps import parse_iso
 
 # key/value dictionary for the fixture (keytables)
@@ -538,3 +539,166 @@ def test_snapshot_relation_multipolygon(rel_db):
     assert rows[0]["wkt"] != rows[1]["wkt"]  # member added 2010
     assert rows[1]["wkt"] != rows[3]["wkt"]  # member swap 2012
     assert rows[3]["wkt"] == rows[9]["wkt"]  # stable afterwards
+
+
+# ---------------------------------------------------------------------------
+# further relation (multipolygon) contribution scenarios
+# (IterateByContributionRelationsTest.java:134-340, 896-921; fixture
+#  different-timestamps/polygon.osm rels 502-507, 521)
+# ---------------------------------------------------------------------------
+
+# default-interpreter codes: 2=building(1=yes), 4=type(1=multipolygon),
+# 5=landuse (values arbitrary), 7=leisure-analog (uninterpreted key)
+MP = {4: 1}
+
+
+def _rel_m(rid, version, visible, ts, cs, uid, members, tags):
+    ms = (
+        [{"type": t, "ref": r, "role": role} for t, r, role in members]
+        if members
+        else None
+    )
+    return (
+        f"r{rid}v{version}", rid, "relation", version, visible, _t(ts), cs, uid,
+        tags, None, None, None, ms,
+    )
+
+
+REL2_ROWS = [
+    # nodes (polygon.osm 17-20, 36-51; node 48/49/50/51 move over time)
+    *[
+        _node(nid, 1, True, "2007-01-01", 100 + nid, 1, lon, lat, {})
+        for nid, (lon, lat) in {
+            17: (7.33, 1.05), 18: (7.33, 1.06), 19: (7.32, 1.06), 20: (7.32, 1.05),
+            36: (7.26, 1.05), 37: (7.265, 1.06), 38: (7.28, 1.06), 39: (7.265, 1.05),
+            40: (7.24, 1.04), 41: (7.24, 1.07), 42: (7.30, 1.07), 43: (7.30, 1.04),
+            44: (7.26, 1.055), 45: (7.265, 1.065), 46: (7.31, 1.07), 47: (7.31, 1.04),
+            48: (7.24, 1.045), 49: (7.245, 1.072), 50: (7.305, 1.078),
+            51: (7.303, 1.042),
+        }.items()
+    ],
+    _node(48, 2, True, "2010-01-01", 148, 1, 7.24, 1.048, {}),
+    _node(48, 3, True, "2012-01-01", 149, 1, 7.24, 1.042, {}),
+    _node(49, 2, True, "2012-01-01", 150, 1, 7.242, 1.07, {}),
+    _node(50, 2, True, "2012-01-01", 151, 1, 7.305, 1.07, {}),
+    _node(50, 3, True, "2017-01-01", 152, 1, 7.301, 1.072, {}),
+    _node(51, 2, True, "2012-01-01", 153, 1, 7.295, 1.039, {}),
+    # ways
+    _way(108, 1, True, "2007-01-01", 207, 1, [17, 18, 19, 20, 17], {}),
+    _way(109, 1, True, "2010-05-01T22:10:52", 208, 1, [44, 37, 38, 45, 44], {}),
+    _way(109, 2, True, "2016-11-23T22:10:52", 209, 1, [36, 37, 38, 39, 36], {}),
+    _way(110, 1, True, "2010-03-25T20:53:28", 210, 1, [40, 41, 42, 43, 40], {2: 1}),
+    _way(110, 2, True, "2011-06-10T22:31:19", 211, 1, [40, 41, 46, 47, 40], {2: 2}),
+    _way(110, 3, True, "2012-10-13T20:00:31", 212, 1, [40, 41, 46, 47, 40], {2: 2}),
+    _way(110, 4, True, "2012-10-23T20:43:35", 213, 1, [40, 41, 42, 43, 40], {2: 2}),
+    _way(110, 5, True, "2016-03-06T22:08:47", 214, 1, [40, 41, 42, 43, 40], {2: 3}),
+    _way(110, 6, True, "2016-11-23T23:02:10", 215, 1, [40, 41, 42, 43, 40], {}),
+    _way(112, 1, True, "2007-03-06T22:08:47", 218, 1, [48, 49, 50, 51, 48], {2: 2}),
+    _way(113, 1, True, "2007-03-06T22:08:47", 219, 1, [48, 49, 51, 48], {}),
+    _way(114, 1, True, "2007-03-06T22:08:47", 220, 1, [48, 51], {}),
+    # rel 502: all three member ways missing from the extract
+    _rel_m(502, 1, True, "2010-01-01", 306, 1,
+           [("way", 206, "outer"), ("way", 207, "outer"), ("way", 208, "outer")],
+           {**MP, 5: 1}),
+    # rel 503: creation + two tag changes
+    _rel_m(503, 1, True, "2007-01-01", 307, 1, [("way", 108, "outer")], {**MP, 5: 1}),
+    _rel_m(503, 2, True, "2009-01-01", 308, 1, [("way", 108, "outer")], {**MP, 5: 2}),
+    _rel_m(503, 3, True, "2011-01-01", 309, 1, [("way", 108, "outer")],
+           {**MP, 5: 3, 7: 1}),
+    # rel 504: member ways change node refs
+    _rel_m(504, 1, True, "2010-07-01T22:10:54", 310, 1,
+           [("way", 109, "inner"), ("way", 110, "outer")], {**MP, 2: 1}),
+    _rel_m(504, 2, True, "2016-11-26T23:02:16", 311, 1,
+           [("way", 109, "inner"), ("way", 110, "outer")], {**MP, 2: 1}),
+    # rel 505: single outer way whose nodes move
+    _rel_m(505, 1, True, "2010-05-01T22:10:54", 312, 1,
+           [("way", 112, "outer")], {**MP, 2: 1}),
+    # rel 506: node members + outer way (node motion outside the way)
+    _rel_m(506, 1, True, "2010-05-01T22:10:54", 313, 1,
+           [("node", 47, ""), ("node", 50, ""), ("way", 113, "outer")],
+           {**MP, 2: 1}),
+    # rel 507: label/platform roles only -> GeometryCollection
+    _rel_m(507, 1, True, "2010-05-01T22:10:54", 314, 1,
+           [("node", 47, "label"), ("node", 49, "label"), ("node", 50, "label"),
+            ("node", 51, "label"), ("node", 48, "label"),
+            ("way", 114, "platform")], {**MP, 2: 1}),
+]
+
+
+@pytest.fixture(scope="module")
+def rel2_db(spark):
+    return OSHDB(spark, spark.createDataFrame(REL2_ROWS, ENT_SCHEMA))
+
+
+def _rel_contribs(db, rid):
+    rows = (
+        ContributionView.on(db)
+        .timestamps([T2000, _t("2020-01-01")])
+        .filter(F.col("id") == rid)
+        .dataframe()
+        .orderBy("ts")
+        .collect()
+    )
+    return rows
+
+
+def test_relation_ways_not_existent(rel2_db):  # :134-152
+    # reference asserts only that iteration does not throw on a relation
+    # whose member ways are all missing from the extract
+    rows = _rel_contribs(rel2_db, 502)
+    assert isinstance(rows, list)
+
+
+def test_relation_tag_change(rel2_db):  # :154-185
+    rows = _rel_contribs(rel2_db, 503)
+    assert len(rows) == 3
+    assert list(rows[0]["contrib_types"]) == ["CREATION"]
+    assert list(rows[1]["contrib_types"]) == ["TAG_CHANGE"]
+    assert list(rows[2]["contrib_types"]) == ["TAG_CHANGE"]
+    assert rows[0]["changeset"] == 307
+
+
+def test_relation_geometry_change_of_node_refs_in_ways(rel2_db):  # :187-225
+    rows = _rel_contribs(rel2_db, 504)
+    assert len(rows) == 8
+    assert list(rows[0]["contrib_types"]) == ["CREATION"]
+    assert list(rows[1]["contrib_types"]) == ["GEOMETRY_CHANGE"]
+    assert rows[0]["changeset"] == 310
+    assert rows[0]["prev_wkt"] is None
+    assert from_wkt(rows[0]["wkt"])["type"] == "Polygon"
+    assert from_wkt(rows[1]["wkt"])["type"] == "Polygon"
+    assert rows[1]["wkt"] != rows[1]["prev_wkt"]
+    assert rows[2]["wkt"] == rows[2]["prev_wkt"]  # version bump, same refs
+
+
+def test_relation_geometry_change_of_node_coords_in_way(rel2_db):  # :227-264
+    rows = _rel_contribs(rel2_db, 505)
+    assert len(rows) == 3
+    assert list(rows[0]["contrib_types"]) == ["CREATION"]
+    assert list(rows[1]["contrib_types"]) == ["GEOMETRY_CHANGE"]
+    assert rows[0]["changeset"] == 312
+    assert from_wkt(rows[0]["wkt"])["type"] == "Polygon"
+    assert rows[1]["wkt"] != rows[1]["prev_wkt"]
+    assert rows[2]["wkt"] != rows[2]["prev_wkt"]
+
+
+def test_relation_node_coords_in_relation_and_way(rel2_db):  # :266-304
+    rows = _rel_contribs(rel2_db, 506)
+    assert len(rows) == 3
+    assert list(rows[0]["contrib_types"]) == ["CREATION"]
+    assert list(rows[1]["contrib_types"]) == ["GEOMETRY_CHANGE"]
+    assert rows[0]["changeset"] == 313
+    assert from_wkt(rows[0]["wkt"])["type"] == "Polygon"
+    assert rows[1]["wkt"] != rows[1]["prev_wkt"]
+    # node 50 moves in 2017 but is not part of the outer way: geometry same
+    assert rows[2]["wkt"] == rows[2]["prev_wkt"]
+
+
+def test_relation_geometry_collection(rel2_db):  # :306-337
+    rows = _rel_contribs(rel2_db, 507)
+    assert len(rows) == 3
+    assert list(rows[0]["contrib_types"]) == ["CREATION"]
+    assert rows[0]["changeset"] == 314
+    assert rows[0]["prev_wkt"] is None
+    for r in rows:
+        assert from_wkt(r["wkt"])["type"] == "GeometryCollection"

@@ -353,7 +353,18 @@ def _relation_states(
     ways: DataFrame,
     nodes: DataFrame,
     interpreter: TagInterpreter | None,
+    resolve_nested: bool = False,
 ) -> DataFrame:
+    """Relation state (geometry) as-of each modification event.
+
+    ``resolve_nested``: additionally resolve RELATION members one level
+    deep — the child relation's geometry is built as-of the parent's
+    event timestamps and included in the member set
+    (OSHDBGeometryBuilderInternal.java:305-358 recursion).  Like the
+    reference, child-relation MODIFICATIONS do not generate parent
+    events (member histories recurse into nodes/ways only,
+    OSHEntityTimeUtils.java:106-192).
+    """
     ev = events.filter(F.col("type") == "relation").drop("type")
     st = asof_resolve(
         ev,
@@ -472,19 +483,54 @@ def _relation_states(
             ),
         )
     )
+    if resolve_nested:
+        rel_targets = mem.filter(F.col("mtype") == "relation").select(
+            F.col("ref").alias("id"), "event_ts"
+        ).distinct()
+        child_events = rel_targets.select(
+            F.lit("relation").alias("type"),
+            "id",
+            "event_ts",
+            F.lit(0).cast("long").alias("event_changeset"),
+            F.lit(0).cast("int").alias("event_uid"),
+            F.lit(False).alias("own_change"),
+        )
+        child = _relation_states(
+            child_events, rels, ways, nodes, interpreter, resolve_nested=False
+        )
+        child_side = child.select(
+            F.col("id").alias("ref"),
+            "event_ts",
+            F.col("visible").alias("r_visible"),
+            F.col("wkt").alias("r_wkt"),
+        )
+        joined = joined.join(child_side, ["ref", "event_ts"], "left").withColumn(
+            "m_wkt",
+            F.when(
+                (F.col("mtype") == "relation")
+                & F.col("r_visible").isNotNull()
+                & F.col("r_visible"),
+                F.col("r_wkt"),
+            ),
+        )
+    else:
+        joined = joined.withColumn("m_wkt", F.lit(None).cast("string"))
     grouped = joined.groupBy(
         "id", "event_ts", "event_changeset", "event_uid", "own_change",
         "doc_id", "version", "visible",
     ).agg(
         F.first("tags").alias("tags"),
-        F.array_sort(F.collect_list(F.struct("pos", "role", "mtype", "line"))).alias(
-            "pmembers"
-        ),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "role", "mtype", "line", "m_wkt"))
+        ).alias("pmembers"),
     )
     members = F.transform(
         F.col("pmembers"),
         lambda p: F.struct(
-            p["role"].alias("role"), p["mtype"].alias("mtype"), p["line"].alias("line")
+            p["role"].alias("role"),
+            p["mtype"].alias("mtype"),
+            p["line"].alias("line"),
+            p["m_wkt"].alias("m_wkt"),
         ),
     )
     rudf = relation_geometry_udf(interpreter)
@@ -616,7 +662,18 @@ def contribution_view(
             ws = _way_states(events, ways, nodes, interpreter)
             states = ws if states is None else states.unionByName(ws)
         if "relation" in types:
-            rs = _relation_states(events, rels, ways, nodes, interpreter)
+            # one cheap probe on the (small) relation subset: super-relations
+            # trigger one level of nested member resolution
+            has_nested = (
+                rels.filter(
+                    F.exists("members", lambda m: m["type"] == F.lit("relation"))
+                ).limit(1).count()
+                > 0
+            )
+            rs = _relation_states(
+                events, rels, ways, nodes, interpreter,
+                resolve_nested=has_nested,
+            )
             states = rs if states is None else states.unionByName(rs)
     classified = classify_contributions(states, match_col=osm_filter)
     # half-open [t_start, t_end): OSHDBTimestampInterval.includes is

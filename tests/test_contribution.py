@@ -228,3 +228,50 @@ def test_relation_contributions_exist(contributions, docs_parquet):
             pass
     creations = [r for r in rel if "CREATION" in r["contrib_types"]]
     assert len(creations) == len(world.relations["id"].unique())
+
+
+def test_nested_relation_members_in_contributions(spark):
+    """Contribution view resolves relation->relation members one level
+    deep: the super-relation's geometry collection contains the child
+    relation's geometry as-of each contribution timestamp."""
+    from oshdb_spark.geometry.model import from_wkt
+
+    t0 = 100
+    schema = (
+        "doc_id string, id long, type string, version int, visible boolean, "
+        "ts long, changeset long, uid int, tags map<int,int>, lon long, "
+        "lat long, refs array<long>, "
+        "members array<struct<type:string,ref:long,role:string>>"
+    )
+
+    def mk(doc, id_, typ, ver, vis, ts, lon=None, lat=None, refs=None,
+           members=None, tags=None):
+        return (doc, id_, typ, ver, vis, ts, ts, 1, tags or {}, lon, lat,
+                refs, members)
+
+    rows = [
+        mk("d", 1, "node", 1, True, t0, 10_0000000, 10_0000000),
+        mk("d", 2, "node", 1, True, t0, 20_0000000, 10_0000000),
+        mk("d", 3, "node", 1, True, t0, 30_0000000, 30_0000000),
+        mk("d", 50, "relation", 1, True, t0,
+           members=[("node", 1, ""), ("node", 2, "")]),
+        mk("d", 60, "relation", 1, True, t0 + 10,
+           members=[("relation", 50, ""), ("node", 3, "")]),
+        # super-relation's own v2 at t0+20 (tag change)
+        mk("d", 60, "relation", 2, True, t0 + 20,
+           members=[("relation", 50, ""), ("node", 3, "")], tags={1: 1}),
+    ]
+    ents = spark.createDataFrame(rows, schema)
+    out = (
+        contribution_view(ents, 0, 1 << 40, types={"relation"})
+        .filter("id = 60")
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(out) == 2
+    assert list(out[0]["contrib_types"]) == ["CREATION"]
+    g = from_wkt(out[0]["wkt"])
+    assert g["type"] == "GeometryCollection"
+    assert len(g["geometries"]) == 2
+    assert any(x["type"] == "GeometryCollection" for x in g["geometries"])
+    assert list(out[1]["contrib_types"]) == ["TAG_CHANGE"]

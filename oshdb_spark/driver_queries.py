@@ -1355,6 +1355,128 @@ def q_polygon_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# way -> polygon geometry build + geodesic area (snapshot path)
+# ---------------------------------------------------------------------------
+#
+# 200 square building ways of strictly increasing size at varying
+# latitudes; the engine builds their polygons through the full snapshot
+# member-resolution + TagInterpreter area-decision path and measures them
+# with the spherical-excess formula (Geo.java:172-308).  The oracle
+# re-implements the EXACT formula (same wrap-around indexing, same WGS84
+# correction) in SQL and compares per-way AREA RANKS — ranks are immune
+# to last-ulp libm differences while still pinning the formula: the
+# cos^2(midlat) flattening correction reorders ways vs naive size order,
+# so a wrong formula shows up as a rank mismatch.
+
+_WPA_N = 200
+# per-way derivations (identical arithmetic text on both engines)
+_WPA_LON0 = "((w % 20) * 1.5 - 15.0)"
+_WPA_LAT0 = "(CAST(w AS DOUBLE) - (w % 20)) / 20 * 2.5 + 10.0"
+_WPA_S = "(0.01 + w * 0.0005)"
+
+_Q32_ORACLE = f"""
+WITH w AS (SELECT UNNEST(GENERATE_SERIES(0, {_WPA_N - 1})) AS w),
+geo AS (SELECT w, {_WPA_LON0} AS lon0, {_WPA_LAT0} AS lat0, {_WPA_S} AS s
+        FROM w),
+ring AS (SELECT w,
+    [CAST(ROUND((lon0 - s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lon0 + s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lon0 + s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lon0 - s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lon0 - s) * 1e7) AS BIGINT) / 1e7] AS xs,
+    [CAST(ROUND((lat0 - s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lat0 - s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lat0 + s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lat0 + s) * 1e7) AS BIGINT) / 1e7,
+     CAST(ROUND((lat0 - s) * 1e7) AS BIGINT) / 1e7] AS ys
+  FROM geo),
+a AS (SELECT w,
+    ABS(LIST_SUM([
+        RADIANS(xs[(i + 2) % 5 + 1] - xs[i + 1])
+        * ((1.0 - 1.0 / 298.257223563) * TAN(RADIANS(ys[(i + 1) % 5 + 1]))
+           / SQRT((1.0 - 1.0 / 298.257223563) * TAN(RADIANS(ys[(i + 1) % 5 + 1]))
+                  * (1.0 - 1.0 / 298.257223563) * TAN(RADIANS(ys[(i + 1) % 5 + 1]))
+                  + 1.0))
+        FOR i IN GENERATE_SERIES(0, 4)]))
+    * 0.5 * 6378137.0 * 6378137.0
+    * (1.0 - 1.0 / 298.257223563
+       * COS(RADIANS((LIST_MAX(ys) + LIST_MIN(ys)) / 2))
+       * COS(RADIANS((LIST_MAX(ys) + LIST_MIN(ys)) / 2))) AS area
+  FROM ring)
+SELECT w AS way_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY area DESC, w) AS BIGINT) AS area_rank
+FROM a
+"""
+
+
+@_q("way_polygon_area", _Q32_ORACLE)
+def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.snapshot import snapshot_view
+
+    w = spark.range(_WPA_N).selectExpr("id AS w").selectExpr(
+        "w", f"{_WPA_LON0} AS lon0", f"{_WPA_LAT0} AS lat0", f"{_WPA_S} AS s"
+    )
+    corners = w.selectExpr(
+        "w",
+        "ARRAY(STRUCT(0 AS k, CAST(ROUND((lon0 - s) * 1e7) AS BIGINT) AS lon,"
+        "             CAST(ROUND((lat0 - s) * 1e7) AS BIGINT) AS lat),"
+        "      STRUCT(1 AS k, CAST(ROUND((lon0 + s) * 1e7) AS BIGINT) AS lon,"
+        "             CAST(ROUND((lat0 - s) * 1e7) AS BIGINT) AS lat),"
+        "      STRUCT(2 AS k, CAST(ROUND((lon0 + s) * 1e7) AS BIGINT) AS lon,"
+        "             CAST(ROUND((lat0 + s) * 1e7) AS BIGINT) AS lat),"
+        "      STRUCT(3 AS k, CAST(ROUND((lon0 - s) * 1e7) AS BIGINT) AS lon,"
+        "             CAST(ROUND((lat0 + s) * 1e7) AS BIGINT) AS lat)) AS cs",
+    )
+    nodes = corners.select("w", F.explode("cs").alias("c")).select(
+        F.concat(F.lit("n"), F.col("w")).alias("doc_id"),
+        (F.col("w") * 10 + F.col("c.k")).alias("id"),
+        F.lit("node").alias("type"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("visible"),
+        F.lit(100).cast("long").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).alias("uid"),
+        F.create_map().cast("map<int,int>").alias("tags"),
+        F.col("c.lon").alias("lon"),
+        F.col("c.lat").alias("lat"),
+        F.lit(None).cast("array<bigint>").alias("refs"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:bigint,role:string>>")
+        .alias("members"),
+    )
+    ways = w.select(
+        F.concat(F.lit("w"), F.col("w")).alias("doc_id"),
+        F.col("w").alias("id"),
+        F.lit("way").alias("type"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("visible"),
+        F.lit(100).cast("long").alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).alias("uid"),
+        # building (key 2, any value) -> TagInterpreter area decision
+        F.create_map(F.lit(2), F.lit(1)).cast("map<int,int>").alias("tags"),
+        F.lit(None).cast("long").alias("lon"),
+        F.lit(None).cast("long").alias("lat"),
+        F.array(
+            F.col("w") * 10, F.col("w") * 10 + 1, F.col("w") * 10 + 2,
+            F.col("w") * 10 + 3, F.col("w") * 10,
+        ).alias("refs"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:bigint,role:string>>")
+        .alias("members"),
+    )
+    snaps = snapshot_view(nodes.unionByName(ways), [200])
+    return (
+        snaps.filter("type = 'way'")
+        .withColumn(
+            "area_rank",
+            F.row_number().over(Window.orderBy(F.col("area").desc(), "id")),
+        )
+        .select(F.col("id").alias("way_id"), F.col("area_rank").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -702,3 +702,65 @@ def test_relation_geometry_collection(rel2_db):  # :306-337
     assert rows[0]["prev_wkt"] is None
     for r in rows:
         assert from_wkt(r["wkt"])["type"] == "GeometryCollection"
+
+
+# ---------------------------------------------------------------------------
+# snapshot-side relation scenarios
+# (IterateByTimestampsRelationsTest.java:121-258; same fixture rels 503-507,
+#  yearly timestamps 2000..2020)
+# ---------------------------------------------------------------------------
+
+YEARLY_TS = [_t(f"{y}-01-01") for y in range(2000, 2021)]
+
+
+def _rel_snaps(db, rid):
+    return (
+        SnapshotView.on(db)
+        .timestamps(YEARLY_TS)
+        .filter(F.col("id") == rid)
+        .dataframe()
+        .orderBy("snap_ts")
+        .collect()
+    )
+
+
+def test_snapshot_relation_tag_change(rel2_db):  # :121-140
+    rows = _rel_snaps(rel2_db, 503)
+    assert len(rows) == 14  # snapshots 2007..2020
+    assert rows[0]["changeset"] == 307
+
+
+def test_snapshot_relation_node_refs_in_ways(rel2_db):  # :143-173
+    rows = _rel_snaps(rel2_db, 504)
+    assert len(rows) == 10  # snapshots 2011..2020
+    assert rows[0]["changeset"] == 310
+    assert from_wkt(rows[0]["wkt"])["type"] == "Polygon"
+    assert from_wkt(rows[1]["wkt"])["type"] == "Polygon"
+    assert rows[1]["wkt"] != rows[0]["wkt"]  # way 110 v1 -> v2 refs
+    assert rows[2]["wkt"] != rows[1]["wkt"]  # way 110 v2 -> v4 refs
+    assert rows[3]["wkt"] == rows[2]["wkt"]  # unchanged year
+
+
+def test_snapshot_relation_node_coords_in_way(rel2_db):  # :175-204
+    rows = _rel_snaps(rel2_db, 505)
+    assert len(rows) == 10
+    assert rows[0]["changeset"] == 312
+    assert from_wkt(rows[0]["wkt"])["type"] == "Polygon"
+    assert rows[1]["wkt"] != rows[0]["wkt"]  # nodes moved 2012
+    assert rows[6]["wkt"] != rows[1]["wkt"]  # node 50 moved 2017
+
+
+def test_snapshot_relation_node_coords_in_relation_and_way(rel2_db):  # :206-230
+    rows = _rel_snaps(rel2_db, 506)
+    assert len(rows) == 10
+    assert rows[0]["changeset"] == 313
+    assert rows[1]["wkt"] != rows[0]["wkt"]
+    assert rows[6]["wkt"] == rows[5]["wkt"]
+
+
+def test_snapshot_relation_geometry_collection(rel2_db):  # :232-258
+    rows = _rel_snaps(rel2_db, 507)
+    assert len(rows) == 10
+    assert rows[0]["changeset"] == 314
+    assert from_wkt(rows[0]["wkt"])["type"] == "GeometryCollection"
+    assert from_wkt(rows[9]["wkt"])["type"] == "GeometryCollection"

@@ -68,6 +68,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # spill-aware partition sizing without per-job tuning: AQE starts
+        # each shuffle at 4x the target partition count and coalesces down
+        # to size, so a 10x-bigger input gets proportionally more (smaller)
+        # partitions instead of spilling through a fixed count (the 16M-doc
+        # lesson in BENCH.md section 0)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions * 4, 128)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -92,8 +92,19 @@ def _scaling_worker(master: str, docs_path: str) -> None:
 
     extra = {"spark.sql.files.maxPartitionBytes": "4m"}
     if master.startswith("local-cluster"):
-        mem_mb = int(master.rstrip("]").split(",")[-1])
+        body = master.split("[", 1)[1].rstrip("]").split(",")
+        cores_per_exec = int(body[1])
+        mem_mb = int(body[2])
         extra["spark.executor.memory"] = f"{max(mem_mb - 1024, 1024)}m"
+        # Each executor JVM must size its GC/JIT/ForkJoin pools to ITS OWN
+        # core share, exactly as it would on its own machine in a real
+        # cluster.  Without this every executor sees all 32 host vCPUs and
+        # spawns 32 parallel-GC threads — 4 executors then fight over the
+        # host during the allocation-heavy parse, an interference term that
+        # exists only in the sandbox and only at the 4N level.
+        extra["spark.executor.extraJavaOptions"] = (
+            f"-XX:ActiveProcessorCount={cores_per_exec}"
+        )
     # shuffle partitions FIXED across parallelism levels: the scaling
     # comparison isolates core count, not partitioning
     spark = get_spark(

@@ -96,20 +96,20 @@ def _dedupe_consecutive(pts: list[list[float]]) -> list[list[float]]:
 # ---------------------------------------------------------------------------
 
 
-def triangulate_polygon(shell, holes=()) -> list[tuple]:
-    """Triangles (CCW coordinate triples) covering shell minus holes.
+def _slab_trapezoids(shell, holes=()) -> list[tuple]:
+    """Interior trapezoids (xa, xb, y0a, y0b, y1a, y1b) of shell minus holes.
 
-    Implementation: even-odd TRAPEZOIDAL SLAB decomposition, split into
-    triangles.  All ring x-coordinates become slab boundaries; within a
-    slab every spanning edge is crossing-free (edges of valid rings meet
-    only at endpoints, which lie on slab boundaries), so sorting the
-    spanning edges by height and pairing them even-odd yields the exact
-    interior trapezoids — shell-minus-holes falls out of the even-odd
-    rule with NO hole bridging and no ear-clipping, which makes the
-    decomposition immune to the degenerate inputs real boundaries throw
-    at it (touching holes, rings meeting at a point, collinear spikes —
-    osm-testdata 7xx).  Linear interpolation at slab edges is exact, so
-    total area is exact.  Runs once per query polygon on the driver.
+    Even-odd TRAPEZOIDAL SLAB decomposition: all ring x-coordinates become
+    slab boundaries; within a slab every spanning edge is crossing-free
+    (edges of valid rings meet only at endpoints, which lie on slab
+    boundaries), so sorting the spanning edges by height and pairing them
+    even-odd yields the exact interior trapezoids — shell-minus-holes
+    falls out of the even-odd rule with NO hole bridging and no
+    ear-clipping, which makes the decomposition immune to the degenerate
+    inputs real boundaries throw at it (touching holes, rings meeting at
+    a point, collinear spikes — osm-testdata 7xx).  Linear interpolation
+    at slab edges is exact, so total area is exact.  Runs once per query
+    polygon on the driver.
     """
     rings = [_dedupe_consecutive(_open_ring(shell))]
     for h in holes:
@@ -133,7 +133,7 @@ def triangulate_polygon(shell, holes=()) -> list[tuple]:
     with np.errstate(invalid="ignore"):
         slope = (ey2 - ey1) / (ex2 - ex1)
     xs = np.unique(np.concatenate([ex1, ex2]))
-    tris: list[tuple] = []
+    traps: list[tuple] = []
     for xa, xb in zip(xs[:-1], xs[1:]):
         active = (eminx <= xa) & (emaxx >= xb)
         if not active.any():
@@ -144,16 +144,39 @@ def triangulate_polygon(shell, holes=()) -> list[tuple]:
         order = np.argsort((ya + yb) / 2, kind="stable")
         ya, yb = ya[order], yb[order]
         for k in range(0, len(idx) - 1, 2):
-            y0a, y0b, y1a, y1b = ya[k], yb[k], ya[k + 1], yb[k + 1]
-            # trapezoid (xa,y0a)-(xb,y0b)-(xb,y1b)-(xa,y1a), CCW
-            for tri in (
-                ((xa, y0a), (xb, y0b), (xb, y1b)),
-                ((xa, y0a), (xb, y1b), (xa, y1a)),
-            ):
-                (tax, tay), (tbx, tby), (tcx, tcy) = tri
-                if (tbx - tax) * (tcy - tay) - (tby - tay) * (tcx - tax) > 0:
-                    tris.append(tri)
+            traps.append((xa, xb, ya[k], yb[k], ya[k + 1], yb[k + 1]))
+    return traps
+
+
+def triangulate_polygon(shell, holes=()) -> list[tuple]:
+    """Triangles (CCW coordinate triples) covering shell minus holes —
+    each slab trapezoid (see _slab_trapezoids) split along a diagonal."""
+    tris: list[tuple] = []
+    for xa, xb, y0a, y0b, y1a, y1b in _slab_trapezoids(shell, holes):
+        # trapezoid (xa,y0a)-(xb,y0b)-(xb,y1b)-(xa,y1a), CCW
+        for tri in (
+            ((xa, y0a), (xb, y0b), (xb, y1b)),
+            ((xa, y0a), (xb, y1b), (xa, y1a)),
+        ):
+            (tax, tay), (tbx, tby), (tcx, tcy) = tri
+            if (tbx - tax) * (tcy - tay) - (tby - tay) * (tcx - tax) > 0:
+                tris.append(tri)
     return tris
+
+
+def trapezoids_polygon(shell, holes=()) -> list[list[tuple]]:
+    """Convex trapezoid rings (CCW, unclosed, 3-4 distinct vertices)
+    covering shell minus holes — the clip pieces used by clip_to_polygon.
+    Trapezoids beat triangles there: interiors are disjoint, the only
+    internal edges are the VERTICAL slab boundaries (no diagonals), so the
+    dissolve pass after piecewise clipping has less to cancel."""
+    quads: list[list[tuple]] = []
+    for xa, xb, y0a, y0b, y1a, y1b in _slab_trapezoids(shell, holes):
+        ring = [(xa, y0a), (xb, y0b), (xb, y1b), (xa, y1a)]
+        ring = [p for i, p in enumerate(ring) if p != ring[(i + 1) % 4]]
+        if len(ring) >= 3:
+            quads.append(ring)
+    return quads
 
 
 # ---------------------------------------------------------------------------
@@ -212,12 +235,36 @@ def _geom_segments(geom: Geometry) -> tuple[np.ndarray, ...] | None:
     )
 
 
+# Bound the candidate-pair matrix: a chunk of G geometry segments against
+# all P polygon edges must stay well under executor memory even for a
+# ~2k-segment way x ~100k-edge country AOI (dense GxP bools would be
+# ~200MB).  8M bools per chunk ~= 8MB.
+_CROSS_CHUNK_CELLS = 8_000_000
+
+
 def _segments_cross(ga, pa) -> bool:
     """Any geometry segment touching/crossing any polygon ring segment?
 
     Vectorized orientation tests over the bbox-overlapping pair subset —
     the batch equivalent of FastInPolygon's banded per-segment walk.
+    The geometry-segment axis is chunked so the candidate matrix is
+    bounded regardless of AOI edge count (no executor OOM on detailed
+    ways x country-scale polygons).
     """
+    gx1, gy1, gx2, gy2 = ga
+    px1, py1, px2, py2 = pa
+    n_p = len(px1)
+    chunk = max(1, _CROSS_CHUNK_CELLS // max(1, n_p))
+    for s in range(0, len(gx1), chunk):
+        e = s + chunk
+        if _segments_cross_block(
+            (gx1[s:e], gy1[s:e], gx2[s:e], gy2[s:e]), (px1, py1, px2, py2)
+        ):
+            return True
+    return False
+
+
+def _segments_cross_block(ga, pa) -> bool:
     gx1, gy1, gx2, gy2 = ga
     px1, py1, px2, py2 = pa
     # pair prefilter: segment-bbox overlap
@@ -410,8 +457,13 @@ def _clip_line_general(coords, prepared: PreparedPolygon) -> list[list[list[floa
         )
         for (t0, t1), keep in zip(zip(ts[:-1], ts[1:]), inside):
             if keep:
-                p0 = [ax + t0 * dx, ay + t0 * dy]
-                p1 = [ax + t1 * dx, ay + t1 * dy]
+                # emit EXACT endpoints at interval boundaries (t==0 -> the
+                # segment's own start vertex, t==1 -> its end vertex) so
+                # vertex continuity across segments is bit-exact and a
+                # connected polyline is not spuriously split at interior
+                # vertices by the ~1 ulp drift of ax + 1.0*dx
+                p0 = [ax, ay] if t0 == 0.0 else [ax + t0 * dx, ay + t0 * dy]
+                p1 = [bx, by] if t1 == 1.0 else [ax + t1 * dx, ay + t1 * dy]
                 if current and current[-1] == p0:
                     current.append(p1)
                 else:

@@ -193,6 +193,14 @@ def clip_udf(bbox_deg: tuple[float, float, float, float]):
     def _udf(wkt: pd.Series) -> pd.DataFrame:
         out_w, out_a, out_l = [], [], []
         for w in wkt:
+            if w is None:
+                # null passthrough: callers gate the UDF with
+                # F.when(border, wkt) so non-border rows ride through the
+                # Arrow batch as nulls at near-zero kernel cost
+                out_w.append(None)
+                out_a.append(None)
+                out_l.append(None)
+                continue
             g = from_wkt(w)
             b = bounds(g)
             if b is None:

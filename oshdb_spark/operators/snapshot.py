@@ -221,17 +221,16 @@ def relation_lines(
             F.col("id").alias("ref"),
             "snap_ts",
             F.col("wkt").alias("r_wkt"),
-            F.col("last_mod_ts").alias("r_ts"),
         )
-        joined = (
-            joined.join(r_side, ["ref", "snap_ts"], "left")
-            .withColumn(
-                "m_wkt",
-                F.when(F.col("mtype") == "relation", F.col("r_wkt")),
-            )
-            .withColumn("m_ts", F.coalesce("m_ts", "r_ts"))
-            .drop("r_wkt", "r_ts")
-        )
+        # r_wkt resolves the member GEOMETRY only; the child relation's
+        # timestamp is deliberately NOT folded into member_ts — the
+        # reference's modification-timestamp recursion covers only
+        # node/way members (OSHEntityTimeUtils), matching the
+        # contribution-side rule.
+        joined = joined.join(r_side, ["ref", "snap_ts"], "left").withColumn(
+            "m_wkt",
+            F.when(F.col("mtype") == "relation", F.col("r_wkt")),
+        ).drop("r_wkt")
     else:
         joined = joined.withColumn("m_wkt", F.lit(None).cast("string"))
     grouped = joined.groupBy(
@@ -415,8 +414,11 @@ def snapshot_view(
         # JVM-side classification against the geometry bbox columns
         # (CellIterator.java:417-459 short-circuits, columnar): fully
         # inside -> identity, fully outside -> typed empty — both pure
-        # Column expressions; ONLY border geometries cross into the
-        # Python clip kernel.  Three narrow branches, no shuffle.
+        # Column expressions.  SINGLE PASS: the clip UDF receives the wkt
+        # only for border rows (NULL otherwise, near-zero Arrow + kernel
+        # cost), so the expensive upstream geometry-build UDFs are
+        # evaluated exactly once per row — no filter/union triple scan
+        # that could re-execute the build subtree per branch.
         minx, miny, maxx, maxy = (float(v) for v in bbox_deg)
         has_b = F.col("minx").isNotNull()
         inside = (
@@ -427,33 +429,31 @@ def snapshot_view(
             (F.col("maxx") < minx) | (F.col("minx") > maxx)
             | (F.col("maxy") < miny) | (F.col("miny") > maxy)
         )
-        in_df = out.filter(~has_b | inside).select(
-            "*",
-            F.col("wkt").alias("clipped_wkt"),
-            F.col("area").alias("clipped_area"),
-            F.col("length").alias("clipped_length"),
-        )
+        border = has_b & ~inside & ~outside
         empty_wkt = F.concat(
             F.regexp_extract("wkt", "^[A-Z]+", 0), F.lit(" EMPTY")
         )
-        out_df = out.filter(has_b & ~inside & outside).select(
-            "*",
-            empty_wkt.alias("clipped_wkt"),
-            F.lit(0.0).alias("clipped_area"),
-            F.lit(0.0).alias("clipped_length"),
-        )
-        border = (
-            out.filter(has_b & ~inside & ~outside)
-            .withColumn("c", clip_udf(bbox_deg)(F.col("wkt")))
+        out = (
+            out.withColumn(
+                "c", clip_udf(bbox_deg)(F.when(border, F.col("wkt")))
+            )
             .select(
                 "*",
-                F.col("c.clipped_wkt").alias("clipped_wkt"),
-                F.col("c.clipped_area").alias("clipped_area"),
-                F.col("c.clipped_length").alias("clipped_length"),
+                F.when(~has_b | inside, F.col("wkt"))
+                .when(outside, empty_wkt)
+                .otherwise(F.col("c.clipped_wkt"))
+                .alias("clipped_wkt"),
+                F.when(~has_b | inside, F.col("area"))
+                .when(outside, F.lit(0.0))
+                .otherwise(F.col("c.clipped_area"))
+                .alias("clipped_area"),
+                F.when(~has_b | inside, F.col("length"))
+                .when(outside, F.lit(0.0))
+                .otherwise(F.col("c.clipped_length"))
+                .alias("clipped_length"),
             )
             .drop("c")
         )
-        out = in_df.unionByName(out_df).unionByName(border)
         if not keep_empty:
             out = out.filter(~is_empty_wkt_col(F.col("clipped_wkt")))
     out = out.drop("minx", "miny", "maxx", "maxy")

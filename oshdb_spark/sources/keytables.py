@@ -74,6 +74,7 @@ def encode_tags(
     tags_col: str = "str_tags",
     out_col: str = "tags",
     id_col: str = "__row_id",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """map<string,string> tags -> int-coded map<int,int> through the
     keytables, via explode + broadcast join + regroup (scale path: the
@@ -81,16 +82,35 @@ def encode_tags(
 
     Unknown keys/values are dropped (the reference's translator returns
     empty Optionals for strings absent from the keytables).
+
+    ``key_cols``: stable per-row key columns (e.g. doc/entity id) used to
+    join the regrouped tag maps back to the rows.  When omitted, a
+    synthetic id is generated with ``monotonically_increasing_id`` and the
+    frame is ``localCheckpoint``-ed FIRST — the function is
+    nondeterministic, and without materialization the two sides of the
+    self-join could re-evaluate it under different partition layouts (AQE
+    re-plan, recomputation) and silently attach tag maps to wrong rows.
+    Prefer passing ``key_cols``.
     """
     keys_df, vals_df = keytable_frames(spark, translator)
-    with_id = df.withColumn(id_col, F.monotonically_increasing_id())
-    exploded = with_id.select(
-        id_col, F.explode_outer(F.col(tags_col)).alias("key", "value")
-    )
+    if key_cols:
+        with_id = df
+        join_keys = list(key_cols)
+        exploded = with_id.select(
+            *join_keys, F.explode_outer(F.col(tags_col)).alias("key", "value")
+        )
+    else:
+        with_id = df.withColumn(
+            id_col, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        join_keys = [id_col]
+        exploded = with_id.select(
+            id_col, F.explode_outer(F.col(tags_col)).alias("key", "value")
+        )
     coded = (
         exploded.join(F.broadcast(keys_df), "key", "left")
         .join(F.broadcast(vals_df), ["key", "value"], "left")
-        .groupBy(id_col)
+        .groupBy(*join_keys)
         .agg(
             F.map_from_entries(
                 F.filter(
@@ -109,4 +129,5 @@ def encode_tags(
             ).alias(out_col)
         )
     )
-    return with_id.join(coded, id_col, "left").drop(id_col)
+    out = with_id.join(coded, join_keys, "left")
+    return out if key_cols else out.drop(id_col)

@@ -513,14 +513,11 @@ class ContributionView(_MapReducer):
                 (post_nodes if _has_contrib_selector(c) else alive_nodes).append(c)
         from oshdb_spark.filters.dsl import metrics_needed
 
-        for c in alive_nodes:
-            if metrics_needed(c):
-                raise NotImplementedError(
-                    "derived geometry metric filters (vertices/outers/inners/"
-                    "roundness/squareness) are not yet evaluated inside "
-                    "contribution aliveness; use the snapshot view or filter "
-                    "the contribution DataFrame explicitly"
-                )
+        # derived geometry metrics (vertices/outers/inners/roundness/
+        # squareness) participate in aliveness like any other geometry
+        # predicate (FilterExpression.java:98-113): contribution_view
+        # attaches the metric columns to every event state when needed
+        needs_metrics = any(metrics_needed(c) for c in alive_nodes)
         match = None
         for n in alive_nodes:
             match = n.osm_column() if match is None else (match & n.osm_column())
@@ -547,6 +544,7 @@ class ContributionView(_MapReducer):
             interpreter=self.db.interpreter,
             types=types,
             osm_filter=match,
+            attach_metrics=needs_metrics,
         )
         for n in post_nodes:
             df = df.filter(n.osm_column())

@@ -14,24 +14,20 @@ convex.  Reference semantics covered here:
   * general clipping: FastPolygonOperations pre-decomposes the clip
     polygon so each piece is cheap to intersect
     (fip/FastPolygonOperations.java:26-60 — 2^k x 2^k quad blocks of
-    ~40 vertices).  We decompose further, to TRIANGLES (even-odd
-    trapezoidal slab decomposition, see triangulate_polygon): a triangle
-    is convex, so each piece-clip is the exact Sutherland-Hodgman/
-    Cyrus-Beck kernel already proven for the convex path
-    (geometry/clip.py).  intersection(geom, poly) = union over triangles
-    of intersection(geom, tri); triangle interiors are disjoint, so
-    areas are additive and the union region is exactly the true
-    intersection.
-
-Output-shape note (documented divergence from JTS): polygonal clip
-results come back as a MultiPolygon of triangle-clipped pieces that
-share internal edges, not as one dissolved polygon.  The REGION is
-exact — emptiness tests, areas (edge-additive spherical-excess sums
-cancel on shared internal edges up to float round-off) and any
-point-in-result test agree with JTS — only the ring decomposition of
-the WKT differs.  Line and point clips are produced directly (segment
-splitting at edge crossings), not via the decomposition, so they match
-JTS output shapes.
+    ~40 vertices).  We decompose to convex TRAPEZOIDS (even-odd
+    trapezoidal slab decomposition, see _slab_trapezoids): each
+    piece-clip is the exact Sutherland-Hodgman/Cyrus-Beck kernel already
+    proven for the convex path (geometry/clip.py).  intersection(geom,
+    poly) = union over trapezoids of intersection(geom, trap); trapezoid
+    interiors are disjoint, so areas are additive and the union region
+    is exactly the true intersection.  A DISSOLVE pass (dissolve_rings)
+    then cancels the shared internal edges of the piece soup and walks
+    the surviving boundary into simple rings, so polygonal clip output
+    has the same dissolved ring shape JTS ``intersection`` produces
+    (Geo.java:509-515) — WKT ring structure, ring/part counts, and
+    perimeter all match, not just region/area.  Line and point clips are
+    produced directly (segment splitting at edge crossings), not via the
+    decomposition, so they match JTS output shapes as well.
 
 The decomposition runs ONCE per query polygon on the driver
 (``PreparedPolygon``) and ships to executors inside the UDF closure —
@@ -366,9 +362,9 @@ def _iter_coords(geom: Geometry):
 
 
 class PreparedPolygon:
-    """Driver-side prepared clip polygon: triangles + bboxes, built once
-    per query and shipped in the UDF closure (the broadcast analog of
-    constructing FastPolygonOperations once)."""
+    """Driver-side prepared clip polygon: convex trapezoid pieces +
+    bboxes, built once per query and shipped in the UDF closure (the
+    broadcast analog of constructing FastPolygonOperations once)."""
 
     def __init__(self, poly: Geometry):
         t = poly["type"]
@@ -376,36 +372,37 @@ class PreparedPolygon:
             raise ValueError(f"clip polygon must be (Multi)Polygon, got {t}")
         self.poly = poly
         self.bbox = bounds(poly)
-        tris: list[tuple] = []
+        quads: list[list[tuple]] = []
         polys = poly["coordinates"] if t == "MultiPolygon" else [poly["coordinates"]]
         for rings in polys:
             if not rings:
                 continue
-            for tri in triangulate_polygon(rings[0], rings[1:]):
-                (ax, ay), (bx, by), (cx, cy) = tri
-                a2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            for q in trapezoids_polygon(rings[0], rings[1:]):
+                a2 = _signed_area2([list(p) for p in q])
                 # float-noise slivers (collinear in exact arithmetic) carry
                 # no area and break the convex kernel — drop them
-                scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+                scale = max(max(abs(x), abs(y)) for x, y in q) or 1.0
                 if abs(a2) > 1e-12 * scale * scale:
-                    tris.append(tri)
-        self.triangles = [
-            {"type": "Polygon", "coordinates": [[list(a), list(b), list(c), list(a)]]}
-            for a, b, c in tris
+                    quads.append(q)
+        self.pieces = [
+            {"type": "Polygon", "coordinates": [[list(p) for p in q] + [list(q[0])]]}
+            for q in quads
         ]
-        if tris:
-            arr = np.asarray(tris, dtype=np.float64)  # (n, 3, 2)
-            self.tri_bounds = np.stack(
+        if quads:
+            self.piece_bounds = np.asarray(
                 [
-                    arr[:, :, 0].min(axis=1),
-                    arr[:, :, 1].min(axis=1),
-                    arr[:, :, 0].max(axis=1),
-                    arr[:, :, 1].max(axis=1),
+                    (
+                        min(p[0] for p in q),
+                        min(p[1] for p in q),
+                        max(p[0] for p in q),
+                        max(p[1] for p in q),
+                    )
+                    for q in quads
                 ],
-                axis=1,
+                dtype=np.float64,
             )
         else:
-            self.tri_bounds = np.zeros((0, 4))
+            self.piece_bounds = np.zeros((0, 4))
 
     @property
     def ring_segments(self) -> tuple[np.ndarray, ...]:
@@ -415,8 +412,8 @@ class PreparedPolygon:
             self._ring_segs = _ring_segments(self.poly)
         return self._ring_segs
 
-    def candidate_triangles(self, b: tuple[float, float, float, float]) -> list[int]:
-        tb = self.tri_bounds
+    def candidate_pieces(self, b: tuple[float, float, float, float]) -> list[int]:
+        tb = self.piece_bounds
         m = (
             (tb[:, 0] <= b[2])
             & (tb[:, 2] >= b[0])
@@ -550,6 +547,204 @@ def segment_clip_part_counts(
     return np.bincount(seg_of_iv[starts], minlength=n)
 
 
+# ---------------------------------------------------------------------------
+# dissolve: piece soup -> JTS-shaped rings
+# ---------------------------------------------------------------------------
+
+# vertex-identity quantization: 5e-10 deg (~0.05 µm on Earth) absorbs the
+# ulp-level disagreement between intersection points computed against the
+# two different endpoint representations of a shared slab-boundary line
+_SNAP = 2e9
+
+
+def _node_edges(edges, rep):
+    """Split every edge at intermediate snapped vertices lying on it (within
+    ~1 snap unit), so differently-partitioned collinear edges cancel exactly.
+    Works in snapped integer space; O(E x V) vectorized, piece soups are
+    small (one border geometry x AOI)."""
+    from collections import Counter
+
+    verts = np.asarray(list(rep.keys()), dtype=np.float64)
+    out = Counter()
+    for (a, b), c in edges.items():
+        ax, ay = a
+        bx, by = b
+        dx, dy = float(bx - ax), float(by - ay)
+        L2 = dx * dx + dy * dy
+        vx = verts[:, 0] - ax
+        vy = verts[:, 1] - ay
+        cross = dx * vy - dy * vx
+        dot = dx * vx + dy * vy
+        # distance to line <= 2 snap units, strictly between endpoints
+        on = (np.abs(cross) <= 2.0 * np.sqrt(L2)) & (dot > 0) & (dot < L2)
+        if not on.any():
+            out[(a, b)] += c
+            continue
+        mids = sorted(
+            (
+                (float(dot[i]), (int(verts[i, 0]), int(verts[i, 1])))
+                for i in np.nonzero(on)[0]
+            ),
+        )
+        chain = [a] + [k for _, k in mids if k != a and k != b] + [b]
+        for p, q in zip(chain[:-1], chain[1:]):
+            if p != q:
+                out[(p, q)] += c
+    return out
+
+
+def dissolve_rings(pieces: list[list[list]]) -> list[list[list[list[float]]]]:
+    """Merge a soup of piecewise-clipped polygons sharing internal edges
+    into dissolved polygons (the ring shape JTS ``intersection`` emits).
+
+    ``pieces``: list of [shell, hole...] closed float rings with pairwise
+    disjoint interiors.  Internal edges appear exactly twice in opposite
+    directions once ring orientation is normalized (shell CCW / hole CW)
+    and collinear edges are co-noded — cancelling them leaves precisely
+    the region boundary, which is then walked into simple rings with the
+    canonical face-tracing rule (next edge clockwise from the incoming
+    twin) and re-attached (hole -> smallest containing shell).  Collinear
+    vertices introduced by the slab decomposition are removed; original
+    subject/clip vertices are never collinear with them and survive.
+
+    Returns list of polygons: [[shell, hole...], ...] — closed rings,
+    shells CCW, holes CW.
+    """
+    import math
+    from collections import Counter, defaultdict
+
+    def key_of(p):
+        return (round(p[0] * _SNAP), round(p[1] * _SNAP))
+
+    rep: dict = {}
+    edges: Counter = Counter()
+    for rings in pieces:
+        for ri, ring in enumerate(rings):
+            pts = _dedupe_consecutive(_open_ring(ring))
+            if len(pts) < 3:
+                continue
+            a2 = _signed_area2(pts)
+            if a2 == 0:
+                continue
+            if (a2 > 0) != (ri == 0):  # shell CCW, holes CW
+                pts = pts[::-1]
+            keys = []
+            for p in pts:
+                k = key_of(p)
+                rep.setdefault(k, [float(p[0]), float(p[1])])
+                if not keys or k != keys[-1]:
+                    keys.append(k)
+            while len(keys) > 1 and keys[0] == keys[-1]:
+                keys.pop()
+            if len(keys) < 3:
+                continue
+            for i in range(len(keys)):
+                edges[(keys[i], keys[(i + 1) % len(keys)])] += 1
+
+    edges = _node_edges(edges, rep)
+
+    net: Counter = Counter()
+    for (a, b), c in edges.items():
+        r = edges.get((b, a), 0)
+        if c > r:
+            net[(a, b)] = c - r
+
+    outgoing: dict = defaultdict(list)
+    for (a, b), c in net.items():
+        for _ in range(c):
+            outgoing[a].append(b)
+
+    def pick_next(prev, v):
+        outs = outgoing[v]
+        if len(outs) == 1:
+            return outs.pop()
+        # face-tracing: next edge CLOCKWISE from the incoming twin — the
+        # largest CCW angle from the reversed incoming direction keeps the
+        # interior on the left and splits pinch-point contacts the way a
+        # simple-polygon output requires
+        back = math.atan2(prev[1] - v[1], prev[0] - v[0])
+        best_i, best_d = 0, -1.0
+        for i, w in enumerate(outs):
+            ang = math.atan2(w[1] - v[1], w[0] - v[0])
+            d = (ang - back) % (2 * math.pi)
+            if d > best_d:
+                best_i, best_d = i, d
+        return outs.pop(best_i)
+
+    raw_rings: list[list] = []
+    for start in list(outgoing.keys()):
+        while outgoing[start]:
+            walk = [start, outgoing[start].pop()]
+            while walk[-1] != start:
+                walk.append(pick_next(walk[-2], walk[-1]))
+                if len(walk) > 4 * len(rep) + 8:  # corrupt soup guard
+                    break
+            if walk[-1] == start and len(walk) >= 4:
+                raw_rings.append(walk[:-1])
+
+    shells: list[tuple] = []  # (area2, coords)
+    holes: list[tuple] = []
+    for keys in raw_rings:
+        coords = [rep[k] for k in keys]
+        coords = _strip_collinear(coords)
+        if len(coords) < 3:
+            continue
+        a2 = _signed_area2(coords)
+        if a2 == 0:
+            continue
+        closed = [list(p) for p in coords] + [list(coords[0])]
+        (shells if a2 > 0 else holes).append((abs(a2), closed))
+
+    shells.sort(key=lambda s: s[0])  # smallest first -> innermost match
+    polys: list[list] = [[s[1]] for s in shells]
+    for _, hole in holes:
+        hx, hy = hole[0]
+        placed = False
+        for i, (_, shell) in enumerate(shells):
+            if points_in_polygon(
+                np.array([hx]), np.array([hy]),
+                {"type": "Polygon", "coordinates": [shell]},
+                include_boundary=True,
+            )[0]:
+                polys[i].append(hole)
+                placed = True
+                break
+        if not placed and polys:
+            polys[-1].append(hole)
+    # emit largest shell first (stable, JTS-like ordering by area desc)
+    return [p for p in reversed(polys)]
+
+
+def _strip_collinear(coords: list[list[float]]) -> list[list[float]]:
+    """Remove vertices collinear with their neighbors (the slab-boundary
+    split points the decomposition introduced; |sin| <= 1e-9 bound)."""
+    out = list(coords)
+    changed = True
+    while changed and len(out) >= 3:
+        changed = False
+        n = len(out)
+        kept = []
+        for i in range(n):
+            a, b, c = out[i - 1], out[i], out[(i + 1) % n]
+            abx, aby = b[0] - a[0], b[1] - a[1]
+            bcx, bcy = c[0] - b[0], c[1] - b[1]
+            cross = abx * bcy - aby * bcx
+            la = math_hypot(abx, aby)
+            lb = math_hypot(bcx, bcy)
+            if la == 0 or (abs(cross) <= 1e-9 * la * lb and abx * bcx + aby * bcy >= 0):
+                changed = True
+                continue
+            kept.append(b)
+        out = kept
+    return out
+
+
+def math_hypot(x: float, y: float) -> float:
+    import math
+
+    return math.hypot(x, y)
+
+
 def clip_to_polygon(geom: Geometry | None, prepared: PreparedPolygon) -> Geometry:
     """Clip any geometry to an arbitrary (Multi)Polygon with holes.
 
@@ -587,11 +782,11 @@ def clip_to_polygon(geom: Geometry | None, prepared: PreparedPolygon) -> Geometr
         return line_string(parts[0]) if len(parts) == 1 else multi_line_string(parts)
     if t in ("Polygon", "MultiPolygon"):
         pieces = []
-        for ti in prepared.candidate_triangles(b):
+        for ti in prepared.candidate_pieces(b):
             try:
-                piece = clip_to_convex_polygon(geom, prepared.triangles[ti])
+                piece = clip_to_convex_polygon(geom, prepared.pieces[ti])
             except ValueError:
-                continue  # degenerate (zero-area) triangle: measure zero
+                continue  # degenerate (zero-area) trapezoid: measure zero
             if is_empty(piece):
                 continue
             pc = piece["coordinates"]
@@ -600,9 +795,13 @@ def clip_to_polygon(geom: Geometry | None, prepared: PreparedPolygon) -> Geometr
                 # drop degenerate slivers (zero planar area)
                 if rings and abs(_signed_area2(_open_ring(rings[0]))) > 0:
                     pieces.append(rings)
-        if not pieces:
+        # dissolve the trapezoid-clipped piece soup into JTS-shaped rings
+        # (shared internal edges cancel; Geo.java:509-515 delegates to JTS
+        # intersection whose output is the dissolved region boundary)
+        polys = dissolve_rings(pieces)
+        if not polys:
             return {"type": t, "coordinates": []}
-        if len(pieces) == 1:
-            return {"type": "Polygon", "coordinates": pieces[0]}
-        return {"type": "MultiPolygon", "coordinates": pieces}
+        if len(polys) == 1:
+            return {"type": "Polygon", "coordinates": polys[0]}
+        return {"type": "MultiPolygon", "coordinates": polys}
     raise ValueError(f"unknown geometry type {t}")

@@ -354,6 +354,7 @@ def _relation_states(
     nodes: DataFrame,
     interpreter: TagInterpreter | None,
     resolve_nested: bool = False,
+    include_old_style: bool = False,
 ) -> DataFrame:
     """Relation state (geometry) as-of each modification event.
 
@@ -364,6 +365,16 @@ def _relation_states(
     reference, child-relation MODIFICATIONS do not generate parent
     events (member histories recurse into nodes/ways only,
     OSHEntityTimeUtils.java:106-192).
+
+    ``include_old_style``: apply the old-style-multipolygon fix-up
+    (holes-only geometry + outer-way tag substitution) to each event
+    state, per the semantics documented for the flag
+    (CellIterator.java:92-97,330-380).  NOTE a deliberate divergence:
+    the reference's iterateByContribution THROWS
+    UnsupportedOperationException for this flag ("not yet properly
+    implemented", CellIterator.java:523-526); we complete the documented
+    intent instead — the same per-state substitution its snapshot
+    iterator applies, so before/after states classify consistently.
     """
     ev = events.filter(F.col("type") == "relation").drop("type")
     st = asof_resolve(
@@ -537,12 +548,76 @@ def _relation_states(
     out = grouped.withColumn("members", members).withColumn(
         "g", rudf("visible", "tags", "members")
     )
-    return out.select(
+    result = out.select(
         F.lit("relation").alias("type"), "id", "event_ts", "event_changeset",
         "event_uid", "own_change", "doc_id", "version", "visible", "tags",
         F.col("g.wkt").alias("wkt"),
         F.col("g.area").alias("area"),
         F.col("g.length").alias("length"),
+    )
+    if not include_old_style:
+        return result
+
+    # old-style multipolygon fix-up per event state (see docstring): flag
+    # computed on the as-of relation version, outer way's tags resolved
+    # as-of the same event — both restricted to the (tiny) flagged subset
+    from oshdb_spark.operators.geometry_ops import (
+        holes_only_udf,
+        old_style_flag_udf,
+    )
+
+    flag = old_style_flag_udf(interpreter)
+    mm = F.transform(
+        F.col("v_members"),
+        lambda m: F.struct(m["type"].alias("mtype"), m["role"].alias("role")),
+    )
+    outer_ref = F.filter(
+        F.col("v_members"),
+        lambda m: (m["type"] == F.lit("way")) & (m["role"] == F.lit("outer")),
+    )[0]["ref"]
+    flagged = (
+        st.withColumn("__old", flag("v_tags", mm))
+        .filter("__old")
+        .select("id", "event_ts", outer_ref.alias("__outer_ref"))
+    )
+    way_tags = ways.select(
+        F.col("id").alias("__outer_ref"),
+        F.col("ts").alias("__w_ts"),
+        F.col("version").alias("__w_version"),
+        F.col("tags").alias("__way_tags"),
+    )
+    fj = flagged.join(way_tags, "__outer_ref", "left").filter(
+        F.col("__w_ts").isNull() | (F.col("__w_ts") <= F.col("event_ts"))
+    )
+    wdw = Window.partitionBy("id", "event_ts").orderBy(
+        F.col("__w_ts").desc_nulls_last(), F.col("__w_version").desc_nulls_last()
+    )
+    fj = (
+        fj.withColumn("__rn", F.row_number().over(wdw))
+        .filter("__rn = 1")
+        .select("id", "event_ts", F.lit(True).alias("__old"), "__way_tags")
+    )
+    hu = holes_only_udf()
+    is_old = F.col("__old").isNotNull()
+    return (
+        result.join(fj, ["id", "event_ts"], "left")
+        .withColumn("__h", F.when(is_old, hu(F.col("wkt"))))
+        .withColumn(
+            "wkt", F.when(is_old, F.col("__h.wkt")).otherwise(F.col("wkt"))
+        )
+        .withColumn(
+            "area", F.when(is_old, F.col("__h.area")).otherwise(F.col("area"))
+        )
+        .withColumn(
+            "length",
+            F.when(is_old, F.col("__h.length")).otherwise(F.col("length")),
+        )
+        .withColumn(
+            "tags",
+            F.when(is_old, F.coalesce(F.col("__way_tags"), F.col("tags")))
+            .otherwise(F.col("tags")),
+        )
+        .drop("__h", "__old", "__way_tags")
     )
 
 
@@ -632,12 +707,19 @@ def contribution_view(
     squash: bool = True,
     types: set[str] | None = None,
     osm_filter: F.Column | None = None,
+    include_old_style_multipolygons: bool = False,
+    attach_metrics: bool = False,
 ) -> DataFrame:
     """The full contribution view over [t_start, t_end].
 
     Events outside the interval still feed the lag state (an entity created
     before the interval and deleted inside it yields a DELETION) but are not
     emitted (CellIterator.java:602-618).
+
+    ``include_old_style_multipolygons``: the reference's contribution
+    iterator throws UnsupportedOperationException for this flag
+    (CellIterator.java:523-526); we implement the documented snapshot-side
+    semantics (:92-97, :330-380) uniformly — see _relation_states.
 
     ``types`` restricts the entity kinds to build (the reference's DNF
     type-narrowing, MapReducer.java:1910-1935); when None all three kinds
@@ -673,8 +755,22 @@ def contribution_view(
             rs = _relation_states(
                 events, rels, ways, nodes, interpreter,
                 resolve_nested=has_nested,
+                include_old_style=include_old_style_multipolygons,
             )
             states = rs if states is None else states.unionByName(rs)
+    if attach_metrics:
+        # derived geometry metric columns on EVERY event state, so an
+        # osm_filter referencing vertices/outers/inners/roundness/
+        # squareness participates in aliveness uniformly on before/after
+        # states (FilterExpression.java:98-113 applyOSMGeometry on both
+        # sides of a contribution) — one Arrow pass, only when a compiled
+        # filter actually references a metric
+        from oshdb_spark.operators.geometry_ops import geometry_metrics_udf
+
+        m = geometry_metrics_udf()(F.col("wkt"))
+        for c in ("g_vertices", "g_outers", "g_inners", "g_roundness",
+                  "g_squareness"):
+            states = states.withColumn(c, m[c])
     classified = classify_contributions(states, match_col=osm_filter)
     # half-open [t_start, t_end): OSHDBTimestampInterval.includes is
     # from <= t < to, so a contribution at exactly t_end is excluded

@@ -275,3 +275,78 @@ def test_nested_relation_members_in_contributions(spark):
     assert len(g["geometries"]) == 2
     assert any(x["type"] == "GeometryCollection" for x in g["geometries"])
     assert list(out[1]["contrib_types"]) == ["TAG_CHANGE"]
+
+
+def test_old_style_multipolygons_in_contributions(spark):
+    """includeOldStyleMultipolygons on the contribution view: each event
+    state of an old-style relation (one outer way, no interesting tags)
+    gets the holes-only geometry + outer-way tag substitution
+    (CellIterator.java:92-97,330-380 semantics).  The reference's own
+    iterateByContribution throws UnsupportedOperationException here
+    (CellIterator.java:523-526); we complete the documented intent."""
+    from oshdb_spark.geometry.model import from_wkt
+
+    t0 = 100
+    schema = (
+        "doc_id string, id long, type string, version int, visible boolean, "
+        "ts long, changeset long, uid int, tags map<int,int>, lon long, "
+        "lat long, refs array<long>, "
+        "members array<struct<type:string,ref:long,role:string>>"
+    )
+
+    def mk(doc, id_, typ, ver, vis, ts, lon=None, lat=None, refs=None,
+           members=None, tags=None):
+        return (doc, id_, typ, ver, vis, ts, ts, 1, tags or {}, lon, lat,
+                refs, members)
+
+    sq = [(1, 0, 0), (2, 10, 0), (3, 10, 10), (4, 0, 10)]
+    hole = [(5, 4, 4), (6, 6, 4), (7, 6, 6), (8, 4, 6)]
+    rows = []
+    for nid, x, y in sq + hole:
+        rows.append(mk("d", nid, "node", 1, True, t0,
+                       x * 10_000_000, y * 10_000_000))
+    # outer way carries the semantic tag (key 2)
+    rows.append(mk("d", 20, "way", 1, True, t0, refs=[1, 2, 3, 4, 1],
+                   tags={2: 1}))
+    rows.append(mk("d", 21, "way", 1, True, t0, refs=[5, 6, 7, 8, 5]))
+    # old-style relation: ONLY type=multipolygon (key 4), created at t0+5
+    rows.append(mk("d", 30, "relation", 1, True, t0 + 5,
+                   members=[("way", 20, "outer"), ("way", 21, "inner")],
+                   tags={4: 1}))
+    # hole corner node moves at t0+10 -> member-driven GEOMETRY_CHANGE
+    rows.append(mk("d", 5, "node", 2, True, t0 + 10,
+                   int(3.5 * 10_000_000), 4 * 10_000_000))
+    ents = spark.createDataFrame(rows, schema)
+
+    out = (
+        contribution_view(ents, 0, 1 << 40, types={"relation"},
+                          include_old_style_multipolygons=True)
+        .filter("id = 30")
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(out) == 2
+    creation, geomchange = out
+    assert list(creation["contrib_types"]) == ["CREATION"]
+    g = from_wkt(creation["wkt"])
+    assert g["type"] == "MultiPolygon"      # holes-only fix-up geometry
+    assert len(g["coordinates"]) == 1
+    xs = [p[0] for p in g["coordinates"][0][0]]
+    assert min(xs) == 4.0 and max(xs) == 6.0  # it IS the hole ring
+    assert dict(creation["tags"]) == {2: 1}   # outer way's tags substituted
+
+    assert "GEOMETRY_CHANGE" in list(geomchange["contrib_types"])
+    g2 = from_wkt(geomchange["wkt"])
+    xs2 = [p[0] for p in g2["coordinates"][0][0]]
+    assert min(xs2) == 3.5                    # moved hole corner visible
+
+    # without the flag, the same relation builds normally (Polygon+hole)
+    out2 = (
+        contribution_view(ents, 0, 1 << 40, types={"relation"})
+        .filter("id = 30")
+        .orderBy("ts")
+        .collect()
+    )
+    gplain = from_wkt(out2[0]["wkt"])
+    assert gplain["type"] == "Polygon" and len(gplain["coordinates"]) == 2
+    assert dict(out2[0]["tags"]) == {4: 1}

@@ -190,10 +190,45 @@ def test_snapshot_view_e2e(db):
     assert "g_vertices" not in base.dataframe().columns
 
 
-def test_contribution_view_guard(tag_flip_db):
+@pytest.fixture()
+def vertex_change_db(spark):
+    """way 10: v1 = 3-vertex line, v2 = 5-vertex line."""
+    from oshdb_spark.api import OSHDB
+    from tests.test_api import ENT_SCHEMA, TR
+
+    rows = [
+        ("d1", n, "node", 1, True, 50, 1, 1, {}, n * 10_000_000, 0, None, None)
+        for n in (1, 2, 3, 4, 5)
+    ] + [
+        ("d1", 10, "way", 1, True, 100, 2, 1, {}, None, None, [1, 2, 3], None),
+        ("d1", 10, "way", 2, True, 200, 3, 1, {}, None, None,
+         [1, 2, 3, 4, 5], None),
+    ]
+    return OSHDB(spark, spark.createDataFrame(rows, ENT_SCHEMA), translator=TR)
+
+
+def test_contribution_metric_aliveness(vertex_change_db):
+    """Derived geometry metric filters participate in contribution
+    ALIVENESS (FilterExpression.java:98-113 applies geometry predicates
+    uniformly to before/after states): a way that grows past the vertex
+    bound yields a DELETION under ``vertices:(..3)`` and a CREATION under
+    ``vertices:(4..)``."""
     from oshdb_spark.api import ContributionView
 
-    with pytest.raises(NotImplementedError):
-        ContributionView.on(tag_flip_db).timestamps([0, 1000]).filter(
-            "geometry.vertices:(1..2)"
-        ).dataframe()
+    df = (
+        ContributionView.on(vertex_change_db)
+        .timestamps([0, 1000])
+        .filter("type:way and geometry.vertices:(..3)")
+        .dataframe()
+    )
+    rows = {r["ts"]: list(r["contrib_types"]) for r in df.collect()}
+    assert rows == {100: ["CREATION"], 200: ["DELETION"]}
+
+    df2 = (
+        ContributionView.on(vertex_change_db)
+        .timestamps([0, 1000])
+        .filter("type:way and geometry.vertices:(4..)")
+        .dataframe()
+    )
+    rows2 = {r["ts"]: list(r["contrib_types"]) for r in df2.collect()}
+    assert rows2 == {200: ["CREATION"]}

@@ -144,12 +144,35 @@ def _scaling_worker(master: str, docs_path: str) -> None:
 
 def run_pipeline(master: str, docs_path: str) -> dict[str, list[float]]:
     """Run the scaling worker in a fresh subprocess (own JVM) and collect
-    its per-workload wall times."""
+    its per-workload wall times.
+
+    CPU-affinity confinement (round-3 protocol fix): a local-cluster level
+    with W executors x C cores models a W-machine cluster of C-core hosts,
+    so the WHOLE level (driver + executor JVMs + their Python UDF workers)
+    is pinned to exactly W*C host threads with `taskset`.  Without this the
+    1-executor level silently borrows idle host cores for its Python
+    workers (8 task threads + 8 workers ~ 16 cores of real demand on the
+    free 32-core host) while the 4-executor level oversubscribes (64
+    demand on 32), so the measured "efficiency" understates what identical
+    per-machine budgets would give — an artifact of the shared host, not a
+    property of the plan.  Disable with SCALE_NO_TASKSET=1 to reproduce
+    the round-2 unconfined numbers."""
+    import shutil
     import subprocess
 
+    argv = [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+            master, docs_path]
+    if (
+        master.startswith("local-cluster")
+        and not os.environ.get("SCALE_NO_TASKSET")
+        and shutil.which("taskset")
+    ):
+        body = master.split("[", 1)[1].rstrip("]").split(",")
+        budget = int(body[0]) * int(body[1])
+        if budget < (os.cpu_count() or budget):
+            argv = ["taskset", "-c", f"0-{budget - 1}"] + argv
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-         master, docs_path],
+        argv,
         capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )

@@ -87,6 +87,26 @@ class OSHDB:
 
         return cls(spark, extract_entities(docs), translator, interpreter)
 
+    @classmethod
+    def with_osm_config(
+        cls,
+        spark: SparkSession,
+        entities: DataFrame,
+        translator: TagTranslator,
+    ) -> "OSHDB":
+        """Production constructor for real OSM keytables: the interpreter
+        is built from the bundled osm-polygon-features config
+        (geometry/polygon_features.py) through the given translator — what
+        `new DefaultTagInterpreter(tagTranslator)` does in the reference
+        (DefaultTagInterpreter.java:47-56).  The plain constructor keeps
+        the synthetic int-coded allowlist for fixture data, which has no
+        string keyspace to resolve the config against."""
+        from oshdb_spark.geometry.polygon_features import osm_tag_interpreter
+
+        return cls(
+            spark, entities, translator, osm_tag_interpreter(translator)
+        )
+
 
 # ---------------------------------------------------------------------------
 # filter plumbing
@@ -276,13 +296,31 @@ class _MapReducer:
     def _apply_polygon(self, df: DataFrame) -> DataFrame:
         if self.state.polygon is None:
             return df
+        from oshdb_spark.geometry.model import bounds as _bounds
         from oshdb_spark.operators.geometry_ops import (
             clip_polygon_udf,
             intersects_polygon_udf,
         )
 
         poly = _thaw(self.state.polygon)
-        df = df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
+        if "minx" in df.columns:
+            # JVM-side bbox-overlap gate (bboxOutsidePolygon pre-filter,
+            # CellIterator.java:529-531): the exact intersects UDF parses
+            # only candidate rows; the bbox columns are internal-only
+            pb = _bounds(poly)
+            cand = (
+                F.col("minx").isNotNull()
+                & (F.col("maxx") >= float(pb[0]))
+                & (F.col("minx") <= float(pb[2]))
+                & (F.col("maxy") >= float(pb[1]))
+                & (F.col("miny") <= float(pb[3]))
+            )
+            hit = intersects_polygon_udf(poly)(F.when(cand, F.col("wkt")))
+            df = df.filter(cand & F.coalesce(hit, F.lit(False))).drop(
+                "minx", "miny", "maxx", "maxy"
+            )
+        else:
+            df = df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
         # geometryClipped-to-polygon (OSHDBGeometryBuilder.getGeometryClipped,
         # :110-137): exact for arbitrary (Multi)Polygon AOIs — convex fast
         # path or triangle-decomposed general clip (geometry/polyclip)
@@ -483,6 +521,7 @@ class SnapshotView(_MapReducer):
             list(self.state.ts),
             bbox_deg=self.state.bbox_deg,
             interpreter=self.db.interpreter,
+            keep_bbox=self.state.polygon is not None,
         )
         df = self._attach_metric_columns(df)
         # version/geometry predicate on the UNCLIPPED state
@@ -523,18 +562,55 @@ class ContributionView(_MapReducer):
             match = n.osm_column() if match is None else (match & n.osm_column())
         # the AOI participates in ALIVENESS: a geometry moving out of the
         # bbox/polygon is a DELETION, moving in a CREATION
-        # (CellIterator.java:665-679 "geometry became empty in AOI")
+        # (CellIterator.java:665-679 "geometry became empty in AOI").
+        # JVM-side three-way classification against the state bbox columns
+        # (CellIterator.java:417-459 short-circuits): fully inside -> alive,
+        # fully outside / empty -> not, and the Python clip UDF sees only
+        # BORDER rows (null-gated Arrow batch) — the same single-pass shape
+        # as the snapshot view's clip stage
         if self.state.bbox_deg is not None:
             from oshdb_spark.operators.geometry_ops import clip_udf, is_empty_wkt_col
 
+            bminx, bminy, bmaxx, bmaxy = (
+                float(v) for v in self.state.bbox_deg
+            )
+            has_b = F.col("minx").isNotNull()
+            inside = (
+                (F.col("minx") >= bminx) & (F.col("miny") >= bminy)
+                & (F.col("maxx") <= bmaxx) & (F.col("maxy") <= bmaxy)
+            )
+            outside = (
+                (F.col("maxx") < bminx) | (F.col("minx") > bmaxx)
+                | (F.col("maxy") < bminy) | (F.col("miny") > bmaxy)
+            )
+            border = has_b & ~inside & ~outside
             cu = clip_udf(self.state.bbox_deg)
-            aoi = ~is_empty_wkt_col(cu(F.col("wkt"))["clipped_wkt"])
+            border_nonempty = ~is_empty_wkt_col(
+                cu(F.when(border, F.col("wkt")))["clipped_wkt"]
+            )
+            aoi = has_b & (
+                inside | (border & F.coalesce(border_nonempty, F.lit(False)))
+            )
             match = aoi if match is None else (match & aoi)
         if self.state.polygon is not None:
+            # JVM-side polygon-bbox overlap gate (the bboxOutsidePolygon
+            # pre-filter of CellIterator.java:529-531): the exact
+            # intersects UDF parses only rows whose geometry bbox overlaps
+            # the AOI polygon's bbox
+            from oshdb_spark.geometry.model import bounds as _bounds
             from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
 
             poly = _thaw(self.state.polygon)
-            aoi = intersects_polygon_udf(poly)(F.col("wkt"))
+            pb = _bounds(poly)
+            cand = (
+                F.col("minx").isNotNull()
+                & (F.col("maxx") >= float(pb[0]))
+                & (F.col("minx") <= float(pb[2]))
+                & (F.col("maxy") >= float(pb[1]))
+                & (F.col("miny") <= float(pb[3]))
+            )
+            hit = intersects_polygon_udf(poly)(F.when(cand, F.col("wkt")))
+            aoi = cand & F.coalesce(hit, F.lit(False))
             match = aoi if match is None else (match & aoi)
         types = self._type_set()
         df = contribution_view(
@@ -551,12 +627,35 @@ class ContributionView(_MapReducer):
         for c in self.state.raw_filters:
             df = df.filter(c)
         if self.state.bbox_deg is not None:
+            # single-pass output clip: identity for fully-inside rows,
+            # typed EMPTY for fully-outside, Python only on border rows
             from oshdb_spark.operators.geometry_ops import clip_udf
 
+            bminx, bminy, bmaxx, bmaxy = (
+                float(v) for v in self.state.bbox_deg
+            )
+            has_b = F.col("minx").isNotNull()
+            inside = (
+                (F.col("minx") >= bminx) & (F.col("miny") >= bminy)
+                & (F.col("maxx") <= bmaxx) & (F.col("maxy") <= bmaxy)
+            )
+            outside = (
+                (F.col("maxx") < bminx) | (F.col("minx") > bmaxx)
+                | (F.col("maxy") < bminy) | (F.col("miny") > bmaxy)
+            )
+            border = has_b & ~inside & ~outside
+            empty_wkt = F.concat(
+                F.regexp_extract("wkt", "^[A-Z]+", 0), F.lit(" EMPTY")
+            )
             cu = clip_udf(self.state.bbox_deg)
             df = (
-                df.withColumn("c", cu(F.col("wkt")))
-                .withColumn("clipped_wkt", F.col("c.clipped_wkt"))
+                df.withColumn("c", cu(F.when(border, F.col("wkt"))))
+                .withColumn(
+                    "clipped_wkt",
+                    F.when(~has_b | inside, F.col("wkt"))
+                    .when(outside, empty_wkt)
+                    .otherwise(F.col("c.clipped_wkt")),
+                )
                 .drop("c")
             )
         return df

@@ -173,6 +173,111 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s2_oracle_sql(level: int) -> str:
+    """The FULL 64-bit S2 cell id re-derived in DuckDB SQL.
+
+    The sphere->cube-face->quadratic-(s,t)->leaf-(i,j) projection is
+    independently re-expressed in SQL (trig + CASE + FLOOR, no shared
+    code).  The Hilbert traversal uses the same 4-bit lookup table as
+    grid/s2.py embedded as a VALUES list — the table itself is pinned
+    independently by tests/test_s2.py's curve-adjacency invariant — with
+    the bit plumbing (8 chunk steps, parent-at-level, signed view)
+    re-derived here arithmetically (no bitwise ops, pure // % * +).
+    """
+    from oshdb_spark.grid.s2 import _LOOKUP_POS
+
+    lut = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(_LOOKUP_POS))
+    face = (
+        "CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN"
+        " CASE WHEN x >= 0 THEN 0 ELSE 3 END"
+        " WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END"
+        " ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END"
+    )
+    u = (
+        "CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z"
+        " WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END"
+    )
+    v = (
+        "CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z"
+        " WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END"
+    )
+
+    def st(c: str) -> str:
+        return (
+            f"CASE WHEN {c} >= 0 THEN 0.5 * sqrt(1 + 3 * {c})"
+            f" ELSE 1 - 0.5 * sqrt(1 - 3 * {c}) END"
+        )
+
+    def ij(c: str) -> str:
+        return (
+            f"CAST(LEAST(GREATEST(FLOOR({c} * 1073741824.0), 0),"
+            f" 1073741823) AS BIGINT)"
+        )
+
+    # 8 Hilbert chunk steps, k = 7..0: pure-arithmetic bit plumbing
+    # ((x >> s) & 15  ==  (x // 2^s) % 16;  n | chunk<<s  ==  n + chunk*2^s
+    # since each step writes a disjoint, previously-zero 8-bit span)
+    steps = []
+    prev = "ij"
+    init_n = "CAST(face AS HUGEINT) * 1152921504606846976"  # face << 60
+    for k in range(7, -1, -1):
+        name = f"s{k}"
+        n_in = init_n if k == 7 else "n"
+        bits_in = "face % 2" if k == 7 else "bits"
+        sh = 1 << (4 * k)  # 2^(k*4) for the i/j chunk extraction
+        pos_sh = 1 << (8 * k)  # 2^(k*8) for the curve-position chunk
+        steps.append(
+            f"{name} AS (SELECT user_id, i, j, face,"
+            f" {n_in} + (l.val // 4) * CAST({pos_sh} AS HUGEINT) AS n,"
+            f" l.val % 4 AS bits"
+            f" FROM {prev} JOIN lut l ON l.idx ="
+            f" ({bits_in}) + ((i // {sh}) % 16) * 64 + ((j // {sh}) % 16) * 4)"
+        )
+        prev = name
+    lsb = 1 << (2 * (30 - level))
+    return f"""
+WITH g AS ({{derive}}),
+lut(idx, val) AS (VALUES {lut}),
+pt AS (SELECT user_id, lon_fp / 1e7 AS lon, lat_fp / 1e7 AS lat FROM g),
+xyz AS (SELECT user_id,
+        cos(radians(lat)) * cos(radians(lon)) AS x,
+        cos(radians(lat)) * sin(radians(lon)) AS y,
+        sin(radians(lat)) AS z FROM pt),
+f AS (SELECT *, {face} AS face FROM xyz),
+uv AS (SELECT user_id, face, {u} AS u, {v} AS v FROM f),
+st AS (SELECT user_id, face, {st('u')} AS s, {st('v')} AS t FROM uv),
+ij AS (SELECT user_id, face, {ij('s')} AS i, {ij('t')} AS j FROM st),
+{", ".join(steps)},
+leaf AS (SELECT user_id, n * 2 + 1 AS leaf FROM s0),
+par AS (SELECT user_id,
+        ((leaf // {lsb}) - ((leaf // {lsb}) % 2) + 1) * CAST({lsb} AS HUGEINT)
+        AS idp FROM leaf),
+ids AS (SELECT user_id, CAST(CASE WHEN idp >= 9223372036854775808
+        THEN idp - 18446744073709551616 ELSE idp END AS BIGINT) AS s2_cell
+        FROM par)
+SELECT s2_cell, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq_users
+FROM ids GROUP BY 1
+"""
+
+
+_Q_S2_ORACLE = _s2_oracle_sql(12).format(derive=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("s2_cell_assign", _Q_S2_ORACLE, bench=True)
+def q_s2_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 level-12 cell assignment over the synthetic point stream —
+    the true hierarchical spherical index named by the north rule
+    (grid/s2.py pure-numpy port), oracle-checked on the full 64-bit id."""
+    from oshdb_spark.operators.tiling import s2_udf
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return (
+        g.withColumn("s2_cell", s2_udf(12)("lon_fp", "lat_fp"))
+        .groupBy("s2_cell")
+        .agg(count_agg("cnt"), count_uniq_agg("user_id", "uniq_users"))
+    )
+
+
 _Q02_ORACLE = f"""
 WITH g AS ({_duck_derive(GEO_LOCAL_EXPRS)}),
 b AS (SELECT user_id, MIN(lon_fp) AS minlon, MIN(lat_fp) AS minlat,
@@ -535,6 +640,82 @@ def q_interval_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{SPARK_TS_US} AS ts", "event_id"
     )
     return aggregate_by_timestamp_contribution(ev, INTERVAL_TS_US, [count_agg("cnt")])
+
+
+# keytable ETL -> filter loop: build frequency-ordered keytables FROM the
+# data, int-encode every row's string tags through them (broadcast joins),
+# compile a DSL string filter through the same translator, aggregate.
+# Oracle re-derives the dictionary in SQL (window rank by freq desc, value
+# asc = build_keytables' order) and filters on the CODES via subselects —
+# so dictionary order, the encode join, and the compiled int predicate are
+# all value-checked, not just row counts.
+_Q_KT_ORACLE = """
+WITH lang_ids AS (
+  SELECT lang AS value,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang ASC) - 1 AS INT)
+           AS vid
+  FROM documents GROUP BY lang
+),
+source_ids AS (
+  SELECT source AS value,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source ASC) - 1 AS INT)
+           AS vid
+  FROM documents GROUP BY source
+),
+coded AS (
+  SELECT d.doc_id, d.lang, d.source, l.vid AS lang_code, s.vid AS source_code
+  FROM documents d
+  JOIN lang_ids l ON l.value = d.lang
+  JOIN source_ids s ON s.value = d.source
+)
+SELECT lang, source, lang_code, source_code, COUNT(*) AS n_docs
+FROM coded
+WHERE lang_code = (SELECT vid FROM lang_ids WHERE value = 'en')
+   OR source_code = (SELECT vid FROM source_ids WHERE value = 'src3')
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@_q("keytable_filter_pipeline", _Q_KT_ORACLE)
+def q_keytable_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ETL->filter loop (VERDICT r2 #10): keytables built from
+    the data in two pre-aggregated one-pass shuffles
+    (sources/keytables.build_keytables), row tags int-encoded through the
+    broadcast keytable dimensions (encode_tags), and a DSL string filter
+    compiled through the data-built translator into pure int-code Column
+    predicates (filters/dsl.parse_filter) — the reference's
+    keytables + TagTranslator + oshdb-filter pipeline
+    (JdbcTagTranslator.java, FilterParser.java)."""
+    from oshdb_spark.filters.dsl import parse_filter
+    from oshdb_spark.sources.keytables import build_keytables, encode_tags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag_rows = docs.selectExpr("'lang' AS key", "lang AS value").unionAll(
+        docs.selectExpr("'source' AS key", "source AS value")
+    )
+    tr = build_keytables(tag_rows)
+    str_tags = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    coded = encode_tags(
+        docs.withColumn("str_tags", str_tags), spark, tr, key_cols=["doc_id"]
+    )
+    # "lang=en or source=src3" compiles to int-coded map lookups against
+    # the generated dictionary — no strings survive into the predicate
+    node = parse_filter("lang=en or source=src3", tr)
+    lang_k, src_k = tr.key_id("lang"), tr.key_id("source")
+    return (
+        coded.filter(node.osm_column())
+        .select(
+            "lang",
+            "source",
+            F.col("tags").getItem(lang_k).alias("lang_code"),
+            F.col("tags").getItem(src_k).alias("source_code"),
+        )
+        .groupBy("lang", "source", "lang_code", "source_code")
+        .agg(count_agg("n_docs"))
+    )
 
 
 # ---------------------------------------------------------------------------

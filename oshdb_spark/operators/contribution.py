@@ -249,6 +249,8 @@ def _node_states_direct(nodes: DataFrame, squash: bool = True) -> DataFrame:
     )
     if squash:
         ev = squash_changesets(ev)
+    lon_deg = F.col("lon").cast("double") / 1e7
+    lat_deg = F.col("lat").cast("double") / 1e7
     return ev.select(
         "type", "id", "event_ts", "event_changeset", "event_uid", "own_change",
         "doc_id", "version", "visible", "tags",
@@ -257,12 +259,18 @@ def _node_states_direct(nodes: DataFrame, squash: bool = True) -> DataFrame:
         ),
         F.lit(0.0).alias("area"),
         F.lit(0.0).alias("length"),
+        F.when(F.col("visible"), lon_deg).alias("minx"),
+        F.when(F.col("visible"), lat_deg).alias("miny"),
+        F.when(F.col("visible"), lon_deg).alias("maxx"),
+        F.when(F.col("visible"), lat_deg).alias("maxy"),
     )
 
 
 def _node_states(events: DataFrame, nodes: DataFrame) -> DataFrame:
     ev = events.filter(F.col("type") == "node").drop("type")
     st = asof_resolve(ev, nodes.drop("type"), "id", "event_ts")
+    lon_deg = F.col("v_lon").cast("double") / 1e7
+    lat_deg = F.col("v_lat").cast("double") / 1e7
     return st.select(
         F.lit("node").alias("type"), "id", "event_ts", "event_changeset",
         "event_uid", "own_change",
@@ -275,6 +283,10 @@ def _node_states(events: DataFrame, nodes: DataFrame) -> DataFrame:
         ).alias("wkt"),
         F.lit(0.0).alias("area"),
         F.lit(0.0).alias("length"),
+        F.when(F.col("v_visible"), lon_deg).alias("minx"),
+        F.when(F.col("v_visible"), lat_deg).alias("miny"),
+        F.when(F.col("v_visible"), lon_deg).alias("maxx"),
+        F.when(F.col("v_visible"), lat_deg).alias("maxy"),
     )
 
 
@@ -344,6 +356,10 @@ def _way_states(
         F.col("g.wkt").alias("wkt"),
         F.col("g.area").alias("area"),
         F.col("g.length").alias("length"),
+        F.col("g.minx").alias("minx"),
+        F.col("g.miny").alias("miny"),
+        F.col("g.maxx").alias("maxx"),
+        F.col("g.maxy").alias("maxy"),
     )
 
 
@@ -548,12 +564,20 @@ def _relation_states(
     out = grouped.withColumn("members", members).withColumn(
         "g", rudf("visible", "tags", "members")
     )
+    # bbox columns ride along for JVM-side AOI classification downstream;
+    # for old-style fix-ups the PRE-substitution bbox is kept — holes are a
+    # subset of the original extent, so inside/outside classification stays
+    # conservative and border rows still get the exact Python check
     result = out.select(
         F.lit("relation").alias("type"), "id", "event_ts", "event_changeset",
         "event_uid", "own_change", "doc_id", "version", "visible", "tags",
         F.col("g.wkt").alias("wkt"),
         F.col("g.area").alias("area"),
         F.col("g.length").alias("length"),
+        F.col("g.minx").alias("minx"),
+        F.col("g.miny").alias("miny"),
+        F.col("g.maxx").alias("maxx"),
+        F.col("g.maxy").alias("maxy"),
     )
     if not include_old_style:
         return result
@@ -679,6 +703,9 @@ def classify_contributions(
         F.col("event_uid").alias("contrib_uid"),
         "own_change", "contrib_types", "wkt", "area", "length",
         "prev_wkt", "prev_tags", "prev_version",
+        # geometry bbox (null for empty): lets consumers classify against
+        # an AOI JVM-side and invoke Python clip UDFs on border rows only
+        "minx", "miny", "maxx", "maxy",
     )
 
 

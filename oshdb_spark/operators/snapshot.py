@@ -271,8 +271,13 @@ def snapshot_view(
     interpreter: TagInterpreter | None = None,
     keep_empty: bool = False,
     include_old_style_multipolygons: bool = False,
+    keep_bbox: bool = False,
 ) -> DataFrame:
     """The full snapshot view over all three entity kinds.
+
+    ``keep_bbox``: retain the internal minx/miny/maxx/maxy geometry-bbox
+    columns in the output so downstream AOI stages can classify JVM-side
+    (polygon overlap gating) — callers drop them before the public result.
 
     Returns one row per (entity, snapshot timestamp) where the entity exists,
     is visible, and (if bbox_deg given) its clipped geometry is non-empty;
@@ -456,5 +461,6 @@ def snapshot_view(
         )
         if not keep_empty:
             out = out.filter(~is_empty_wkt_col(F.col("clipped_wkt")))
-    out = out.drop("minx", "miny", "maxx", "maxy")
+    if not keep_bbox:
+        out = out.drop("minx", "miny", "maxx", "maxy")
     return out

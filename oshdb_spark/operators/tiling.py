@@ -24,6 +24,7 @@ Column predicate so parquet/Iceberg partition pruning kicks in.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,6 +124,30 @@ def quadcell_udf(level: int):
     def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
         out = quadcell_id_vec(level, lon.to_numpy("int64"), lat.to_numpy("int64"))
         return pd.Series(out)
+
+    return _udf
+
+
+def s2_udf(level: int):
+    """True S2 cell ids at `level` from fixed-point 1e7 lon/lat columns —
+    the north rule's H3/S2 headline index, via the pure-numpy port in
+    grid/s2.py (no s2 dependency needed for fixed-level assignment).
+    Fully vectorized per Arrow batch; returns the 64-bit id as its
+    signed-long bit pattern (Spark has no unsigned type)."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    @F.pandas_udf("long")
+    def _udf(lon_fp: pd.Series, lat_fp: pd.Series) -> pd.Series:
+        from oshdb_spark.grid import s2
+
+        ids = s2.cell_id(
+            lon_fp.to_numpy(np.int64) / 1e7,
+            lat_fp.to_numpy(np.int64) / 1e7,
+            level,
+        )
+        return pd.Series(ids.view(np.int64))
 
     return _udf
 

@@ -326,3 +326,53 @@ def test_generic_reduce(db):
         F.max("id").alias("m"),
     ).collect()[0]
     assert got == (row["c"], row["s"], row["m"])
+
+
+@pytest.fixture()
+def moving_node_db(spark):
+    """node 1 moves out of [0,20]^2 at t=200 and back in at t=300."""
+    rows = [
+        ("d1", 1, "node", 1, True, 100, 10, 1, {}, 10_0000000, 10_0000000,
+         None, None),
+        ("d1", 1, "node", 2, True, 200, 11, 1, {}, 30_0000000, 30_0000000,
+         None, None),
+        ("d1", 1, "node", 3, True, 300, 12, 2, {}, 15_0000000, 15_0000000,
+         None, None),
+    ]
+    return OSHDB(spark, spark.createDataFrame(rows, ENT_SCHEMA), translator=TR)
+
+
+def test_bbox_aoi_contribution_aliveness(moving_node_db):
+    """AOI participates in aliveness (CellIterator.java:665-679): moving
+    out of the bbox is a DELETION, back in a CREATION — via the JVM-side
+    inside/outside/border classification (Python clip only on border)."""
+    df = (
+        ContributionView.on(moving_node_db)
+        .timestamps([0, 1000])
+        .area_of_interest(bbox=(0.0, 0.0, 20.0, 20.0))
+        .dataframe()
+    )
+    rows = {r["ts"]: list(r["contrib_types"]) for r in df.collect()}
+    assert rows == {
+        100: ["CREATION"], 200: ["DELETION"], 300: ["CREATION"]
+    }
+
+
+def test_polygon_aoi_contribution_aliveness(moving_node_db):
+    """Same lifecycle through the polygon-AOI path (bbox-overlap gate +
+    exact intersects UDF on candidates only)."""
+    tri = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [40, 0], [0, 40], [0, 0]]],
+    }
+    df = (
+        ContributionView.on(moving_node_db)
+        .timestamps([0, 1000])
+        .area_of_interest(polygon=tri)
+        .dataframe()
+    )
+    rows = {r["ts"]: list(r["contrib_types"]) for r in df.collect()}
+    # (30,30) is outside the triangle x+y<=40? 30+30=60 > 40 -> outside
+    assert rows == {
+        100: ["CREATION"], 200: ["DELETION"], 300: ["CREATION"]
+    }

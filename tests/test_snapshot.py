@@ -296,3 +296,65 @@ def test_old_style_multipolygons(spark):
     r30 = out2.filter("type = 'relation' and id = 30").collect()[0]
     assert from_wkt(r30["wkt"])["type"] == "Polygon"
     assert dict(r30["tags"]) == {4: 1}
+
+
+def test_way_geometry_udf_vectorized_parity(spark):
+    """The vectorized way-geometry kernel must reproduce the row-at-a-time
+    reference path (build_way_geometry + _measure_bbox) bit-exactly:
+    WKT strings, spherical areas, geodesic lengths, bboxes — across
+    points/lines/polygons, closed-but-not-area, unclosed refs, empty and
+    invisible rows."""
+    import random
+
+    from oshdb_spark.geometry.builder import build_way_geometry
+    from oshdb_spark.operators.geometry_ops import (
+        _measure_bbox,
+        way_geometry_udf,
+    )
+    from oshdb_spark.geometry.taginterpreter import default_tag_interpreter
+
+    rng = random.Random(42)
+    ti = default_tag_interpreter()
+    rows = []
+    for rid in range(400):
+        kind = rid % 8
+        nn = {0: 0, 1: 1, 2: 2, 3: 3}.get(kind, rng.randint(4, 12))
+        pts = []
+        for k in range(nn):
+            lon = round(rng.uniform(-179, 179), 4)
+            lat = round(rng.uniform(-85, 85), 4)
+            pts.append((100 + k, lon, lat))
+        refs = [p[0] for p in pts]
+        closed = kind in (5, 6, 7) and nn >= 4
+        if closed:
+            pts.append(pts[0])
+            refs.append(refs[0])
+        # kind 5: area tags; kind 6: area=no veto; kind 7: non-area tag
+        tags = {2: 1} if kind == 5 else ({2: 1, 1: 0} if kind == 6 else {3: 1})
+        visible = kind != 4
+        line = [{"nid": p[0], "lon": p[1], "lat": p[2]} for p in pts]
+        rows.append((rid, visible, tags, refs, line))
+
+    schema = (
+        "rid int, visible boolean, tags map<int,int>, refs array<long>, "
+        "line array<struct<nid:long,lon:double,lat:double>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    wudf = way_geometry_udf(ti)
+    got = {
+        r["rid"]: r["g"]
+        for r in df.withColumn(
+            "g", wudf("visible", "tags", "refs", "line")
+        ).collect()
+    }
+    for rid, visible, tags, refs, line in rows:
+        nodes = [(p["nid"], p["lon"], p["lat"]) for p in line]
+        is_area = ti.way_is_area(refs, tags)
+        g = build_way_geometry(visible, is_area, nodes)
+        w, a, l, mnx, mny, mxx, mxy = _measure_bbox(g)
+        r = got[rid]
+        assert r["wkt"] == w, (rid, r["wkt"], w)
+        assert r["area"] == a, (rid, r["area"], a)
+        assert r["length"] == l, (rid, r["length"], l)
+        assert (r["minx"], r["miny"], r["maxx"], r["maxy"]) == (
+            mnx, mny, mxx, mxy), rid

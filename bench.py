@@ -125,10 +125,16 @@ def _scaling_worker(master: str, docs_path: str) -> None:
         warmups=int(os.environ.get("SCALE_WARMUPS", "1")),
         reps=int(os.environ.get("SCALE_REPS", "3")),
     ):
+        # clearCache between reps: operators may persist() intermediates
+        # (e.g. lifetime_bboxes' single-scan edge relation), which is a
+        # legitimate WITHIN-job reuse — but letting rep N+1 read rep N's
+        # cache would fake the steady-state throughput being measured
         for _ in range(warmups):
+            spark.catalog.clearCache()
             fn(spark, docs, bbox).collect()
         walls = []
         for _ in range(reps):
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             fn(spark, docs, bbox).collect()
             walls.append(round(time.monotonic() - t0, 3))

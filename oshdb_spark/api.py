@@ -287,7 +287,11 @@ class _MapReducer:
             return df
         from oshdb_spark.operators.geometry_ops import geometry_metrics_udf
 
-        m = geometry_metrics_udf()(F.col("wkt"))
+        geom = (
+            F.col("geom") if "geom" in df.columns
+            else F.lit(None).cast("binary")
+        )
+        m = geometry_metrics_udf()(geom, F.col("wkt"))
         for c in ("g_vertices", "g_outers", "g_inners", "g_roundness",
                   "g_squareness"):
             df = df.withColumn(c, m[c])
@@ -303,9 +307,13 @@ class _MapReducer:
         )
 
         poly = _thaw(self.state.polygon)
+        geom = (
+            F.col("geom") if "geom" in df.columns
+            else F.lit(None).cast("binary")
+        )
         if "minx" in df.columns:
             # JVM-side bbox-overlap gate (bboxOutsidePolygon pre-filter,
-            # CellIterator.java:529-531): the exact intersects UDF parses
+            # CellIterator.java:529-531): the exact intersects UDF decodes
             # only candidate rows; the bbox columns are internal-only
             pb = _bounds(poly)
             cand = (
@@ -315,19 +323,24 @@ class _MapReducer:
                 & (F.col("maxy") >= float(pb[1]))
                 & (F.col("miny") <= float(pb[3]))
             )
-            hit = intersects_polygon_udf(poly)(F.when(cand, F.col("wkt")))
+            hit = intersects_polygon_udf(poly)(
+                F.when(cand, geom), F.when(cand, F.col("wkt"))
+            )
             df = df.filter(cand & F.coalesce(hit, F.lit(False))).drop(
                 "minx", "miny", "maxx", "maxy"
             )
         else:
-            df = df.filter(intersects_polygon_udf(poly)(F.col("wkt")))
+            df = df.filter(intersects_polygon_udf(poly)(geom, F.col("wkt")))
         # geometryClipped-to-polygon (OSHDBGeometryBuilder.getGeometryClipped,
         # :110-137): exact for arbitrary (Multi)Polygon AOIs — convex fast
-        # path or triangle-decomposed general clip (geometry/polyclip)
+        # path or triangle-decomposed general clip (geometry/polyclip); the
+        # clipped WKT is materialized from the packed result in one pass
+        from oshdb_spark.operators.geometry_ops import to_wkt_udf
+
         cu = clip_polygon_udf(poly)
         df = (
-            df.withColumn("pc", cu(F.col("wkt")))
-            .withColumn("clipped_wkt", F.col("pc.clipped_wkt"))
+            df.withColumn("pc", cu(geom, F.col("wkt")))
+            .withColumn("clipped_wkt", to_wkt_udf()(F.col("pc.clipped_geom")))
             .withColumn("clipped_area", F.col("pc.clipped_area"))
             .withColumn("clipped_length", F.col("pc.clipped_length"))
             .drop("pc")
@@ -569,7 +582,10 @@ class ContributionView(_MapReducer):
         # BORDER rows (null-gated Arrow batch) — the same single-pass shape
         # as the snapshot view's clip stage
         if self.state.bbox_deg is not None:
-            from oshdb_spark.operators.geometry_ops import clip_udf, is_empty_wkt_col
+            from oshdb_spark.operators.geometry_ops import (
+                clip_udf,
+                is_empty_packed_col,
+            )
 
             bminx, bminy, bmaxx, bmaxy = (
                 float(v) for v in self.state.bbox_deg
@@ -583,10 +599,12 @@ class ContributionView(_MapReducer):
                 (F.col("maxx") < bminx) | (F.col("minx") > bmaxx)
                 | (F.col("maxy") < bminy) | (F.col("miny") > bmaxy)
             )
+            # border rows are always ways/relations (a node's degenerate
+            # bbox is never border), so the clip gate reads packed bytes
             border = has_b & ~inside & ~outside
             cu = clip_udf(self.state.bbox_deg)
-            border_nonempty = ~is_empty_wkt_col(
-                cu(F.when(border, F.col("wkt")))["clipped_wkt"]
+            border_nonempty = ~is_empty_packed_col(
+                cu(F.when(border, F.col("geom")))["clipped_geom"]
             )
             aoi = has_b & (
                 inside | (border & F.coalesce(border_nonempty, F.lit(False)))
@@ -609,7 +627,9 @@ class ContributionView(_MapReducer):
                 & (F.col("maxy") >= float(pb[1]))
                 & (F.col("miny") <= float(pb[3]))
             )
-            hit = intersects_polygon_udf(poly)(F.when(cand, F.col("wkt")))
+            hit = intersects_polygon_udf(poly)(
+                F.when(cand, F.col("geom")), F.when(cand, F.col("wkt"))
+            )
             aoi = cand & F.coalesce(hit, F.lit(False))
             match = aoi if match is None else (match & aoi)
         types = self._type_set()
@@ -629,7 +649,9 @@ class ContributionView(_MapReducer):
         if self.state.bbox_deg is not None:
             # single-pass output clip: identity for fully-inside rows,
             # typed EMPTY for fully-outside, Python only on border rows
-            from oshdb_spark.operators.geometry_ops import clip_udf
+            # (always ways/relations, so the clip UDF reads packed bytes
+            # and the WKT materializes from the packed result)
+            from oshdb_spark.operators.geometry_ops import clip_udf, to_wkt_udf
 
             bminx, bminy, bmaxx, bmaxy = (
                 float(v) for v in self.state.bbox_deg
@@ -649,12 +671,12 @@ class ContributionView(_MapReducer):
             )
             cu = clip_udf(self.state.bbox_deg)
             df = (
-                df.withColumn("c", cu(F.when(border, F.col("wkt"))))
+                df.withColumn("c", cu(F.when(border, F.col("geom"))))
                 .withColumn(
                     "clipped_wkt",
                     F.when(~has_b | inside, F.col("wkt"))
                     .when(outside, empty_wkt)
-                    .otherwise(F.col("c.clipped_wkt")),
+                    .otherwise(to_wkt_udf()(F.col("c.clipped_geom"))),
                 )
                 .drop("c")
             )

@@ -5,9 +5,11 @@ from oshdb_spark.geometry.model import (  # noqa: F401
     is_empty,
     line_string,
     multi_polygon,
+    pack_geometry,
     point,
     polygon,
     to_wkt,
+    unpack_geometry,
 )
 from oshdb_spark.geometry.geo import (  # noqa: F401
     area_of,

@@ -109,6 +109,141 @@ def bounds(geom: Geometry) -> tuple[float, float, float, float] | None:
 
 
 # --------------------------------------------------------------------------
+# Packed binary codec (the inter-stage format)
+# --------------------------------------------------------------------------
+#
+# Between the build -> clip -> metrics stages geometries travel as a compact
+# little-endian binary column (WKB-inspired; layout below) instead of WKT
+# strings, so each stage decodes straight into numpy instead of re-parsing
+# text; WKT is materialized once at each view's output boundary.
+#
+#   byte 0        u8   gtype (1=Point 2=LineString 3=MultiLineString
+#                            4=Polygon 5=MultiPolygon 6=GeometryCollection)
+#   bytes 1-4     i32  top-level count (points / rings / parts / children)
+#   then per type:
+#     Point            count in {0,1}; 2 f64
+#     LineString       count = n points; 2n f64
+#     MultiLineString  count = n parts;  n i32 part lengths; coords
+#     Polygon          count = n rings;  n i32 ring lengths; coords
+#     MultiPolygon     count = n polys;  n i32 ring counts;
+#                      total_rings i32 ring lengths; coords
+#     GeometryCollection  count = n children; per child: i32 bytelen + bytes
+#
+# An EMPTY geometry is exactly 5 bytes (count == 0), so `length(col) <= 5`
+# is the JVM-side emptiness test (operators/geometry_ops.is_empty_packed_col).
+
+_GTYPE_CODE = {
+    "Point": 1,
+    "LineString": 2,
+    "MultiLineString": 3,
+    "Polygon": 4,
+    "MultiPolygon": 5,
+    "GeometryCollection": 6,
+}
+_GTYPE_NAME = {v: k for k, v in _GTYPE_CODE.items()}
+
+
+def _i32(v: int) -> bytes:
+    return int(v).to_bytes(4, "little", signed=True)
+
+
+def _coords_bytes(coords) -> bytes:
+    return np.asarray(coords, dtype="<f8").tobytes()
+
+
+def pack_geometry(geom: Geometry | None) -> bytes:
+    """Encode a geometry dict into the packed binary format above."""
+    if geom is None:
+        return b"\x06\x00\x00\x00\x00"  # GEOMETRYCOLLECTION EMPTY
+    t = geom["type"]
+    head = bytes([_GTYPE_CODE[t]])
+    if t == "GeometryCollection":
+        kids = [pack_geometry(g) for g in geom.get("geometries") or []]
+        parts = [head, _i32(len(kids))]
+        for k in kids:
+            parts.append(_i32(len(k)))
+            parts.append(k)
+        return b"".join(parts)
+    c = geom.get("coordinates") or []
+    if t == "Point":
+        if not len(c):
+            return head + _i32(0)
+        return head + _i32(1) + _coords_bytes([c])
+    if t == "LineString":
+        return head + _i32(len(c)) + _coords_bytes(c)
+    if t in ("MultiLineString", "Polygon"):
+        parts = [head, _i32(len(c))]
+        parts.extend(_i32(len(r)) for r in c)
+        parts.extend(_coords_bytes(r) for r in c)
+        return b"".join(parts)
+    if t == "MultiPolygon":
+        parts = [head, _i32(len(c))]
+        parts.extend(_i32(len(rings)) for rings in c)
+        for rings in c:
+            parts.extend(_i32(len(r)) for r in rings)
+        for rings in c:
+            parts.extend(_coords_bytes(r) for r in rings)
+        return b"".join(parts)
+    raise ValueError(f"unknown geometry type {t}")
+
+
+def unpack_geometry(b) -> Geometry:
+    """Decode packed bytes back into the geometry-dict model.
+
+    Coordinates decode via np.frombuffer (zero text parsing); f64 bytes
+    round-trip bit-exactly, so to_wkt(unpack(pack(g))) == to_wkt(g)."""
+    b = bytes(b)
+    t = _GTYPE_NAME[b[0]]
+    n = int.from_bytes(b[1:5], "little", signed=True)
+    off = 5
+    if t == "GeometryCollection":
+        kids = []
+        for _ in range(n):
+            ln = int.from_bytes(b[off : off + 4], "little", signed=True)
+            off += 4
+            kids.append(unpack_geometry(b[off : off + ln]))
+            off += ln
+        return {"type": t, "geometries": kids}
+    if t == "Point":
+        if n == 0:
+            return {"type": t, "coordinates": []}
+        xy = np.frombuffer(b, "<f8", 2, off)
+        return {"type": t, "coordinates": [float(xy[0]), float(xy[1])]}
+    if t == "LineString":
+        arr = np.frombuffer(b, "<f8", 2 * n, off).reshape(n, 2)
+        return {"type": t, "coordinates": arr.tolist()}
+    if t in ("MultiLineString", "Polygon"):
+        lens = np.frombuffer(b, "<i4", n, off)
+        off += 4 * n
+        rings = []
+        for ln in lens:
+            m = int(ln)
+            rings.append(np.frombuffer(b, "<f8", 2 * m, off).reshape(m, 2).tolist())
+            off += 16 * m
+        return {"type": t, "coordinates": rings}
+    if t == "MultiPolygon":
+        rc = np.frombuffer(b, "<i4", n, off)
+        off += 4 * n
+        total = int(rc.sum())
+        rl = np.frombuffer(b, "<i4", total, off)
+        off += 4 * total
+        polys = []
+        k = 0
+        for m in rc:
+            rings = []
+            for _ in range(int(m)):
+                ln = int(rl[k])
+                k += 1
+                rings.append(
+                    np.frombuffer(b, "<f8", 2 * ln, off).reshape(ln, 2).tolist()
+                )
+                off += 16 * ln
+            polys.append(rings)
+        return {"type": t, "coordinates": polys}
+    raise ValueError(f"unknown gtype code {b[0]}")
+
+
+# --------------------------------------------------------------------------
 # WKT
 # --------------------------------------------------------------------------
 

@@ -34,9 +34,11 @@ from pyspark.sql import functions as F
 
 from oshdb_spark.geometry.taginterpreter import TagInterpreter
 from oshdb_spark.operators.geometry_ops import (
+    is_empty_geom_cols,
     is_empty_wkt_col,
     node_geometry_cols,
     relation_geometry_udf,
+    to_wkt_udf,
     way_geometry_udf,
 )
 from oshdb_spark.operators.snapshot import with_validity
@@ -257,6 +259,7 @@ def _node_states_direct(nodes: DataFrame, squash: bool = True) -> DataFrame:
         node_geometry_cols(F.col("lon"), F.col("lat"), F.col("visible")).alias(
             "wkt"
         ),
+        F.lit(None).cast("binary").alias("geom"),
         F.lit(0.0).alias("area"),
         F.lit(0.0).alias("length"),
         F.when(F.col("visible"), lon_deg).alias("minx"),
@@ -281,6 +284,7 @@ def _node_states(events: DataFrame, nodes: DataFrame) -> DataFrame:
         node_geometry_cols(
             F.col("v_lon"), F.col("v_lat"), F.col("v_visible")
         ).alias("wkt"),
+        F.lit(None).cast("binary").alias("geom"),
         F.lit(0.0).alias("area"),
         F.lit(0.0).alias("length"),
         F.when(F.col("v_visible"), lon_deg).alias("minx"),
@@ -353,7 +357,8 @@ def _way_states(
     return out.select(
         F.lit("way").alias("type"), "id", "event_ts", "event_changeset",
         "event_uid", "own_change", "doc_id", "version", "visible", "tags",
-        F.col("g.wkt").alias("wkt"),
+        F.lit(None).cast("string").alias("wkt"),
+        F.col("g.geom").alias("geom"),
         F.col("g.area").alias("area"),
         F.col("g.length").alias("length"),
         F.col("g.minx").alias("minx"),
@@ -529,26 +534,26 @@ def _relation_states(
             F.col("id").alias("ref"),
             "event_ts",
             F.col("visible").alias("r_visible"),
-            F.col("wkt").alias("r_wkt"),
+            F.col("geom").alias("r_geom"),
         )
         joined = joined.join(child_side, ["ref", "event_ts"], "left").withColumn(
-            "m_wkt",
+            "m_geom",
             F.when(
                 (F.col("mtype") == "relation")
                 & F.col("r_visible").isNotNull()
                 & F.col("r_visible"),
-                F.col("r_wkt"),
+                F.col("r_geom"),
             ),
         )
     else:
-        joined = joined.withColumn("m_wkt", F.lit(None).cast("string"))
+        joined = joined.withColumn("m_geom", F.lit(None).cast("binary"))
     grouped = joined.groupBy(
         "id", "event_ts", "event_changeset", "event_uid", "own_change",
         "doc_id", "version", "visible",
     ).agg(
         F.first("tags").alias("tags"),
         F.array_sort(
-            F.collect_list(F.struct("pos", "role", "mtype", "line", "m_wkt"))
+            F.collect_list(F.struct("pos", "role", "mtype", "line", "m_geom"))
         ).alias("pmembers"),
     )
     members = F.transform(
@@ -557,7 +562,7 @@ def _relation_states(
             p["role"].alias("role"),
             p["mtype"].alias("mtype"),
             p["line"].alias("line"),
-            p["m_wkt"].alias("m_wkt"),
+            p["m_geom"].alias("m_geom"),
         ),
     )
     rudf = relation_geometry_udf(interpreter)
@@ -571,7 +576,8 @@ def _relation_states(
     result = out.select(
         F.lit("relation").alias("type"), "id", "event_ts", "event_changeset",
         "event_uid", "own_change", "doc_id", "version", "visible", "tags",
-        F.col("g.wkt").alias("wkt"),
+        F.lit(None).cast("string").alias("wkt"),
+        F.col("g.geom").alias("geom"),
         F.col("g.area").alias("area"),
         F.col("g.length").alias("length"),
         F.col("g.minx").alias("minx"),
@@ -625,9 +631,9 @@ def _relation_states(
     is_old = F.col("__old").isNotNull()
     return (
         result.join(fj, ["id", "event_ts"], "left")
-        .withColumn("__h", F.when(is_old, hu(F.col("wkt"))))
+        .withColumn("__h", F.when(is_old, hu(F.col("geom"))))
         .withColumn(
-            "wkt", F.when(is_old, F.col("__h.wkt")).otherwise(F.col("wkt"))
+            "geom", F.when(is_old, F.col("__h.geom")).otherwise(F.col("geom"))
         )
         .withColumn(
             "area", F.when(is_old, F.col("__h.area")).otherwise(F.col("area"))
@@ -662,12 +668,22 @@ def classify_contributions(
     (views.md "Contribution View").
     """
     w = Window.partitionBy("type", "id").orderBy("event_ts")
-    effective = F.col("visible") & ~is_empty_wkt_col(F.col("wkt"))
+    effective = F.col("visible") & ~is_empty_geom_cols(
+        F.col("geom"), F.col("wkt")
+    )
     if match_col is not None:
         effective = effective & F.coalesce(match_col, F.lit(False))
+    # gbin unifies the dual geometry representation for change detection:
+    # packed bytes for ways/relations, the node WKT string cast to binary —
+    # both JVM-side byte compares, no decode
     st = (
         states.withColumn("alive", effective)
+        .withColumn(
+            "gbin", F.coalesce(F.col("geom"), F.col("wkt").cast("binary"))
+        )
         .withColumn("prev_alive", F.lag("alive").over(w))
+        .withColumn("prev_gbin", F.lag("gbin").over(w))
+        .withColumn("prev_geom", F.lag("geom").over(w))
         .withColumn("prev_wkt", F.lag("wkt").over(w))
         .withColumn("prev_tags", F.lag("tags").over(w))
         .withColumn("prev_version", F.lag("version").over(w))
@@ -676,7 +692,7 @@ def classify_contributions(
     )
     prev_alive = F.coalesce(F.col("prev_alive"), F.lit(False))
     tag_change = ~_maps_equal(F.col("tags"), F.col("prev_tags"))
-    geom_change = F.col("wkt") != F.col("prev_wkt")
+    geom_change = F.col("gbin") != F.col("prev_gbin")
     types = (
         F.when(~F.col("alive") & prev_alive, F.array(F.lit("DELETION")))
         .when(F.col("alive") & ~prev_alive, F.array(F.lit("CREATION")))
@@ -696,13 +712,24 @@ def classify_contributions(
     # dead->dead "events" are not contributions (CellIterator: prev==null &&
     # invisible -> skip)
     out = out.filter(F.col("alive") | prev_alive)
+    # output boundary: packed -> WKT exactly once, only for rows that
+    # survived classification (nodes keep their JVM-built strings)
+    wudf_wkt = to_wkt_udf()
     return out.select(
         "doc_id", "type", "id", "version", "visible", "tags",
         F.col("event_ts").alias("ts"),
         F.col("event_changeset").alias("changeset"),
         F.col("event_uid").alias("contrib_uid"),
-        "own_change", "contrib_types", "wkt", "area", "length",
-        "prev_wkt", "prev_tags", "prev_version",
+        "own_change", "contrib_types",
+        F.coalesce(F.col("wkt"), wudf_wkt(F.col("geom"))).alias("wkt"),
+        # packed geometry rides along (null for nodes) so downstream AOI
+        # clip stages decode bytes instead of re-parsing WKT
+        "geom",
+        "area", "length",
+        F.coalesce(
+            F.col("prev_wkt"), wudf_wkt(F.col("prev_geom"))
+        ).alias("prev_wkt"),
+        "prev_tags", "prev_version",
         # geometry bbox (null for empty): lets consumers classify against
         # an AOI JVM-side and invoke Python clip UDFs on border rows only
         "minx", "miny", "maxx", "maxy",
@@ -794,7 +821,7 @@ def contribution_view(
         # filter actually references a metric
         from oshdb_spark.operators.geometry_ops import geometry_metrics_udf
 
-        m = geometry_metrics_udf()(F.col("wkt"))
+        m = geometry_metrics_udf()(F.col("geom"), F.col("wkt"))
         for c in ("g_vertices", "g_outers", "g_inners", "g_roundness",
                   "g_squareness"):
             states = states.withColumn(c, m[c])

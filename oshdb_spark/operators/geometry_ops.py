@@ -22,7 +22,9 @@ from oshdb_spark.geometry import (
     from_wkt,
     is_empty,
     length_of,
+    pack_geometry,
     to_wkt,
+    unpack_geometry,
 )
 from oshdb_spark.geometry.builder import build_relation_geometry
 from oshdb_spark.geometry.model import bounds, point
@@ -35,11 +37,15 @@ from oshdb_spark.geometry.taginterpreter import (
     default_tag_interpreter,
 )
 
-GEOM_RESULT_SCHEMA = "wkt string, area double, length double"
+# Inter-stage geometry format: packed binary (geometry/model.py codec), NOT
+# WKT — build -> clip -> metrics decode straight into numpy; WKT strings are
+# materialized ONCE at each view's output boundary (to_wkt_udf), only for
+# rows that survive the clip/emptiness filters.
+GEOM_RESULT_SCHEMA = "geom binary, area double, length double"
 # geometry build results carry the geometry bbox so downstream clipping can
 # classify inside/outside JVM-side and invoke Python only on border rows
 GEOM_BBOX_SCHEMA = (
-    "wkt string, area double, length double,"
+    "geom binary, area double, length double,"
     " minx double, miny double, maxx double, maxy double"
 )
 
@@ -48,8 +54,8 @@ def _is_empty_geom(g) -> bool:
     return is_empty(g)
 
 
-def _measure(geom) -> tuple[str, float, float]:
-    return to_wkt(geom), area_of(geom), length_of(geom)
+def _measure(geom) -> tuple[bytes, float, float]:
+    return pack_geometry(geom), area_of(geom), length_of(geom)
 
 
 def _measure_bbox(geom):
@@ -58,6 +64,16 @@ def _measure_bbox(geom):
     if b is None:
         return w, a, l, None, None, None, None
     return w, a, l, b[0], b[1], b[2], b[3]
+
+
+def _geom_of(b, w):
+    """Decode whichever geometry representation a row carries: packed bytes
+    (ways/relations) or the node's JVM-built WKT string; None if neither."""
+    if b is not None:
+        return unpack_geometry(b)
+    if w is not None:
+        return from_wkt(w)
+    return None
 
 
 def node_geometry_cols(lon_col, lat_col, visible_col):
@@ -100,7 +116,7 @@ def _tags_match_area(ti: TagInterpreter, tk, tv) -> bool:
 
 
 def way_geometry_udf(interpreter: TagInterpreter | None = None):
-    """(visible, tags, refs, line) -> struct(wkt, area, length, bbox).
+    """(visible, tags, refs, line) -> struct(geom binary, area, length, bbox).
 
     `line` = array<struct<nid long, lon double, lat double>> — the way's
     member nodes resolved at the snapshot timestamp, in ref order, visible
@@ -113,7 +129,8 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
     coordinate array (radians/tan/arctan/cos of Geo.java:61-81 once per
     batch, not per row).  Per-row work is reduced to slice sums — which
     reproduce np.sum over the same contiguous values bit-exactly, so
-    Geo parity (geo.py docstring) is preserved — plus WKT string joins.
+    Geo parity (geo.py docstring) is preserved — plus one packed-bytes
+    slice per row (no WKT string formatting on the hot path at all).
     """
     from oshdb_spark.session import ensure_package_on_workers
     ensure_package_on_workers()
@@ -124,7 +141,7 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
         EARTH_RADIUS_MEAN,
         _ring_area,
     )
-    from oshdb_spark.geometry.model import _fmt_num
+    from oshdb_spark.geometry.model import _i32
 
     @F.pandas_udf(GEOM_BBOX_SCHEMA)
     def _udf(
@@ -170,12 +187,17 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
             flat_lat[s0[idx4]] == flat_lat[e0[idx4] - 1]
         )
 
-        # formatted coordinate pairs, one tight pass (same _fmt_num output)
-        pair = [
-            f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in zip(flat_lon, flat_lat)
-        ]
+        # interleaved (x, y) pairs once per batch: packed-bytes output is a
+        # contiguous slice per row (geometry/model.py codec)
+        flat = np.empty((total, 2), np.float64)
+        flat[:, 0] = flat_lon
+        flat[:, 1] = flat_lat
 
-        wkts: list[str] = []
+        EMPTY_LINESTRING = b"\x02\x00\x00\x00\x00"
+        EMPTY_POINT = b"\x01\x00\x00\x00\x00"
+        POINT_HEAD = b"\x01\x01\x00\x00\x00"
+
+        geoms: list[bytes] = []
         areas = np.zeros(n, np.float64)
         lengths = np.zeros(n, np.float64)
         minx: list = [None] * n
@@ -188,18 +210,17 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
         tv_arr = tvals.to_numpy(dtype=object)
         for r in range(n):
             if not bool(vis_arr[r]):
-                wkts.append("LINESTRING EMPTY")
+                geoms.append(EMPTY_LINESTRING)
                 continue
             s, e = int(s0[r]), int(e0[r])
             m = e - s
             if m == 0:
-                wkts.append("POINT EMPTY")
+                geoms.append(EMPTY_POINT)
                 continue
             minx[r] = float(flat_lon[s:e].min())
             maxx[r] = float(flat_lon[s:e].max())
             miny[r] = float(flat_lat[s:e].min())
             maxy[r] = float(flat_lat[s:e].max())
-            body = ", ".join(pair[s:e])
             if closed[r]:
                 rf = refs_arr[r]
                 ring_refs_closed = (
@@ -210,18 +231,20 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
                 ):
                     # polygons: spherical-excess area; length stays 0
                     # (length_of returns 0 for polygonal geometry)
-                    wkts.append(f"POLYGON (({body}))")
-                    coords = np.column_stack((flat_lon[s:e], flat_lat[s:e]))
-                    areas[r] = max(0.0, abs(_ring_area(coords)))
+                    lb = _i32(m)
+                    geoms.append(
+                        b"\x04\x01\x00\x00\x00" + lb + flat[s:e].tobytes()
+                    )
+                    areas[r] = max(0.0, abs(_ring_area(flat[s:e])))
                     continue
             if m >= 2:
-                wkts.append(f"LINESTRING ({body})")
+                geoms.append(b"\x02" + _i32(m) + flat[s:e].tobytes())
                 lengths[r] = float(seg[s : e - 1].sum()) * EARTH_RADIUS_MEAN
             else:
-                wkts.append(f"POINT ({pair[s]})")
+                geoms.append(POINT_HEAD + flat[s].tobytes())
         return pd.DataFrame(
             {
-                "wkt": wkts,
+                "geom": geoms,
                 "area": areas,
                 "length": lengths,
                 "minx": minx,
@@ -249,7 +272,7 @@ def way_geometry_udf(interpreter: TagInterpreter | None = None):
 
 
 def relation_geometry_udf(interpreter: TagInterpreter | None = None):
-    """(visible, tags, members) -> struct(wkt, area, length).
+    """(visible, tags, members) -> struct(geom binary, area, length, bbox).
 
     `members` = array<struct<role string, mtype string,
                              line array<struct<nid long, lon double, lat double>>>>
@@ -293,52 +316,71 @@ def relation_geometry_udf(interpreter: TagInterpreter | None = None):
                     geom = point(nodes[0][1], nodes[0][2])
                 elif mtype == "relation":
                     # nested relation member: the child's prebuilt geometry
-                    # (one nesting level per resolution pass,
+                    # as packed bytes (one nesting level per resolution pass,
                     # OSHDBGeometryBuilderInternal.java:305-358)
-                    mw = m["m_wkt"] if "m_wkt" in m else None
-                    if mw:
-                        child = from_wkt(mw)
-                        if not _is_empty_geom(child):
-                            geom = child
+                    mw = m["m_geom"] if "m_geom" in m else None
+                    if mw is not None and len(mw) > 5:
+                        geom = unpack_geometry(mw)
                 member_lines.append({"kind": kind, "nodes": nodes, "geom": geom})
             g = build_relation_geometry(
                 bool(vis), ti.relation_is_area(tag_map), member_lines
             )
             rows.append(_measure_bbox(g))
         return pd.DataFrame(
-            rows, columns=["wkt", "area", "length", "minx", "miny", "maxx", "maxy"]
+            rows, columns=["geom", "area", "length", "minx", "miny", "maxx", "maxy"]
         )
 
     return _udf
 
 
-CLIP_RESULT_SCHEMA = "clipped_wkt string, clipped_area double, clipped_length double"
+CLIP_RESULT_SCHEMA = (
+    "clipped_geom binary, clipped_area double, clipped_length double"
+)
+
+
+def to_wkt_udf():
+    """geom binary -> WKT string: the ONE place packed geometry becomes
+    text, applied at each view's output boundary for rows that survive the
+    clip/emptiness filters (null pass-through for gated rows)."""
+    from oshdb_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    @F.pandas_udf("string")
+    def _udf(geom: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else to_wkt(unpack_geometry(b)) for b in geom]
+        )
+
+    return _udf
 
 
 def clip_udf(bbox_deg: tuple[float, float, float, float]):
-    """wkt -> struct(clipped_wkt, clipped_area, clipped_length).
+    """geom binary -> struct(clipped_geom, clipped_area, clipped_length).
 
     Applies the reference's short-circuits (CellIterator.java:417-459):
     geometry bbox fully inside the clip box -> identity (no clip work);
-    fully outside -> typed empty.
+    fully outside -> typed empty.  Callers gate with F.when(border, geom),
+    and border rows are always ways/relations (a node's degenerate bbox is
+    never 'border'), so the input is always packed bytes, never node WKT.
     """
     from oshdb_spark.session import ensure_package_on_workers
     ensure_package_on_workers()
     minx, miny, maxx, maxy = bbox_deg
 
     @F.pandas_udf(CLIP_RESULT_SCHEMA)
-    def _udf(wkt: pd.Series) -> pd.DataFrame:
+    def _udf(geom: pd.Series) -> pd.DataFrame:
         out_w, out_a, out_l = [], [], []
-        for w in wkt:
+        for w in geom:
             if w is None:
                 # null passthrough: callers gate the UDF with
-                # F.when(border, wkt) so non-border rows ride through the
+                # F.when(border, geom) so non-border rows ride through the
                 # Arrow batch as nulls at near-zero kernel cost
                 out_w.append(None)
                 out_a.append(None)
                 out_l.append(None)
                 continue
-            g = from_wkt(w)
+            g = unpack_geometry(w)
             b = bounds(g)
             if b is None:
                 clipped = g
@@ -353,15 +395,17 @@ def clip_udf(bbox_deg: tuple[float, float, float, float]):
             out_a.append(ca)
             out_l.append(cl)
         return pd.DataFrame(
-            {"clipped_wkt": out_w, "clipped_area": out_a, "clipped_length": out_l}
+            {"clipped_geom": out_w, "clipped_area": out_a, "clipped_length": out_l}
         )
 
     return _udf
 
 
 def clip_polygon_udf(polygon_geom: dict):
-    """wkt -> struct(clipped_wkt, clipped_area, clipped_length) against an
-    ARBITRARY (Multi)Polygon AOI — non-convex, holes, multi parts.
+    """(geom binary, wkt) -> struct(clipped_geom, clipped_area,
+    clipped_length) against an ARBITRARY (Multi)Polygon AOI — non-convex,
+    holes, multi parts.  Rows carry packed bytes (ways/relations) OR node
+    WKT — whichever is set is decoded.
 
     Convex AOIs take the direct Sutherland-Hodgman/Cyrus-Beck path; the
     general case goes through the driver-side triangle decomposition
@@ -382,10 +426,15 @@ def clip_polygon_udf(polygon_geom: dict):
     prepared = None if convex else PreparedPolygon(polygon_geom)
 
     @F.pandas_udf(CLIP_RESULT_SCHEMA)
-    def _udf(wkt: pd.Series) -> pd.DataFrame:
+    def _udf(geom: pd.Series, wkt: pd.Series) -> pd.DataFrame:
         out_w, out_a, out_l = [], [], []
-        for w in wkt:
-            g = from_wkt(w)
+        for gb, w in zip(geom, wkt):
+            g = _geom_of(gb, w)
+            if g is None:
+                out_w.append(None)
+                out_a.append(None)
+                out_l.append(None)
+                continue
             b = bounds(g)
             if b is None or pb is None or b[2] < pb[0] or b[0] > pb[2] or b[3] < pb[1] or b[1] > pb[3]:
                 clipped = {"type": g["type"], "coordinates": []}
@@ -398,14 +447,15 @@ def clip_polygon_udf(polygon_geom: dict):
             out_a.append(ca)
             out_l.append(cl)
         return pd.DataFrame(
-            {"clipped_wkt": out_w, "clipped_area": out_a, "clipped_length": out_l}
+            {"clipped_geom": out_w, "clipped_area": out_a, "clipped_length": out_l}
         )
 
     return _udf
 
 
 def intersects_polygon_udf(polygon_geom: dict):
-    """wkt -> boolean: geometry intersects the (broadcast) query polygon.
+    """(geom binary, wkt) -> boolean: geometry intersects the (broadcast)
+    query polygon; decodes whichever representation the row carries.
 
     EXACT (geometry/polyclip.geometry_intersects_polygon): bbox in/out
     short-circuits, then vertex-in-polygon, polygon-vertex-in-geometry,
@@ -419,17 +469,18 @@ def intersects_polygon_udf(polygon_geom: dict):
     from oshdb_spark.geometry.polyclip import geometry_intersects_polygon
 
     @F.pandas_udf("boolean")
-    def _udf(wkt: pd.Series) -> pd.Series:
-        # null pass-through: callers gate with F.when(candidate, wkt) so
-        # pre-filtered rows ride the Arrow batch as nulls at no cost
-        return pd.Series(
-            [
-                None if w is None else geometry_intersects_polygon(
-                    from_wkt(w), polygon_geom
+    def _udf(geom: pd.Series, wkt: pd.Series) -> pd.Series:
+        # null pass-through: callers gate with F.when(candidate, geom/wkt)
+        # so pre-filtered rows ride the Arrow batch as nulls at no cost
+        out = []
+        for gb, w in zip(geom, wkt):
+            g = _geom_of(gb, w)
+            out.append(
+                None if g is None else geometry_intersects_polygon(
+                    g, polygon_geom
                 )
-                for w in wkt
-            ]
-        )
+            )
+        return pd.Series(out)
 
     return _udf
 
@@ -461,7 +512,7 @@ def old_style_flag_udf(interpreter: TagInterpreter | None = None):
 
 
 def holes_only_udf():
-    """wkt -> struct(wkt, area, length): the MultiPolygon of the
+    """geom binary -> struct(geom, area, length): the MultiPolygon of the
     geometry's INTERIOR rings only — the reference's old-style
     multipolygon fix-up geometry (CellIterator.java:358-380: 'return only
     the inner holes ... used to fix the results obtained from
@@ -471,10 +522,15 @@ def holes_only_udf():
     ensure_package_on_workers()
 
     @F.pandas_udf(GEOM_RESULT_SCHEMA)
-    def _udf(wkt: pd.Series) -> pd.DataFrame:
-        wkts, areas, lengths = [], [], []
-        for w in wkt:
-            g = from_wkt(w)
+    def _udf(geom: pd.Series) -> pd.DataFrame:
+        geoms, areas, lengths = [], [], []
+        for w in geom:
+            if w is None:
+                geoms.append(None)
+                areas.append(None)
+                lengths.append(None)
+                continue
+            g = unpack_geometry(w)
             holes = []
             if g["type"] == "Polygon":
                 holes = [[r] for r in g["coordinates"][1:]]
@@ -482,10 +538,10 @@ def holes_only_udf():
                 holes = [[r] for rings in g["coordinates"] for r in rings[1:]]
             mp = {"type": "MultiPolygon", "coordinates": holes}
             ww, a, l = _measure(mp)
-            wkts.append(ww)
+            geoms.append(ww)
             areas.append(a)
             lengths.append(l)
-        return pd.DataFrame({"wkt": wkts, "area": areas, "length": lengths})
+        return pd.DataFrame({"geom": geoms, "area": areas, "length": lengths})
 
     return _udf
 
@@ -497,12 +553,13 @@ METRICS_RESULT_SCHEMA = (
 
 
 def geometry_metrics_udf():
-    """wkt -> struct(g_vertices, g_outers, g_inners, g_roundness,
-    g_squareness) — the GeometryFilter metric columns
+    """(geom binary, wkt) -> struct(g_vertices, g_outers, g_inners,
+    g_roundness, g_squareness) — the GeometryFilter metric columns
     (oshdb-filter/.../GeometryFilter.java:8-34 subclasses Vertices/
     OuterRings/InnerRings/Roundness/Squareness; formulas Geo.java:327-507).
-    Attached lazily by the views only when a compiled filter references one
-    of these metrics (dsl.metrics_needed)."""
+    Decodes whichever representation the row carries (packed bytes for
+    ways/relations, WKT for nodes).  Attached lazily by the views only when
+    a compiled filter references one of these metrics (dsl.metrics_needed)."""
     from oshdb_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers()
@@ -510,10 +567,10 @@ def geometry_metrics_udf():
     from oshdb_spark.geometry.model import _iter_coords
 
     @F.pandas_udf(METRICS_RESULT_SCHEMA)
-    def _udf(wkt: pd.Series) -> pd.DataFrame:
+    def _udf(geom: pd.Series, wkt: pd.Series) -> pd.DataFrame:
         nv, no, ni, rd, sq = [], [], [], [], []
-        for w in wkt:
-            g = from_wkt(w)
+        for gb, w in zip(geom, wkt):
+            g = _geom_of(gb, w) or {"type": "GeometryCollection", "geometries": []}
             t = g["type"]
             nv.append(sum(1 for _ in _iter_coords(g)))
             # non-polygonal geometries get the reference's -1 sentinel so
@@ -581,3 +638,17 @@ def segment_clip_parts_udf(polygon_geom: dict):
 def is_empty_wkt_col(wkt_col):
     """Cheap JVM-side empty-geometry test on WKT strings."""
     return wkt_col.endswith(" EMPTY") | wkt_col.endswith("()")
+
+
+def is_empty_packed_col(geom_col):
+    """JVM-side empty-geometry test on packed binary geometry: an empty
+    geometry is exactly 5 bytes (gtype u8 + zero count i32)."""
+    return F.length(geom_col) <= 5
+
+
+def is_empty_geom_cols(geom_col, wkt_col):
+    """Empty test over the dual representation: packed bytes when present
+    (ways/relations), else the node's WKT string."""
+    return F.when(
+        geom_col.isNotNull(), is_empty_packed_col(geom_col)
+    ).otherwise(is_empty_wkt_col(wkt_col))

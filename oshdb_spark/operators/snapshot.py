@@ -35,9 +35,12 @@ from pyspark.sql import functions as F
 from oshdb_spark.geometry.taginterpreter import TagInterpreter
 from oshdb_spark.operators.geometry_ops import (
     clip_udf,
+    is_empty_geom_cols,
+    is_empty_packed_col,
     is_empty_wkt_col,
     node_geometry_cols,
     relation_geometry_udf,
+    to_wkt_udf,
     way_geometry_udf,
 )
 
@@ -220,26 +223,26 @@ def relation_lines(
         r_side = rel_side.select(
             F.col("id").alias("ref"),
             "snap_ts",
-            F.col("wkt").alias("r_wkt"),
+            F.col("geom").alias("r_geom"),
         )
-        # r_wkt resolves the member GEOMETRY only; the child relation's
-        # timestamp is deliberately NOT folded into member_ts — the
-        # reference's modification-timestamp recursion covers only
-        # node/way members (OSHEntityTimeUtils), matching the
+        # r_geom resolves the member GEOMETRY only (packed bytes); the
+        # child relation's timestamp is deliberately NOT folded into
+        # member_ts — the reference's modification-timestamp recursion
+        # covers only node/way members (OSHEntityTimeUtils), matching the
         # contribution-side rule.
         joined = joined.join(r_side, ["ref", "snap_ts"], "left").withColumn(
-            "m_wkt",
-            F.when(F.col("mtype") == "relation", F.col("r_wkt")),
-        ).drop("r_wkt")
+            "m_geom",
+            F.when(F.col("mtype") == "relation", F.col("r_geom")),
+        ).drop("r_geom")
     else:
-        joined = joined.withColumn("m_wkt", F.lit(None).cast("string"))
+        joined = joined.withColumn("m_geom", F.lit(None).cast("binary"))
     grouped = joined.groupBy(
         "doc_id", "type", "id", "version", "visible", "changeset",
         "uid", "snap_ts", "own_ts",
     ).agg(
         F.first("tags").alias("tags"),
         F.array_sort(
-            F.collect_list(F.struct("pos", "role", "mtype", "ref", "line", "m_wkt"))
+            F.collect_list(F.struct("pos", "role", "mtype", "ref", "line", "m_geom"))
         ).alias("pmembers"),
         F.max("m_ts").alias("member_ts"),
     )
@@ -250,7 +253,7 @@ def relation_lines(
             p["mtype"].alias("mtype"),
             p["ref"].alias("ref"),
             p["line"].alias("line"),
-            p["m_wkt"].alias("m_wkt"),
+            p["m_geom"].alias("m_geom"),
         ),
     )
     return grouped.withColumn("members", members).withColumn(
@@ -296,6 +299,7 @@ def snapshot_view(
     nodes_out = node_snaps.filter("visible").select(
         "doc_id", "type", "id", "version", "snap_ts", "visible", "tags",
         "changeset", "uid", "last_mod_ts", "lon", "lat", "wkt",
+        F.lit(None).cast("binary").alias("geom"),
         F.lit(0.0).alias("area"), F.lit(0.0).alias("length"),
         lon_deg.alias("minx"), lat_deg.alias("miny"),
         lon_deg.alias("maxx"), lat_deg.alias("maxy"),
@@ -311,7 +315,8 @@ def snapshot_view(
             "changeset", "uid", "last_mod_ts",
             F.lit(None).cast("long").alias("lon"),
             F.lit(None).cast("long").alias("lat"),
-            F.col("g.wkt").alias("wkt"),
+            F.lit(None).cast("string").alias("wkt"),
+            F.col("g.geom").alias("geom"),
             F.col("g.area").alias("area"),
             F.col("g.length").alias("length"),
             F.col("g.minx").alias("minx"),
@@ -332,7 +337,8 @@ def snapshot_view(
                 "changeset", "uid", "last_mod_ts",
                 F.lit(None).cast("long").alias("lon"),
                 F.lit(None).cast("long").alias("lat"),
-                F.col("g.wkt").alias("wkt"),
+                F.lit(None).cast("string").alias("wkt"),
+                F.col("g.geom").alias("geom"),
                 F.col("g.area").alias("area"),
                 F.col("g.length").alias("length"),
                 F.col("g.minx").alias("minx"),
@@ -397,9 +403,9 @@ def snapshot_view(
         is_old = F.col("__outer_ref").isNotNull()
         rels_out = (
             rels_out.withColumn(
-                "__h", F.when(is_old, hu(F.col("wkt")))
+                "__h", F.when(is_old, hu(F.col("geom")))
             )
-            .withColumn("wkt", F.when(is_old, F.col("__h.wkt")).otherwise(F.col("wkt")))
+            .withColumn("geom", F.when(is_old, F.col("__h.geom")).otherwise(F.col("geom")))
             .withColumn("area", F.when(is_old, F.col("__h.area")).otherwise(F.col("area")))
             .withColumn(
                 "length", F.when(is_old, F.col("__h.length")).otherwise(F.col("length"))
@@ -414,16 +420,19 @@ def snapshot_view(
 
     out = nodes_out.unionByName(ways_out).unionByName(rels_out)
     if not keep_empty:
-        out = out.filter(~is_empty_wkt_col(F.col("wkt")))
+        out = out.filter(~is_empty_geom_cols(F.col("geom"), F.col("wkt")))
+    wudf_wkt = to_wkt_udf()
     if bbox_deg is not None:
         # JVM-side classification against the geometry bbox columns
         # (CellIterator.java:417-459 short-circuits, columnar): fully
         # inside -> identity, fully outside -> typed empty — both pure
-        # Column expressions.  SINGLE PASS: the clip UDF receives the wkt
-        # only for border rows (NULL otherwise, near-zero Arrow + kernel
-        # cost), so the expensive upstream geometry-build UDFs are
-        # evaluated exactly once per row — no filter/union triple scan
-        # that could re-execute the build subtree per branch.
+        # Column expressions.  SINGLE PASS: the clip UDF receives the
+        # packed geometry only for border rows (NULL otherwise, near-zero
+        # Arrow + kernel cost), so the expensive upstream geometry-build
+        # UDFs are evaluated exactly once per row — no filter/union triple
+        # scan that could re-execute the build subtree per branch.  Border
+        # rows are always ways/relations (a node's degenerate bbox is never
+        # border), so gating on `geom` loses nothing.
         minx, miny, maxx, maxy = (float(v) for v in bbox_deg)
         has_b = F.col("minx").isNotNull()
         inside = (
@@ -435,18 +444,26 @@ def snapshot_view(
             | (F.col("maxy") < miny) | (F.col("miny") > maxy)
         )
         border = has_b & ~inside & ~outside
+        # typed empty, both representations: packed = gtype byte + zero
+        # count; WKT = "<TYPE> EMPTY" (nodes only)
+        empty_geom = F.concat(
+            F.substring(F.col("geom"), 1, 1), F.lit(b"\x00\x00\x00\x00")
+        )
         empty_wkt = F.concat(
             F.regexp_extract("wkt", "^[A-Z]+", 0), F.lit(" EMPTY")
         )
         out = (
             out.withColumn(
-                "c", clip_udf(bbox_deg)(F.when(border, F.col("wkt")))
+                "c", clip_udf(bbox_deg)(F.when(border, F.col("geom")))
             )
             .select(
                 "*",
-                F.when(~has_b | inside, F.col("wkt"))
-                .when(outside, empty_wkt)
-                .otherwise(F.col("c.clipped_wkt"))
+                F.when(~has_b | inside, F.col("geom"))
+                .when(outside, empty_geom)
+                .otherwise(F.col("c.clipped_geom"))
+                .alias("clipped_geom"),
+                F.when(F.col("geom").isNull() & (~has_b | inside), F.col("wkt"))
+                .when(F.col("geom").isNull() & outside, empty_wkt)
                 .alias("clipped_wkt"),
                 F.when(~has_b | inside, F.col("area"))
                 .when(outside, F.lit(0.0))
@@ -460,7 +477,26 @@ def snapshot_view(
             .drop("c")
         )
         if not keep_empty:
-            out = out.filter(~is_empty_wkt_col(F.col("clipped_wkt")))
+            out = out.filter(
+                ~is_empty_geom_cols(F.col("clipped_geom"), F.col("clipped_wkt"))
+            )
+        # output boundary: packed -> WKT exactly once, for surviving rows
+        # only; identity-clipped rows reuse the unclipped string (binary
+        # equality is a JVM compare)
+        out = out.withColumn(
+            "wkt", F.coalesce(F.col("wkt"), wudf_wkt(F.col("geom")))
+        ).withColumn(
+            "clipped_wkt",
+            F.coalesce(
+                F.col("clipped_wkt"),
+                F.when(F.col("clipped_geom") == F.col("geom"), F.col("wkt")),
+                wudf_wkt(F.col("clipped_geom")),
+            ),
+        )
+    else:
+        out = out.withColumn(
+            "wkt", F.coalesce(F.col("wkt"), wudf_wkt(F.col("geom")))
+        )
     if not keep_bbox:
         out = out.drop("minx", "miny", "maxx", "maxy")
     return out

@@ -184,7 +184,7 @@ def h3_udf(resolution: int):
 # ---------------------------------------------------------------------------
 
 
-def lifetime_bboxes(entities: DataFrame) -> DataFrame:
+def lifetime_bboxes(entities: DataFrame, materialize: bool = True) -> DataFrame:
     """Per (type, id): bbox over ALL versions, members included.
 
     Mirrors the reference's insert rule, which tiles each OSH entity by its
@@ -199,8 +199,53 @@ def lifetime_bboxes(entities: DataFrame) -> DataFrame:
     of chaining node->way->relation rounds; at 10^12 docs the depth, not
     the volume, is what serializes the job.  No dedup anywhere: min/max is
     duplicate-insensitive.
+
+    The edge list is built in ONE pass over `entities` (a single per-row
+    CASE emits way refs, relation node-members, and relation way-members
+    into one struct array) and, with `materialize`, persisted
+    MEMORY_AND_DISK before the branches that consume it.  Without this the
+    four consuming subtrees each re-run the upstream payload parse — on the
+    docs source that is 4-5 full JSON parses of the input instead of one.
+    In production the same boundary is the narrow entity-projection ETL
+    table; pass materialize=False when `entities` is already materialized.
     """
-    nodes = entities.filter(F.col("type") == "node")
+    base = entities.select(
+        "type",
+        "id",
+        "lon",
+        "lat",
+        F.when(
+            F.col("type") == "way",
+            F.transform(
+                "refs",
+                lambda r: F.struct(F.lit("n").alias("kind"), r.alias("ref")),
+            ),
+        )
+        .when(
+            F.col("type") == "relation",
+            F.concat(
+                F.transform(
+                    F.filter("members", lambda m: m["type"] == "node"),
+                    lambda m: F.struct(
+                        F.lit("n").alias("kind"), m["ref"].alias("ref")
+                    ),
+                ),
+                F.transform(
+                    F.filter("members", lambda m: m["type"] == "way"),
+                    lambda m: F.struct(
+                        F.lit("w").alias("kind"), m["ref"].alias("ref")
+                    ),
+                ),
+            ),
+        )
+        .alias("edges"),
+    )
+    if materialize:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    nodes = base.filter(F.col("type") == "node")
     node_bbox = nodes.groupBy("id").agg(
         F.min("lon").alias("minlon"),
         F.min("lat").alias("minlat"),
@@ -208,18 +253,22 @@ def lifetime_bboxes(entities: DataFrame) -> DataFrame:
         F.max("lat").alias("maxlat"),
     )
 
-    ways = entities.filter(F.col("type") == "way")
-    way_edges = ways.select("id", F.explode("refs").alias("ref"))
+    way_edges = (
+        base.filter(F.col("type") == "way")
+        .select("id", F.explode("edges").alias("e"))
+        .select("id", F.col("e.ref").alias("ref"))
+    )
 
-    rels = entities.filter(F.col("type") == "relation")
-    rel_members = rels.select(
-        "id", F.explode("members").alias("m")
-    ).select("id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"))
-    rel_node_edges = rel_members.filter(F.col("mtype") == "node").select("id", "ref")
+    rel_edges = base.filter(F.col("type") == "relation").select(
+        "id", F.explode("edges").alias("e")
+    )
+    rel_node_edges = rel_edges.filter(F.col("e.kind") == "n").select(
+        "id", F.col("e.ref").alias("ref")
+    )
     # member ways expanded to their node refs (one join, not a bbox chain)
     rel_way_edges = (
-        rel_members.filter(F.col("mtype") == "way")
-        .select("id", F.col("ref").alias("wid"))
+        rel_edges.filter(F.col("e.kind") == "w")
+        .select("id", F.col("e.ref").alias("wid"))
         .join(
             way_edges.select(F.col("id").alias("wid"), "ref"),
             "wid",

@@ -53,7 +53,7 @@ def _apply(spark, filter_text, wkts):
     compiled predicate; returns the per-wkt booleans in input order."""
     node = parse_filter(filter_text)
     df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)], "i int, wkt string")
-    m = geometry_metrics_udf()(F.col("wkt"))
+    m = geometry_metrics_udf()(F.lit(None).cast("binary"), F.col("wkt"))
     for c in ("g_vertices", "g_outers", "g_inners", "g_roundness", "g_squareness"):
         df = df.withColumn(c, m[c])
     rows = df.withColumn("ok", node.osm_column()).orderBy("i").collect()

@@ -301,9 +301,9 @@ def test_old_style_multipolygons(spark):
 def test_way_geometry_udf_vectorized_parity(spark):
     """The vectorized way-geometry kernel must reproduce the row-at-a-time
     reference path (build_way_geometry + _measure_bbox) bit-exactly:
-    WKT strings, spherical areas, geodesic lengths, bboxes — across
-    points/lines/polygons, closed-but-not-area, unclosed refs, empty and
-    invisible rows."""
+    packed geometry bytes, spherical areas, geodesic lengths, bboxes —
+    across points/lines/polygons, closed-but-not-area, unclosed refs,
+    empty and invisible rows."""
     import random
 
     from oshdb_spark.geometry.builder import build_way_geometry
@@ -353,7 +353,7 @@ def test_way_geometry_udf_vectorized_parity(spark):
         g = build_way_geometry(visible, is_area, nodes)
         w, a, l, mnx, mny, mxx, mxy = _measure_bbox(g)
         r = got[rid]
-        assert r["wkt"] == w, (rid, r["wkt"], w)
+        assert bytes(r["geom"]) == w, (rid, bytes(r["geom"]), w)
         assert r["area"] == a, (rid, r["area"], a)
         assert r["length"] == l, (rid, r["length"], l)
         assert (r["minx"], r["miny"], r["maxx"], r["maxy"]) == (

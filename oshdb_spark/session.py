@@ -72,10 +72,14 @@ def get_spark(
         # each shuffle at 4x the target partition count and coalesces down
         # to size, so a 10x-bigger input gets proportionally more (smaller)
         # partitions instead of spilling through a fixed count (the 16M-doc
-        # lesson in BENCH.md section 0)
+        # lesson in BENCH.md section 0).  SPARK_GRAFT_AQE_INIT_PARTS
+        # overrides (used by the A/B smear check in BENCH.md section 1).
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(shuffle_partitions * 4, 128)),
+            os.environ.get(
+                "SPARK_GRAFT_AQE_INIT_PARTS",
+                str(max(shuffle_partitions * 4, 128)),
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -224,11 +224,15 @@ def main() -> None:
         # executors — the faithful sandbox model of the north rule's
         # two-cluster-size criterion (independent heaps/GC/Python pools;
         # only disk + memory bus remain shared)
-        # defaults = the measured protocol from BENCH.md section 0: 1 vs 4
-        # executors x 8 cores x 14 GiB (2x4-core 6 GiB workers thrashed)
+        # defaults = the round-3 gate protocol from BENCH.md section 0a:
+        # 1 vs 4 executors x 4 cores x 14 GiB, each level taskset-pinned
+        # to workers*cores host threads (symmetric thread:core ratio; the
+        # 16-core high level leaves the single host's memory bus the
+        # headroom a real 4-machine cluster would have).  The round-2
+        # 8-core variant: SCALE_CORES_PER_WORKER=8.
         w_lo = int(os.environ.get("SCALE_WORKERS_LO", "1"))
         w_hi = int(os.environ.get("SCALE_WORKERS_HI", "4"))
-        cores = int(os.environ.get("SCALE_CORES_PER_WORKER", "8"))
+        cores = int(os.environ.get("SCALE_CORES_PER_WORKER", "4"))
         mem = int(os.environ.get("SCALE_MEM_PER_WORKER_MB", "14336"))
         n_features = int(os.environ.get("SCALE_DOCS_FEATURES", "200000"))
         docs_path, n_docs = _docs_parquet(n_features)

@@ -785,6 +785,41 @@ FROM documents GROUP BY source
 """
 
 
+_WINNOW_ORACLE = """
+WITH g AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - 8 + 1)) AS i,
+         length(text) - 8 + 1 AS n, text
+  FROM documents WHERE length(text) >= 8 + 4 - 1
+), h AS (
+  SELECT doc_id, i, n, substr(md5(substr(text, i::INT, 8)), 1, 16) AS h FROM g
+), wmin AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM h
+), fp AS (SELECT DISTINCT doc_id, mh FROM wmin WHERE i <= n - 4 + 1)
+SELECT doc_id, count(*) AS n_fp, min(mh) AS min_fp
+FROM fp GROUP BY doc_id
+"""
+
+
+@_q("winnow_fingerprint", _WINNOW_ORACLE)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (k=8 char grams,
+    window w=4) — operators/text.winnow_fingerprints; per doc the
+    fingerprint-set size and lexicographic min fingerprint (the full set
+    is an array column; the scalars keep the oracle compare exact).
+    Pure JVM array expressions: no shuffle (narrow per-doc), no Python."""
+    from oshdb_spark.operators.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs).select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fp"),
+        F.array_min("fingerprints").alias("min_fp"),
+    )
+
+
 @_q("text_token_stats", _Q17_ORACLE)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.text import token_stats

@@ -20,7 +20,8 @@ def token_count_col(text_col: str = "text"):
 
 def token_stats(docs: DataFrame, group_col: str = "source") -> DataFrame:
     """Per group: doc count, total tokens, total chars, distinct 64-char
-    prefix fingerprints (rolling-hash-style document fingerprint)."""
+    prefix hashes (a cheap whole-doc identity; `winnow_fingerprints` is
+    the real rolling-hash fingerprint operator)."""
     fingerprint = F.substring(
         F.md5(F.substring(F.col("text"), 1, 64).cast("binary")), 1, 8
     )
@@ -57,6 +58,64 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n.cast("long").alias("n_tokens"),
         (F.length(F.col(text_col)).cast("double") / n).alias("mean_tok_len"),
         (F.size(F.array_distinct(toks)).cast("double") / n).alias("type_token_ratio"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram, keep the minimum hash of each
+    w-window, dedupe — the rolling-hash fingerprint set that powers
+    plagiarism/near-dup detection at corpus scale.
+
+    All JVM-side array expressions, zero shuffle and zero Python: k-gram
+    hashes via transform(sequence)+md5, window minima via SPARSE-TABLE
+    DOUBLING (log2(w) zip_with passes over shifted copies) instead of a
+    per-window array_min(slice(...)) lambda — the latter re-evaluates the
+    hash array per window position (HigherOrderFunction lambdas don't
+    cache their non-lambda subtrees), turning O(n·w) into O(n²) on long
+    docs.  The doubling form touches the hash array a constant ≤
+    2·log2(w)+2 times however Catalyst inlines the projections.
+
+    Hash = first 16 hex chars of md5 over the gram's UTF-8 bytes —
+    chosen because DuckDB computes the identical value (`substr(md5(..)`),
+    making the operator oracle-checkable; window minima are lexicographic.
+    Docs shorter than k + w - 1 chars have no complete window and are
+    dropped, matching the oracle.
+
+    Returns (doc_id, fingerprints array<string>).
+    """
+    t = F.col(text_col)
+    n = F.length(t) - k + 1  # k-gram count
+    hs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substring(
+            F.md5(F.encode(t.substr(i, F.lit(k)), "UTF-8")), 1, 16
+        ),
+    )
+    out = docs.filter(F.length(t) >= k + w - 1).select(
+        "doc_id", hs.alias("__hs"), n.alias("__n")
+    )
+    # min over [i, i+w): doubling passes combine each level with itself
+    # shifted by the level's span; a final pass tops up non-power-of-2 w
+    level = F.col("__hs")
+    span = 1
+    while span * 2 <= w:
+        shifted = F.slice(
+            level, span + 1, F.greatest(F.size(level) - span, F.lit(0))
+        )
+        level = F.zip_with(level, shifted, lambda a, b: F.least(a, b))
+        span *= 2
+    if span < w:
+        shift = w - span
+        shifted = F.slice(
+            level, shift + 1, F.greatest(F.size(level) - shift, F.lit(0))
+        )
+        level = F.zip_with(level, shifted, lambda a, b: F.least(a, b))
+    mins = F.slice(level, 1, F.col("__n") - w + 1)
+    return out.select(
+        "doc_id", F.array_distinct(mins).alias("fingerprints")
     )
 
 

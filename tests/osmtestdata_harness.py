@@ -164,6 +164,22 @@ def assert_region_equals(result: Geometry, expected_wkt: str, rel=1e-6):
     assert ia == pytest_approx(ea, rel), f"intersection area {ia} != {ea}"
 
 
+def assert_region_covers(result: Geometry, expected_wkt: str, rel=1e-6):
+    """The reference's EXACT assertion shape — expected.area equals
+    area(result ∩ expected), i.e. expected ⊆ result — WITHOUT the
+    total-area equality that assert_region_equals adds.  Used for tests
+    whose expected WKT is a subset witness of a larger built geometry
+    (e.g. history relation 509, where a revived far-away node makes the
+    ring a sliver the witness polygon sits inside)."""
+    from oshdb_spark.geometry.polyclip import PreparedPolygon, clip_to_polygon
+
+    expected = from_wkt(expected_wkt)
+    ea = planar_area(expected)
+    inter = clip_to_polygon(result, PreparedPolygon(expected))
+    ia = planar_area(inter)
+    assert ia == pytest_approx(ea, rel), f"intersection area {ia} != {ea}"
+
+
 def pytest_approx(v, rel):
     import pytest
 

@@ -52,15 +52,31 @@ def parse_iso(ts: str | int | datetime) -> int:
         dt = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
         return int(dt.timestamp() * 1_000_000)
     s = ts.strip()
+    # IsoDateTimeParser.java rejections: negative years, short years and
+    # any explicit timezone offset (only Z / naive-as-UTC are accepted)
+    if s.startswith("-"):
+        raise ValueError(f"negative dates are not supported: {ts!r}")
+    if re.search(r"[+](?:\d{2}(?::?\d{2})?)$", s) or re.search(
+        r"T.*-\d{2}(?::?\d{2})?$", s
+    ):
+        raise ValueError(f"timezone offsets are not supported: {ts!r}")
     if s.endswith("Z"):
         s = s[:-1]
+    if s.isdigit():
+        # basic ISO formats by length: yyyy / yyyymm / yyyymmdd
+        fmts = {4: "%Y", 6: "%Y%m", 8: "%Y%m%d"}
+        fmt = fmts.get(len(s))
+        if fmt is None:
+            raise ValueError(f"unparseable ISO timestamp: {ts!r}")
+        dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000
     for fmt in (
         "%Y-%m-%dT%H:%M:%S.%f",
         "%Y-%m-%dT%H:%M:%S",
         "%Y-%m-%dT%H:%M",
+        "%Y-%m-%dT%H",
         "%Y-%m-%d",
         "%Y-%m",
-        "%Y",
     ):
         try:
             dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)

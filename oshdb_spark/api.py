@@ -581,11 +581,9 @@ class ContributionView(_MapReducer):
         # fully outside / empty -> not, and the Python clip UDF sees only
         # BORDER rows (null-gated Arrow batch) — the same single-pass shape
         # as the snapshot view's clip stage
+        clip_col = None
         if self.state.bbox_deg is not None:
-            from oshdb_spark.operators.geometry_ops import (
-                clip_udf,
-                is_empty_packed_col,
-            )
+            from oshdb_spark.operators.geometry_ops import clip_udf
 
             bminx, bminy, bmaxx, bmaxy = (
                 float(v) for v in self.state.bbox_deg
@@ -600,15 +598,27 @@ class ContributionView(_MapReducer):
                 | (F.col("maxy") < bminy) | (F.col("miny") > bmaxy)
             )
             # border rows are always ways/relations (a node's degenerate
-            # bbox is never border), so the clip gate reads packed bytes
+            # bbox is never border), so the clip gate reads packed bytes.
+            # ONE clipped-geometry column serves both aliveness (clip
+            # empty <=> outside the AOI) and GEOMETRY_CHANGE detection —
+            # the reference classifies on the CLIPPED geometry
+            # (CellIterator.java:685-697), so a member change entirely
+            # outside the box yields an empty-activity contribution.
+            # 1-byte marker for outside/empty rows; packed bytes (border)
+            # or the unclipped binary (fully inside, clip == identity).
             border = has_b & ~inside & ~outside
             cu = clip_udf(self.state.bbox_deg)
-            border_nonempty = ~is_empty_packed_col(
-                cu(F.when(border, F.col("geom")))["clipped_geom"]
+            clip_col = (
+                F.when(border, cu(F.when(border, F.col("geom")))["clipped_geom"])
+                .when(
+                    has_b & inside,
+                    F.coalesce(F.col("geom"), F.col("wkt").cast("binary")),
+                )
+                .otherwise(F.lit(b"\x00"))
             )
-            aoi = has_b & (
-                inside | (border & F.coalesce(border_nonempty, F.lit(False)))
-            )
+            # classify materializes clip_col as __clip_bin before applying
+            # the aliveness match, so the clip UDF runs exactly once
+            aoi = F.length(F.col("__clip_bin")) > 5
             match = aoi if match is None else (match & aoi)
         if self.state.polygon is not None:
             # JVM-side polygon-bbox overlap gate (the bboxOutsidePolygon
@@ -641,6 +651,7 @@ class ContributionView(_MapReducer):
             types=types,
             osm_filter=match,
             attach_metrics=needs_metrics,
+            clip_col=clip_col,
         )
         for n in post_nodes:
             df = df.filter(n.osm_column())

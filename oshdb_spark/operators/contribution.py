@@ -657,7 +657,9 @@ def _relation_states(
 
 
 def classify_contributions(
-    states: DataFrame, match_col: F.Column | None = None
+    states: DataFrame,
+    match_col: F.Column | None = None,
+    clip_col: F.Column | None = None,
 ) -> DataFrame:
     """lag() window + when/otherwise classification (CellIterator.java:586-726).
 
@@ -666,7 +668,17 @@ def classify_contributions(
     matching yields a DELETION and one that starts matching yields a CREATION —
     keeping sum(creations) - sum(deletions) consistent with the snapshot view
     (views.md "Contribution View").
+
+    ``clip_col`` (binary): when an AOI is set, GEOMETRY_CHANGE compares the
+    CLIPPED geometries, not the full ones — the reference's activity lambda
+    tests ``!prevGeometry.equals(geom)`` on constructClippedGeometry's
+    output (CellIterator.java:685-697), so a member moving entirely outside
+    the clip box yields a contribution row with EMPTY activities.  The
+    column is materialized once ("__clip_bin") so the clip UDF inside it
+    runs one Arrow pass; aliveness gates may reference it by name.
     """
+    if clip_col is not None:
+        states = states.withColumn("__clip_bin", clip_col)
     w = Window.partitionBy("type", "id").orderBy("event_ts")
     effective = F.col("visible") & ~is_empty_geom_cols(
         F.col("geom"), F.col("wkt")
@@ -679,7 +691,9 @@ def classify_contributions(
     st = (
         states.withColumn("alive", effective)
         .withColumn(
-            "gbin", F.coalesce(F.col("geom"), F.col("wkt").cast("binary"))
+            "gbin",
+            F.col("__clip_bin") if clip_col is not None
+            else F.coalesce(F.col("geom"), F.col("wkt").cast("binary")),
         )
         .withColumn("prev_alive", F.lag("alive").over(w))
         .withColumn("prev_gbin", F.lag("gbin").over(w))
@@ -712,6 +726,8 @@ def classify_contributions(
     # dead->dead "events" are not contributions (CellIterator: prev==null &&
     # invisible -> skip)
     out = out.filter(F.col("alive") | prev_alive)
+    if clip_col is not None:
+        out = out.drop("__clip_bin")
     # output boundary: packed -> WKT exactly once, only for rows that
     # survived classification (nodes keep their JVM-built strings)
     wudf_wkt = to_wkt_udf()
@@ -763,6 +779,7 @@ def contribution_view(
     osm_filter: F.Column | None = None,
     include_old_style_multipolygons: bool = False,
     attach_metrics: bool = False,
+    clip_col: F.Column | None = None,
 ) -> DataFrame:
     """The full contribution view over [t_start, t_end].
 
@@ -825,7 +842,9 @@ def contribution_view(
         for c in ("g_vertices", "g_outers", "g_inners", "g_roundness",
                   "g_squareness"):
             states = states.withColumn(c, m[c])
-    classified = classify_contributions(states, match_col=osm_filter)
+    classified = classify_contributions(
+        states, match_col=osm_filter, clip_col=clip_col
+    )
     # half-open [t_start, t_end): OSHDBTimestampInterval.includes is
     # from <= t < to, so a contribution at exactly t_end is excluded
     return classified.filter(

@@ -46,6 +46,8 @@ def convert(path: str) -> dict:
             "version": int(el.get("version")),
             "visible": el.get("visible", "true") == "true",
             "ts": _ts(el.get("timestamp")),
+            "changeset": int(el.get("changeset", "0")),
+            "uid": int(el.get("uid", "0")),
             "tags": {t.get("k"): t.get("v") for t in el.findall("tag")},
         }
         if el.tag == "node":

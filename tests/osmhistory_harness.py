@@ -65,6 +65,69 @@ def _resolve(versions: list[dict] | None, ts: int) -> dict | None:
     return None
 
 
+def spark_fixture(dataset: str, path: str = FIXTURE):
+    """Convert a fixture dataset into engine entity-table rows.
+
+    Returns (rows, ENT_SCHEMA, TagTranslator) ready for
+    ``OSHDB(spark, spark.createDataFrame(rows, ENT_SCHEMA), translator=tr)``
+    — the bridge that runs the reference's versioned .osm scenario data
+    through the FULL Spark views (contribution/snapshot), not just the
+    Python geometry kernels.  Tag strings are int-coded through a
+    generated dictionary exactly like production keytables.
+    """
+    with open(path) as f:
+        data = json.load(f)[dataset]
+    keys: dict[str, int] = {}
+    values: dict[tuple[str, str], int] = {}
+    per_key_next: dict[str, int] = {}
+    for group in ("nodes", "ways", "relations"):
+        for e in data[group]:
+            for k, v in e["tags"].items():
+                if k not in keys:
+                    keys[k] = len(keys) + 1
+                    per_key_next[k] = 1
+                if (k, v) not in values:
+                    values[(k, v)] = per_key_next[k]
+                    per_key_next[k] += 1
+
+    def _tags(e):
+        return {keys[k]: values[(k, v)] for k, v in e["tags"].items()}
+
+    rows = []
+    for e in data["nodes"]:
+        rows.append((
+            f"n{e['id']}v{e['version']}", e["id"], "node", e["version"],
+            e["visible"], e["ts"], e["changeset"], e["uid"], _tags(e),
+            int(round(e["lon"] * 1e7)) if e.get("lon") is not None else 0,
+            int(round(e["lat"] * 1e7)) if e.get("lat") is not None else 0,
+            None, None,
+        ))
+    for e in data["ways"]:
+        rows.append((
+            f"w{e['id']}v{e['version']}", e["id"], "way", e["version"],
+            e["visible"], e["ts"], e["changeset"], e["uid"], _tags(e),
+            None, None, e["refs"], None,
+        ))
+    for e in data["relations"]:
+        rows.append((
+            f"r{e['id']}v{e['version']}", e["id"], "relation", e["version"],
+            e["visible"], e["ts"], e["changeset"], e["uid"], _tags(e),
+            None, None, None,
+            [(m["type"], m["ref"], m["role"]) for m in e["members"]],
+        ))
+
+    from oshdb_spark.filters.dsl import TagTranslator
+
+    return rows, ENT_SCHEMA, TagTranslator(keys=keys, values=values)
+
+
+ENT_SCHEMA = (
+    "doc_id string, id long, type string, version int, visible boolean, "
+    "ts long, changeset long, uid int, tags map<int,int>, lon long, lat long, "
+    "refs array<long>, members array<struct<type:string,ref:long,role:string>>"
+)
+
+
 class HistoryData:
     def __init__(self, dataset: str, path: str = FIXTURE):
         with open(path) as f:

@@ -131,6 +131,20 @@ class Node:
 
 
 @dataclass
+class ConstantFilter(Node):
+    """The empty filter parses to constant true (FilterParser.java: an
+    empty/whitespace-only string is the match-everything filter)."""
+
+    state: bool = True
+
+    def osm_column(self) -> Column:
+        return F.lit(self.state)
+
+    def negate(self) -> "Node":
+        return ConstantFilter(not self.state)
+
+
+@dataclass
 class TagEquals(Node):
     key: str
     value: str
@@ -489,8 +503,11 @@ class _Parser:
             lo, hi, ids = self._paren_list_or_range()
             if ids is not None:
                 return ContributionColFilter(col, ids=[i for _, i in ids])
-            return ContributionColFilter(col, lo=int(lo) if lo else None,
-                                         hi=int(hi) if hi else None)
+            lo = int(lo) if lo else None
+            hi = int(hi) if hi else None
+            if lo is not None and hi is not None and lo > hi:
+                lo, hi = hi, lo  # IdRange normalizes (IdRange.java:22-25)
+            return ContributionColFilter(col, lo=lo, hi=hi)
         raise FilterParseError(f"unknown selector {head!r}")
 
     def _id_selector(self, rest: str) -> Node:
@@ -502,10 +519,11 @@ class _Parser:
         lo, hi, ids = self._paren_list_or_range()
         if ids is not None:
             return IdFilter(ids=ids)
-        return IdFilter(
-            lo=int(lo) if lo is not None else None,
-            hi=int(hi) if hi is not None else None,
-        )
+        lo = int(lo) if lo is not None else None
+        hi = int(hi) if hi is not None else None
+        if lo is not None and hi is not None and lo > hi:
+            lo, hi = hi, lo  # IdRange normalizes (IdRange.java:22-25)
+        return IdFilter(lo=lo, hi=hi)
 
     def _paren_list_or_range(self):
         """Parse '( a,b,c )' or '( a..b )'; returns (lo, hi, ids).
@@ -550,9 +568,13 @@ class _Parser:
 
 
 def parse_filter(text: str, translator: TagTranslator | None = None) -> Node:
-    """Parse a filter DSL string into an AST of Column-compiling nodes."""
+    """Parse a filter DSL string into an AST of Column-compiling nodes.
+
+    An empty (or whitespace-only) filter is the match-everything constant
+    (FilterParser.java / ParseTest.testEmptyFilter).
+    """
     tr = translator or TagTranslator()
     tokens = _tokenize(text)
     if not tokens:
-        raise FilterParseError("empty filter")
+        return ConstantFilter(True)
     return _Parser(tokens, tr).parse()

@@ -185,7 +185,9 @@ def test_geometry_type_on_wkt(spark):
 
 
 def test_parse_errors():
-    for bad in ["", "and", "building=", "type:spaceship", "id:(", "building=yes or"]:
+    # "" is NOT an error: it parses to the constant-true filter
+    # (ParseTest.testEmptyFilter; see test_filter_parse.py)
+    for bad in ["and", "building=", "type:spaceship", "id:(", "building=yes or"]:
         with pytest.raises((FilterParseError, ValueError)):
             parse_filter(bad, TR)
 

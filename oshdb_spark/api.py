@@ -262,6 +262,60 @@ class _MapReducer:
             ents = ents.filter(F.col("type").isin(sorted(types)))
         return ents
 
+    def _osh_prefilter(self, ents: DataFrame, nodes) -> DataFrame:
+        """applyOSH-style full-history prune (oshdb-filter
+        FilterInternal.applyOSH): drop entities NONE of whose versions can
+        satisfy the filter's per-version upper bound, before the expensive
+        member-resolution / geometry-build machinery ever sees them.  At
+        scale this is the dominant prune for selective tag queries — the
+        reference gets it per OSH blob; columnar, it is ANY-over-versions
+        via a window over (type, id), the SAME hash partitioning every
+        state builder shuffles on next (exchange reuse makes it ride an
+        existing shuffle).  Member-dependency types are exempt: a node
+        kept only to resolve a way's refs must survive even when it can't
+        match the filter itself.
+
+        NOT valid under include_old_style_multipolygons (a relation
+        inherits its outer way's tags there, so its own versions' tags
+        are not an upper bound) — that flag lives on the operator-level
+        views only; if it is ever exposed here, skip this prune.
+        """
+        from pyspark.sql import Window
+
+        from oshdb_spark.filters.dsl import osh_prefilter
+
+        ub = None
+        for n in nodes:
+            c = osh_prefilter(n)
+            if c is not None:
+                ub = c if ub is None else (ub & c)
+        if ub is None:
+            return ents
+        targets = set(self._type_set())
+        prunable = set()
+        for t in targets:
+            needed_as_member = (
+                ("way" in targets or "relation" in targets)
+                if t == "node"
+                else ("relation" in targets) if t == "way" else False
+            )
+            if not needed_as_member:
+                prunable.add(t)
+        if not prunable:
+            return ents
+        w = Window.partitionBy("type", "id")
+        keep = F.max(ub.cast("int")).over(w) == 1
+        return (
+            ents.withColumn(
+                "__osh_keep",
+                F.when(F.col("type").isin(sorted(prunable)), keep).otherwise(
+                    F.lit(True)
+                ),
+            )
+            .filter("__osh_keep")
+            .drop("__osh_keep")
+        )
+
     # -- materialization ---------------------------------------------------
 
     def dataframe(self) -> DataFrame:
@@ -530,7 +584,7 @@ class SnapshotView(_MapReducer):
         if not self.state.ts:
             raise ValueError("snapshot view requires timestamps(...)")
         df = snapshot_view(
-            self._entities(),
+            self._osh_prefilter(self._entities(), self.state.filters),
             list(self.state.ts),
             bbox_deg=self.state.bbox_deg,
             interpreter=self.db.interpreter,
@@ -644,7 +698,7 @@ class ContributionView(_MapReducer):
             match = aoi if match is None else (match & aoi)
         types = self._type_set()
         df = contribution_view(
-            self._entities(),
+            self._osh_prefilter(self._entities(), alive_nodes),
             t0,
             t1,
             interpreter=self.db.interpreter,

@@ -104,6 +104,52 @@ _METRIC_COLS = {
 DERIVED_METRICS = {"vertices", "outers", "inners", "roundness", "squareness"}
 
 
+def osh_prefilter(node: "Node"):
+    """Per-version upper-bound Column for the reference's applyOSH coarse
+    prefilter (oshdb-filter FilterInternal.applyOSH; ApplyOSHTest.java):
+    if NO version of an entity satisfies this bound, no query row can ever
+    come from that entity, so ANY-over-versions of the bound prunes whole
+    histories BEFORE member resolution and geometry construction.
+
+    Exact for tag/id/type leaves (they read only version-local columns);
+    geometry/metric/contribution leaves are bounded by TRUE (not
+    evaluable pre-geometry — the reference's applyOSH also returns true
+    for them); a negation is exact iff its child is, else TRUE.
+
+    Returns None when the bound is trivially TRUE (no prune possible).
+    """
+    col, _ = _osh_upper_bound(node)
+    return col
+
+
+def _osh_upper_bound(node: "Node"):
+    """-> (Column | None, exact). None means literal TRUE."""
+    if isinstance(node, (TagEquals, TagEqualsAny, TagIn, TypeFilter, IdFilter)):
+        return node.osm_column(), True
+    if isinstance(node, ConstantFilter):
+        return (None, True) if node.state else (F.lit(False), True)
+    if isinstance(node, AndOp):
+        a, ea = _osh_upper_bound(node.left)
+        b, eb = _osh_upper_bound(node.right)
+        if a is None:
+            return b, ea and eb
+        if b is None:
+            return a, ea and eb
+        return a & b, ea and eb
+    if isinstance(node, OrOp):
+        a, ea = _osh_upper_bound(node.left)
+        b, eb = _osh_upper_bound(node.right)
+        if a is None or b is None:
+            return None, False
+        return a | b, ea and eb
+    if isinstance(node, NotOp):
+        c, ec = _osh_upper_bound(node.child)
+        if ec:
+            return (F.lit(False) if c is None else ~c), True
+        return None, False
+    return None, False
+
+
 def metrics_needed(node: "Node") -> set[str]:
     """Derived geometry metrics referenced anywhere in a filter tree."""
     out: set[str] = set()

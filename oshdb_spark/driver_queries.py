@@ -404,6 +404,72 @@ def q_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.groupBy("contrib_type").agg(count_agg("cnt"))
 
 
+_FILTERED_CONTRIB_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+s AS (SELECT *, visible AND (tag_v % 2 = 0) AS eff FROM g),
+l AS (SELECT *,
+        COALESCE(LAG(eff) OVER w, FALSE) AS p_eff,
+        LAG(lon_fp) OVER w AS p_lon, LAG(lat_fp) OVER w AS p_lat,
+        LAG(tag_v) OVER w AS p_tag
+      FROM s WINDOW w AS (PARTITION BY id ORDER BY ts_us)),
+c AS (SELECT CASE
+        WHEN NOT eff AND p_eff THEN ['DELETION']
+        WHEN eff AND NOT p_eff THEN ['CREATION']
+        ELSE (CASE WHEN LEN(t) = 0 THEN ['NONE'] ELSE t END) END AS types
+      FROM (SELECT *,
+              [x FOR x IN [CASE WHEN tag_v <> p_tag THEN 'TAG_CHANGE' END,
+                           CASE WHEN lon_fp <> p_lon OR lat_fp <> p_lat
+                                THEN 'GEOMETRY_CHANGE' END]
+               IF x IS NOT NULL] AS t
+            FROM l)
+      WHERE eff OR p_eff)
+SELECT contrib_type, COUNT(*) AS cnt
+FROM (SELECT UNNEST(types) AS contrib_type FROM c) GROUP BY 1
+"""
+
+
+@_q("filtered_contribution", _FILTERED_CONTRIB_ORACLE)
+def q_filtered_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED contributions (CellIterator.java:642-659): the OSM filter
+    participates in aliveness — a version that stops matching yields a
+    DELETION, one that starts matching a CREATION — keeping
+    sum(creations)-sum(deletions) consistent with filtered snapshots.
+    Filter: tag value even (a per-version tag predicate, the shape the
+    applyOSH prefilter bounds)."""
+    g = _derive(spark, sf_dir, GEO_VERSION_EXPRS)
+    win = Window.partitionBy("id").orderBy("ts_us", "event_id")
+    ent = g.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit("node").alias("type"),
+        "id",
+        F.row_number().over(win).alias("version"),
+        "visible",
+        F.col("ts_us").alias("ts"),
+        F.col("event_id").alias("changeset"),
+        (F.col("event_id") % 97).cast("int").alias("uid"),
+        F.create_map(F.lit(1), F.col("tag_v").cast("int")).alias("tags"),
+        F.col("lon_fp").alias("lon"),
+        F.col("lat_fp").alias("lat"),
+        F.lit(None).cast("array<bigint>").alias("refs"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:bigint,role:string>>")
+        .alias("members"),
+    )
+    match = F.element_at(F.col("tags"), F.lit(1)) % 2 == 0
+    contribs = contribution_view(
+        ent, 0, 1 << 62, types={"node"}, osm_filter=match
+    )
+    typed = contribs.withColumn(
+        "contrib_type",
+        F.explode(
+            F.when(F.size("contrib_types") == 0, F.array(F.lit("NONE"))).otherwise(
+                F.col("contrib_types")
+            )
+        ),
+    )
+    return typed.groupBy("contrib_type").agg(count_agg("cnt"))
+
+
 _Q05_ORACLE = f"""
 WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
 v AS (SELECT user_id AS id, ts_us,

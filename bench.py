@@ -55,7 +55,11 @@ def _docs_parquet(n_features: int) -> tuple[str, int]:
     import pathlib
 
     if os.environ.get("SCALE_DOCS_MODE", "synth") == "synth":
-        n_docs = int(os.environ.get("SCALE_DOCS_N", "3000000"))
+        # default = the gate configuration measured in BENCH.md section 0a:
+        # 8M docs amortizes fixed per-query cost (driver planning, stage
+        # latency, Python worker spin-up); at 3M the 4-executor level's
+        # ~7s walls are still latency-bound and efficiency reads ~0.74
+        n_docs = int(os.environ.get("SCALE_DOCS_N", "8000000"))
         path = f"/tmp/oshdb_bench_synth_{n_docs}.parquet"
         if not pathlib.Path(path, "_SUCCESS").exists():
             from oshdb_spark.session import get_spark

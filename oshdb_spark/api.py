@@ -678,7 +678,13 @@ class ContributionView(_MapReducer):
             # JVM-side polygon-bbox overlap gate (the bboxOutsidePolygon
             # pre-filter of CellIterator.java:529-531): the exact
             # intersects UDF parses only rows whose geometry bbox overlaps
-            # the AOI polygon's bbox
+            # the AOI polygon's bbox.  KNOWN DEVIATION: with a polygon AOI
+            # GEOMETRY_CHANGE still compares the FULL geometries (the bbox
+            # path above compares clipped ones per the reference); a
+            # member change entirely outside a polygon AOI therefore reads
+            # GEOMETRY_CHANGE where the reference reports empty
+            # activities.  Aliveness (intersects <=> clip non-empty) is
+            # exact either way.
             from oshdb_spark.geometry.model import bounds as _bounds
             from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
 

@@ -636,7 +636,7 @@ class ContributionView(_MapReducer):
         # BORDER rows (null-gated Arrow batch) — the same single-pass shape
         # as the snapshot view's clip stage
         clip_col = None
-        if self.state.bbox_deg is not None:
+        if self.state.bbox_deg is not None and self.state.polygon is None:
             from oshdb_spark.operators.geometry_ops import clip_udf
 
             bminx, bminy, bmaxx, bmaxy = (
@@ -675,32 +675,51 @@ class ContributionView(_MapReducer):
             aoi = F.length(F.col("__clip_bin")) > 5
             match = aoi if match is None else (match & aoi)
         if self.state.polygon is not None:
-            # JVM-side polygon-bbox overlap gate (the bboxOutsidePolygon
-            # pre-filter of CellIterator.java:529-531): the exact
-            # intersects UDF parses only rows whose geometry bbox overlaps
-            # the AOI polygon's bbox.  KNOWN DEVIATION: with a polygon AOI
-            # GEOMETRY_CHANGE still compares the FULL geometries (the bbox
-            # path above compares clipped ones per the reference); a
-            # member change entirely outside a polygon AOI therefore reads
-            # GEOMETRY_CHANGE where the reference reports empty
-            # activities.  Aliveness (intersects <=> clip non-empty) is
-            # exact either way.
+            # polygon AOI: SAME materialize-clipped-binary-then-compare
+            # shape as the bbox path — GEOMETRY_CHANGE compares the
+            # geometries CLIPPED to the polygon (CellIterator.java:685-697),
+            # so a member change entirely outside the AOI yields an
+            # empty-activity contribution, and aliveness is clip-non-empty
+            # (CellIterator.java:665-679).  JVM-side envelope gate (the
+            # bboxOutsidePolygon pre-filter, CellIterator.java:529-531)
+            # keeps the Python clipper off rows that can't overlap; the
+            # effective bbox (envelope, or a narrower user bbox — AOIs
+            # combine by intersection, CHANGELOG 1.2.0 "#512") feeds both
+            # the gate and the clipper's pre-clip.
             from oshdb_spark.geometry.model import bounds as _bounds
-            from oshdb_spark.operators.geometry_ops import intersects_polygon_udf
+            from oshdb_spark.operators.geometry_ops import clip_polygon_udf
 
             poly = _thaw(self.state.polygon)
             pb = _bounds(poly)
+            eff = self.state.bbox_deg or tuple(float(v) for v in pb)
+            pre_bbox = None
+            if (
+                eff[0] > pb[0] or eff[1] > pb[1]
+                or eff[2] < pb[2] or eff[3] < pb[3]
+            ):
+                pre_bbox = eff
             cand = (
                 F.col("minx").isNotNull()
-                & (F.col("maxx") >= float(pb[0]))
-                & (F.col("minx") <= float(pb[2]))
-                & (F.col("maxy") >= float(pb[1]))
-                & (F.col("miny") <= float(pb[3]))
+                & (F.col("maxx") >= float(eff[0]))
+                & (F.col("minx") <= float(eff[2]))
+                & (F.col("maxy") >= float(eff[1]))
+                & (F.col("miny") <= float(eff[3]))
             )
-            hit = intersects_polygon_udf(poly)(
-                F.when(cand, F.col("geom")), F.when(cand, F.col("wkt"))
+            cpu = clip_polygon_udf(poly, pre_bbox=pre_bbox)
+            # 1-byte marker for envelope-disjoint rows; packed (possibly
+            # typed-empty, 5-byte) clip output for candidates.  classify
+            # materializes this once as __clip_bin (one Arrow pass).
+            clip_col = (
+                F.when(
+                    cand,
+                    cpu(
+                        F.when(cand, F.col("geom")),
+                        F.when(cand, F.col("wkt")),
+                    )["clipped_geom"],
+                )
+                .otherwise(F.lit(b"\x00"))
             )
-            aoi = cand & F.coalesce(hit, F.lit(False))
+            aoi = F.length(F.col("__clip_bin")) > 5
             match = aoi if match is None else (match & aoi)
         types = self._type_set()
         df = contribution_view(
@@ -717,7 +736,30 @@ class ContributionView(_MapReducer):
             df = df.filter(n.osm_column())
         for c in self.state.raw_filters:
             df = df.filter(c)
-        if self.state.bbox_deg is not None:
+        if self.state.polygon is not None:
+            # polygon output clip (getGeometryClipped to the AOI polygon):
+            # typed EMPTY for envelope-disjoint rows, the exact polygon
+            # clipper on candidates only (bbox in/out short-circuits inside
+            # the UDF); same cand/poly/pre_bbox as the aliveness stage
+            from oshdb_spark.operators.geometry_ops import to_wkt_udf
+
+            empty_wkt = F.concat(
+                F.regexp_extract("wkt", "^[A-Z]+", 0), F.lit(" EMPTY")
+            )
+            df = (
+                df.withColumn(
+                    "c",
+                    cpu(F.when(cand, F.col("geom")), F.when(cand, F.col("wkt"))),
+                )
+                .withColumn(
+                    "clipped_wkt",
+                    F.when(~cand, empty_wkt).otherwise(
+                        to_wkt_udf()(F.col("c.clipped_geom"))
+                    ),
+                )
+                .drop("c")
+            )
+        elif self.state.bbox_deg is not None:
             # single-pass output clip: identity for fully-inside rows,
             # typed EMPTY for fully-outside, Python only on border rows
             # (always ways/relations, so the clip UDF reads packed bytes

@@ -401,7 +401,7 @@ def clip_udf(bbox_deg: tuple[float, float, float, float]):
     return _udf
 
 
-def clip_polygon_udf(polygon_geom: dict):
+def clip_polygon_udf(polygon_geom: dict, pre_bbox=None):
     """(geom binary, wkt) -> struct(clipped_geom, clipped_area,
     clipped_length) against an ARBITRARY (Multi)Polygon AOI — non-convex,
     holes, multi parts.  Rows carry packed bytes (ways/relations) OR node
@@ -413,15 +413,32 @@ def clip_polygon_udf(polygon_geom: dict):
     fip/FastPolygonOperations.java:26-60).  Both apply the bbox
     inside/outside short-circuits before any clip work
     (CellIterator.java:417-459).
+
+    ``pre_bbox``: optional (minx,miny,maxx,maxy) applied BEFORE the polygon
+    clip — the bbox∩polygon AOI-intersection case (CHANGELOG 1.2.0 "#512":
+    areaOfInterest(bbox) + areaOfInterest(polygon) combine by
+    intersection).  Pass it only when the effective bbox is strictly
+    smaller than the polygon's envelope; the fully-inside short-circuit
+    skips the extra clip for most rows.
     """
     from oshdb_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers()
-    from oshdb_spark.geometry.clip import clip_to_convex_polygon, is_convex_polygon
+    from oshdb_spark.geometry.clip import (
+        clip_to_bbox as _clip_bbox,
+        clip_to_convex_polygon,
+        is_convex_polygon,
+    )
     from oshdb_spark.geometry.model import bounds as _bounds
     from oshdb_spark.geometry.polyclip import PreparedPolygon, clip_to_polygon
 
     pb = _bounds(polygon_geom)
+    if pre_bbox is not None and pb is not None:
+        # disjoint-test envelope is the intersection of polygon env + bbox
+        pb = (
+            max(pb[0], pre_bbox[0]), max(pb[1], pre_bbox[1]),
+            min(pb[2], pre_bbox[2]), min(pb[3], pre_bbox[3]),
+        )
     convex = is_convex_polygon(polygon_geom)
     prepared = None if convex else PreparedPolygon(polygon_geom)
 
@@ -438,10 +455,16 @@ def clip_polygon_udf(polygon_geom: dict):
             b = bounds(g)
             if b is None or pb is None or b[2] < pb[0] or b[0] > pb[2] or b[3] < pb[1] or b[1] > pb[3]:
                 clipped = {"type": g["type"], "coordinates": []}
-            elif convex:
-                clipped = clip_to_convex_polygon(g, polygon_geom)
             else:
-                clipped = clip_to_polygon(g, prepared)
+                if pre_bbox is not None and not (
+                    b[0] >= pre_bbox[0] and b[1] >= pre_bbox[1]
+                    and b[2] <= pre_bbox[2] and b[3] <= pre_bbox[3]
+                ):
+                    g = _clip_bbox(g, pre_bbox)
+                if convex:
+                    clipped = clip_to_convex_polygon(g, polygon_geom)
+                else:
+                    clipped = clip_to_polygon(g, prepared)
             cw, ca, cl = _measure(clipped)
             out_w.append(cw)
             out_a.append(ca)

@@ -248,6 +248,37 @@ def test_node_change_outside_bbox(db):
     assert n_pts == 7
 
 
+def test_node_change_outside_polygon(db):
+    # the POLYGON-AOI twin of test_node_change_outside_bbox: with a
+    # polygon areaOfInterest, GEOMETRY_CHANGE must also compare the
+    # geometries CLIPPED to the AOI (CellIterator.java:685-697) — the
+    # 2009 member move entirely outside the polygon yields an
+    # empty-activity contribution, not GEOMETRY_CHANGE
+    rows = _result(db, 516, t1="2019-08-01",
+                   polygon=_rect(10.8, 10.3, 22.7, 22.7), bbox=None)
+    assert _acts(rows)[0] == ["CREATION"]
+    assert _acts(rows)[1] == []
+    assert _acts(rows)[2] == ["GEOMETRY_CHANGE"]
+    n_pts = sum(1 for _ in _iter_coords(from_wkt(rows[1]["clipped_wkt"])))
+    assert n_pts == 7
+
+
+def test_node_change_outside_nonconvex_polygon(db):
+    # same scenario through the general (PreparedPolygon) clipper: an
+    # L-shaped AOI covering the same data region — still empty activities
+    # for the outside move, still GEOMETRY_CHANGE for the inside one
+    l_shape = {
+        "type": "Polygon",
+        "coordinates": [[[10.8, 10.3], [22.7, 10.3], [22.7, 22.7],
+                         [16.0, 22.7], [16.0, 16.0], [10.8, 16.0],
+                         [10.8, 10.3]]],
+    }
+    rows = _result(db, 516, t1="2019-08-01", polygon=l_shape, bbox=None)
+    assert _acts(rows)[0] == ["CREATION"]
+    assert _acts(rows)[1] == []
+    assert _acts(rows)[2] == ["GEOMETRY_CHANGE"]
+
+
 def test_polygon_completely_time_interval_after_changes(db):
     rows = _result(db, 517, t0="2016-01-01", t1="2018-01-01",
                    polygon=_rect(10.8, 10.3, 52.7, 52.7), bbox=None)

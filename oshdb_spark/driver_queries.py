@@ -345,6 +345,95 @@ def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fluent-API end-to-end pipeline: the SAME snapshot semantics, but composed
+# through the public MapReducer chain (api.py: prefilter -> view -> DSL
+# filter -> polygon AOI -> aggregate_by_timestamp -> zerofilled count), so
+# the API composition itself sits under the value-hash gate, not only the
+# operators it delegates to.  Triangle AOI vertices sit on .5-degree
+# offsets while every derived coordinate is a multiple of 0.01 degree, so
+# no point ever lies on an edge (sign tests agree between the engine's
+# float PIP and the oracle's integer cross products).
+_FLUENT_TRI_FP = (
+    (-305000000, -205000000), (405000000, -105000000), (55000000, 355000000)
+)
+# one pre-data snapshot (2023-01-01) proves the zerofill path end-to-end
+_FLUENT_SNAPS = [1672531200 * 1_000_000] + SNAP_TS_US
+
+
+def _cross_gt0(ax: int, ay: int, bx: int, by: int) -> str:
+    return (
+        f"(({bx} - {ax}) * (lat_fp - {ay})"
+        f" - ({by} - {ay}) * (lon_fp - {ax})) > 0"
+    )
+
+
+_FLUENT_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+v AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts_us, event_id)
+        AS version FROM g),
+w AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY id ORDER BY ts_us, version)
+        AS next_ts FROM v),
+t(snap_ts) AS (VALUES {", ".join(f"({t})" for t in _FLUENT_SNAPS)}),
+hit AS (
+  SELECT t.snap_ts, COUNT(*) AS c
+  FROM w JOIN t ON t.snap_ts >= w.ts_us
+              AND (w.next_ts IS NULL OR t.snap_ts < w.next_ts)
+  WHERE w.visible AND w.tag_v IN (1, 2)
+    AND {_cross_gt0(*_FLUENT_TRI_FP[0], *_FLUENT_TRI_FP[1])}
+    AND {_cross_gt0(*_FLUENT_TRI_FP[1], *_FLUENT_TRI_FP[2])}
+    AND {_cross_gt0(*_FLUENT_TRI_FP[2], *_FLUENT_TRI_FP[0])}
+  GROUP BY t.snap_ts)
+SELECT t.snap_ts, CAST(COALESCE(hit.c, 0) AS BIGINT) AS cnt
+FROM t LEFT JOIN hit USING (snap_ts)
+"""
+
+
+@_q("fluent_snapshot_pipeline", _FLUENT_ORACLE)
+def q_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import OSHDB, SnapshotView
+    from oshdb_spark.filters.dsl import TagTranslator
+
+    g = _derive(spark, sf_dir, GEO_VERSION_EXPRS)
+    win = Window.partitionBy("id").orderBy("ts_us", "event_id")
+    ent = g.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit("node").alias("type"),
+        "id",
+        F.row_number().over(win).alias("version"),
+        "visible",
+        F.col("ts_us").alias("ts"),
+        F.col("event_id").alias("changeset"),
+        (F.col("event_id") % 97).cast("int").alias("uid"),
+        F.create_map(F.lit(1), F.col("tag_v").cast("int")).alias("tags"),
+        F.col("lon_fp").alias("lon"),
+        F.col("lat_fp").alias("lat"),
+        F.lit(None).cast("array<bigint>").alias("refs"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:bigint,role:string>>")
+        .alias("members"),
+    )
+    tr = TagTranslator(
+        keys={"k": 1},
+        values={("k", "0"): 0, ("k", "1"): 1, ("k", "2"): 2},
+    )
+    db = OSHDB(spark, ent, translator=tr)
+    tri = {
+        "type": "Polygon",
+        "coordinates": [
+            [[x / 1e7, y / 1e7] for x, y in _FLUENT_TRI_FP]
+            + [[_FLUENT_TRI_FP[0][0] / 1e7, _FLUENT_TRI_FP[0][1] / 1e7]]
+        ],
+    }
+    return (
+        SnapshotView.on(db)
+        .area_of_interest(polygon=tri)
+        .filter("k=1 or k=2")
+        .timestamps(_FLUENT_SNAPS)
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. contribution view (classification) + changeset squashing
 # ---------------------------------------------------------------------------
@@ -1067,6 +1156,45 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lsh_candidate_pairs(docs, bands=2, rows_per_band=1)
+
+
+_LSH_CAP = 3
+
+_Q23B_ORACLE = f"""
+WITH s AS (SELECT doc_id AS id, {_mh_duck(0)} AS mh0, {_mh_duck(1)} AS mh1
+           FROM documents),
+st AS (SELECT id, 0 AS band_idx, mh0 AS band_key FROM s
+       UNION ALL SELECT id, 1, mh1 FROM s),
+c AS (SELECT band_idx, band_key, COUNT(*) AS n FROM st GROUP BY 1, 2),
+cold AS (SELECT st.id, st.band_idx, st.band_key
+         FROM st JOIN c USING (band_idx, band_key) WHERE c.n <= {_LSH_CAP}),
+hotids AS (SELECT DISTINCT st.id
+           FROM st JOIN c USING (band_idx, band_key) WHERE c.n > {_LSH_CAP}),
+coldp AS (SELECT a.id AS id_a, b.id AS id_b FROM cold a JOIN cold b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.id < b.id),
+hd AS (SELECT d.doc_id AS id, md5(d.text) AS th
+       FROM documents d JOIN hotids h ON d.doc_id = h.id),
+reps AS (SELECT th, MIN(id) AS id_a FROM hd GROUP BY th),
+star AS (SELECT r.id_a, h.id AS id_b FROM hd h JOIN reps r USING (th)
+         WHERE h.id <> r.id_a)
+SELECT DISTINCT id_a, id_b FROM (SELECT * FROM coldp UNION ALL SELECT * FROM star)
+"""
+
+
+@_q("lsh_capped_pairs", _Q23B_ORACLE)
+def q_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped banded LSH (operators/dedup.lsh_candidate_pairs
+    with hot_key_cap): band keys hotter than the cap divert their members
+    to exact-dedup star pairs — the skew-proof 100-TB shape for
+    duplicate-heavy corpora.  Oracle replays both paths (cold self-join +
+    md5-cluster star) in SQL."""
+    from oshdb_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(
+        docs, bands=2, rows_per_band=1, hot_key_cap=_LSH_CAP
+    )
 
 
 _Q24_ORACLE = """

@@ -82,12 +82,33 @@ def lsh_candidate_pairs(
     shingle: int = 7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hot_key_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Signature of bands*rows_per_band minhashes; band key = concat of the
     band's hashes; pairs sharing ANY band key are candidates. Self-join on
     (band_idx, band_key) with id_a < id_b; distinct pairs.
+
+    ``hot_key_cap`` — band-key frequency cap for duplicate-heavy corpora
+    (VERDICT r3 "What's wrong #2"): band keys are uniform for DISTINCT
+    contents, but a million-copy boilerplate cluster puts all its copies on
+    the same band keys, and the self-join would push n^2/2 pairs through
+    one reducer key.  With a cap set:
+
+      * band keys with <= cap members join normally (bounded cap^2/2
+        pairs per key — no skew by construction, AQE not even needed);
+      * members of hotter keys are diverted to the EXACT-dedup path:
+        grouped by md5(text), each exact-duplicate cluster emits star
+        pairs (min-id representative, other) — linear in cluster size and
+        transitively equivalent to the full clique for dedup purposes.
+
+    RECALL CONTRACT: the capped output is a subset of the uncapped one.
+    Exact duplicates behind a hot key keep (star-shaped) connectivity;
+    NEAR-duplicate pairs whose every shared band key is hot are dropped —
+    at cap >= ~100 such pairs are boilerplate-cluster members, which is
+    exactly the standard practice (exact-dedup first, frequency-capped
+    LSH second) this flag encodes.
     """
     n = bands * rows_per_band
     sig = minhash_signature(docs, n, shingle, text_col, id_col)
@@ -104,6 +125,39 @@ def lsh_candidate_pairs(
             "band_idx", "band_key"
         ),
     )
+    star = None
+    if hot_key_cap is not None:
+        # pre-aggregated key histogram (map-side combine), hot set is tiny
+        # (#keys with > cap members) -> broadcast both prune joins
+        counts = stacked.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        hot = counts.filter(F.col("__n") > int(hot_key_cap)).select(
+            "band_idx", "band_key"
+        )
+        hot_ids = (
+            stacked.join(F.broadcast(hot), ["band_idx", "band_key"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+        stacked = stacked.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+        # exact-dedup star pairs among hot-key members: groupBy content
+        # hash (partial-agg min), broadcast the per-cluster representative
+        # back — one bounded shuffle, never an n^2 join
+        hot_docs = (
+            docs.select(
+                F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__th")
+            )
+            .join(hot_ids, "id", "left_semi")
+        )
+        reps = hot_docs.groupBy("__th").agg(F.min("id").alias("id_a"))
+        star = (
+            hot_docs.join(F.broadcast(reps), "__th")
+            .filter(F.col("id") != F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+        )
     pairs = (
         stacked.alias("a")
         .join(
@@ -113,9 +167,10 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def token_jaccard_pairs(

@@ -136,6 +136,31 @@ def test_lsh_finds_exact_and_near_dups(spark, docs_df):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_lsh_hot_key_cap(spark):
+    # adversarial duplicate-heavy corpus (VERDICT r3 "What's wrong #2"): a
+    # 10k-copy boilerplate cluster would push ~50M candidate pairs through
+    # single band-key reducers; with the cap its keys go hot and the
+    # cluster contributes star pairs (9_999 edges) via the exact-dedup
+    # path, while distinct-content (cold-key) near-dups keep full recall
+    boiler = "subscribe to our newsletter for updates terms conditions apply"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [
+        (20_000, "the quick brown fox jumps over the lazy dog again today"),
+        (20_001, "the quick brown fox jumps over the lazy cat again today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = lsh_candidate_pairs(
+        docs, bands=8, rows_per_band=1, hot_key_cap=100
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    cluster_pairs = {p for p in got if p[0] < 10_000 and p[1] < 10_000}
+    assert cluster_pairs == {(0, i) for i in range(1, 10_000)}
+    assert (20_000, 20_001) in got
+    # capped output is a SUBSET of the uncapped pair set by construction:
+    # no fabricated pairs across unrelated documents
+    assert not any(a < 10_000 <= b for a, b in got)
+
+
 def test_token_jaccard(spark, docs_df):
     a = docs_df.selectExpr("doc_id", "text")
     pairs = token_jaccard_pairs(a, offset=1, threshold=0.5).collect()

@@ -152,6 +152,69 @@ def way_lines(
     ).drop("pline", "own_ts", "member_ts")
 
 
+def _relation_nesting_levels(rels: DataFrame):
+    """(levels_df, max_lvl): relation nesting level per id, levels >= 1 only.
+
+    level(r) = 1 + max(level of r's relation-member children); relations
+    without relation members are level 0 and omitted from the map.  The
+    relation->relation edge set is tiny at any scale (~1e5 edges on planet
+    OSM against 1e7 relations), so it is collected (capped) and layered
+    driver-side with Kahn-style relaxation.  Members of a CYCLE — data the
+    reference's unbounded recursion
+    (OSHDBGeometryBuilderInternal.java:305-358) would never return from —
+    all land on one final guard level: they build last, their in-cycle
+    members resolving to whatever earlier levels produced (partial
+    geometry instead of a crash).
+    """
+    edges = (
+        rels.select(F.col("id").alias("pid"), F.explode("members").alias("m"))
+        .filter(F.col("m.type") == "relation")
+        .select("pid", F.col("m.ref").alias("cid"))
+        .distinct()
+    )
+    cap = 2_000_000
+    rows = edges.limit(cap + 1).collect()
+    kids: dict[int, list[int]] = {}
+    level: dict[int, int] = {}
+    if len(rows) > cap:
+        # degenerate corpus (more super-relation edges than planet OSM by
+        # 20x): degrade to the safe single-pass behavior — every parent
+        # builds after all leaf relations, one nesting level resolved
+        for r in rows:
+            level[int(r["pid"])] = 1
+        max_lvl = 1
+    else:
+        for r in rows:
+            kids.setdefault(int(r["pid"]), []).append(int(r["cid"]))
+        pending = set(kids)
+        for _ in range(64):  # depth guard (OSM practice: <= ~5)
+            newly = []
+            for pid in pending:
+                lvls = [0]
+                ok = True
+                for c in kids[pid]:
+                    if c in pending:  # child's own level not known yet
+                        ok = False
+                        break
+                    lvls.append(level.get(c, 0))
+                if ok:
+                    level[pid] = 1 + max(lvls)
+                    newly.append(pid)
+            if not newly:
+                break
+            pending.difference_update(newly)
+        max_lvl = max(level.values(), default=0)
+        if pending:  # cycle members -> shared guard level
+            max_lvl += 1
+            for pid in pending:
+                level[pid] = max_lvl
+    spark = rels.sparkSession
+    levels_df = spark.createDataFrame(
+        [(int(i), int(lv)) for i, lv in level.items()], "id long, __lvl int"
+    )
+    return levels_df, max_lvl
+
+
 def relation_lines(
     entities: DataFrame,
     way_lines_df: DataFrame,
@@ -349,14 +412,17 @@ def snapshot_view(
         )
 
     rl = relation_lines(entities, wl, node_snaps, timestamps)
-    rels_out = _build_rels(rl)
 
     # nested relation members (relation -> relation,
     # OSHDBGeometryBuilderInternal.java:305-358 recursion): one cheap probe
-    # on the (small) relation subset; if super-relations exist, a second
-    # resolution pass joins their relation members against the first-pass
-    # geometries.  One nesting level per pass (real OSM super-relations);
-    # deeper nests resolve their relation members to the previous level.
+    # on the (small) relation subset; if super-relations exist, relations
+    # are layered by NESTING LEVEL and built bottom-up — each level's
+    # relation members resolve against ALL previously built geometries, so
+    # arbitrarily deep nests (route masters of route masters of ...) build
+    # their full geometry, matching the reference's unbounded recursion.
+    # Cycles (which would stack-overflow the reference) get a guard level:
+    # built last, their in-cycle members resolve to whatever exists —
+    # partial geometry instead of a crash.
     rels = entities.filter(F.col("type") == "relation")
     has_nested = (
         rels.filter(
@@ -364,13 +430,27 @@ def snapshot_view(
         ).limit(1).count()
         > 0
     )
-    if has_nested:
-        is_parent = F.exists("members", lambda m: m["mtype"] == F.lit("relation"))
-        rl2 = relation_lines(
-            entities, wl, node_snaps, timestamps, rel_side=rels_out
-        )
-        rebuilt = _build_rels(rl2.filter(is_parent))
-        rels_out = _build_rels(rl.filter(~is_parent)).unionByName(rebuilt)
+    if not has_nested:
+        rels_out = _build_rels(rl)
+    else:
+        levels_df, max_lvl = _relation_nesting_levels(rels)
+        lvl_pos = F.broadcast(levels_df)
+        # level 0 (the overwhelming majority: no relation members) builds
+        # without a rel_side; every relation NOT in the level map is 0
+        rl0 = rl.join(lvl_pos, "id", "left_anti")
+        rels_out = _build_rels(rl0)
+        acc = rels_out
+        for k in range(1, max_lvl + 1):
+            ids_k = levels_df.filter(F.col("__lvl") == k).select("id")
+            ents_k = rels.join(F.broadcast(ids_k), "id", "left_semi")
+            rl_k = relation_lines(
+                ents_k, wl, node_snaps, timestamps, rel_side=acc
+            )
+            built_k = _build_rels(rl_k)
+            rels_out = rels_out.unionByName(built_k)
+            # truncate the per-level union lineage on deep nests (the
+            # same stage-boundary discipline as plans/lineage)
+            acc = rels_out.localCheckpoint() if k >= 2 else rels_out
 
     if include_old_style_multipolygons:
         from oshdb_spark.operators.geometry_ops import (

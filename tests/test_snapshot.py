@@ -236,6 +236,49 @@ def test_nested_relation_geometry(spark):
     assert len(dangling["geometries"]) == 1
 
 
+def test_deep_nested_relation_geometry(spark):
+    """Relations layered by nesting level build bottom-up: a THREE-deep
+    super-relation chain (70 -> 60 -> 50 -> nodes) resolves its FULL
+    geometry, matching the reference's unbounded recursion
+    (OSHDBGeometryBuilderInternal.java:305-358); a relation CYCLE — input
+    the reference would never return from — terminates with partial
+    geometry on the guard level."""
+    t0 = 100
+    rows = [
+        _mk("d", 1, "node", 1, True, t0, 10_0000000, 10_0000000),
+        _mk("d", 2, "node", 1, True, t0, 20_0000000, 10_0000000),
+        _mk("d", 3, "node", 1, True, t0, 30_0000000, 30_0000000),
+        _mk("d", 4, "node", 1, True, t0, 40_0000000, 30_0000000),
+        _mk("d", 50, "relation", 1, True, t0, members=[
+            ("node", 1, ""), ("node", 2, "")]),
+        _mk("d", 60, "relation", 1, True, t0, members=[
+            ("relation", 50, ""), ("node", 3, "")]),
+        _mk("d", 70, "relation", 1, True, t0, members=[
+            ("relation", 60, ""), ("node", 4, "")]),
+        # 2-cycle 80 <-> 81, each with one own node member
+        _mk("d", 80, "relation", 1, True, t0, members=[
+            ("relation", 81, ""), ("node", 1, "")]),
+        _mk("d", 81, "relation", 1, True, t0, members=[
+            ("relation", 80, ""), ("node", 2, "")]),
+    ]
+    ents = spark.createDataFrame(rows, NEST_SCHEMA)
+    out = snapshot_view(ents, [t0 + 1], keep_empty=True)
+    wkts = {r["id"]: r["wkt"] for r in out.filter("type = 'relation'").collect()}
+    top = from_wkt(wkts[70])
+    assert top["type"] == "GeometryCollection"
+    assert len(top["geometries"]) == 2
+    mid = [g for g in top["geometries"] if g["type"] == "GeometryCollection"]
+    assert len(mid) == 1  # relation 60, fully built two levels down
+    inner = [g for g in mid[0]["geometries"]
+             if g["type"] == "GeometryCollection"]
+    assert len(inner) == 1 and len(inner[0]["geometries"]) == 2  # relation 50
+    # cycle members terminate; own (non-cyclic) members are present
+    for rid in (80, 81):
+        g = from_wkt(wkts[rid])
+        assert g["type"] == "GeometryCollection"
+        assert len(g["geometries"]) >= 1
+
+
 def test_flat_relations_unaffected_by_nesting_path(spark):
     """Without any relation-type members the probe short-circuits and the
     plan stays single-pass (same results as before)."""

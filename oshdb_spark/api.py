@@ -54,6 +54,63 @@ from oshdb_spark.operators.snapshot import snapshot_view
 from oshdb_spark.timestamps import parse_iso, timestamps as make_timestamps
 
 
+class OSHDBTimeoutError(TimeoutError):
+    """A terminal reducer exceeded ``OSHDB.timeout()`` — the analog of the
+    reference's OSHDBTimeoutException (OSHDBDatabase.java:51-77,
+    MapReducerJdbc.java:47-53)."""
+
+
+def _run_with_timeout(spark: SparkSession, seconds, fn):
+    """Run a terminal action under a cancellable Spark job group.
+
+    A daemon timer cancels every job in the group once the budget elapses
+    (``interruptOnCancel`` interrupts running task threads) — the Spark
+    analogue of the reference's query timeout, which aborts the cell scan
+    between cells (MapReducerJdbc.java:47-53).  The session stays usable
+    afterwards; only this query's jobs are cancelled."""
+    if not seconds or seconds <= 0:
+        return fn()
+    import threading
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"oshdb-timeout-{uuid.uuid4().hex[:8]}"
+    fired = threading.Event()
+    done = threading.Event()
+
+    def _cancel_loop():
+        # one-shot cancelJobGroup only kills jobs RUNNING at fire time; a
+        # multi-job pipeline (probe jobs, then the main reduce) could start
+        # its next job after the cancel landed on nothing.  Loop until the
+        # action returns so any job submitted past the deadline dies too.
+        if done.wait(float(seconds)):
+            return
+        fired.set()
+        while not done.is_set():
+            sc.cancelJobGroup(group)
+            done.wait(0.25)
+
+    sc.setJobGroup(group, "oshdb_spark terminal reducer",
+                   interruptOnCancel=True)
+    canceller = threading.Thread(target=_cancel_loop, daemon=True)
+    canceller.start()
+    try:
+        return fn()
+    except Exception as e:
+        if fired.is_set():
+            raise OSHDBTimeoutError(
+                f"query exceeded timeout of {seconds}s (job group {group} "
+                "cancelled)"
+            ) from e
+        raise
+    finally:
+        done.set()
+        # clear the group so later queries on this thread aren't cancellable
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
 class OSHDB:
     """Database handle: a normalized entities DataFrame + keytables.
 
@@ -73,6 +130,15 @@ class OSHDB:
         self.entities = entities
         self.translator = translator or TagTranslator()
         self.interpreter = interpreter
+        self.timeout_s: float | None = None
+
+    def timeout(self, seconds: float | None) -> "OSHDB":
+        """Wall-clock budget for terminal reducers; exceeded -> the query's
+        job group is cancelled and OSHDBTimeoutError raised
+        (OSHDBDatabase.timeoutInMilliseconds, OSHDBDatabase.java:51-77).
+        ``None`` (default) disables the budget."""
+        self.timeout_s = seconds
+        return self
 
     @classmethod
     def from_docs(
@@ -403,8 +469,15 @@ class _MapReducer:
 
     # -- terminal reducers (global; MapReducer.java:1000-1283) -------------
 
+    def _action(self, fn):
+        """Run a driver-side terminal action under the db's query timeout
+        (no-op when OSHDB.timeout() is unset)."""
+        return _run_with_timeout(self.db.spark, self.db.timeout_s, fn)
+
     def _agg_scalar(self, agg: Column):
-        row = self.dataframe().agg(agg.alias("v")).collect()[0]
+        row = self._action(
+            lambda: self.dataframe().agg(agg.alias("v")).collect()
+        )[0]
         return row["v"]
 
     def count(self) -> int:
@@ -418,8 +491,10 @@ class _MapReducer:
         operators/aggregations.generic_reduce."""
         from oshdb_spark.operators.aggregations import generic_reduce
 
-        return generic_reduce(
-            self.dataframe(), identity_supplier, accumulator, combiner
+        return self._action(
+            lambda: generic_reduce(
+                self.dataframe(), identity_supplier, accumulator, combiner
+            )
         )
 
     def sum(self, col: str | Column):
@@ -877,7 +952,9 @@ class MapAggregator:
         """SortedMap-style result: {key(-tuple): value} from a 2+-column
         grouped result DataFrame."""
         df = value_df if value_df is not None else self.count()
-        rows = df.collect()
+        rows = _run_with_timeout(
+            self.parent.db.spark, self.parent.db.timeout_s, df.collect
+        )
         out = {}
         for r in rows:
             key = tuple(r[k] for k in self.keys)

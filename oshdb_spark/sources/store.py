@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from oshdb_spark.operators.tiling import assign_cells, cell_rect_filter
 
 DEFAULT_BUCKETS = 64
+MANIFEST_NAME = "_oshdb_manifest.json"
 
 
 def write_entities_table(
@@ -40,24 +41,140 @@ def write_entities_table(
     path: str,
     n_buckets: int = DEFAULT_BUCKETS,
     mode: str = "overwrite",
+    manifest: bool = True,
+    max_records_per_file: int | None = 4_000_000,
 ) -> None:
-    """ETL: tile + bucket + sort + write.
+    """ETL: tile + bucket + sort + write (+ cell-range manifest).
 
     One shuffle (repartition on the bucket) then a within-partition sort —
     the once-per-dataset cost the reference also pays in its ETL
     (OSHDBToIgnite / H2 import).
+
+    ``max_records_per_file`` splits each sorted bucket into multiple files
+    covering DISJOINT (cell_zoom, cell_id) ranges — Iceberg's
+    write.target-file-size behavior — which is what makes the manifest's
+    file-level pruning effective: without the split a bucket is one file
+    spanning every zoom and nothing can be skipped.
     """
     tiled = assign_cells(entities)
-    (
+    w = (
         tiled.withColumn(
             "pt", F.pmod(F.xxhash64(F.col("cell_id")), F.lit(n_buckets)).cast("int")
         )
         .repartition("pt")
         .sortWithinPartitions("cell_zoom", "cell_id")
         .write.mode(mode)
-        .partitionBy("pt")
-        .parquet(path)
     )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("pt").parquet(path)
+    if manifest:
+        write_manifest(path)
+
+
+def write_manifest(path: str) -> int:
+    """Per-row-group (cell_zoom, cell_id) min/max index over the table's
+    parquet files — the emulation of the Iceberg manifest tree (SURVEY
+    §1.6; the sandbox has no Iceberg runtime).  Built from parquet FOOTERS
+    only (no data scan) right after the ETL write; ``read_pruned``
+    consults it at plan time to skip whole FILES — which hash-bucket
+    directory partitioning alone cannot do for cell-range queries (it
+    trades range pruning for bounded file counts).  With a real Iceberg
+    catalog this file is exactly what the table format maintains
+    transactionally per snapshot.  Returns the number of entries."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        zi = idx.get("cell_zoom")
+        ci = idx.get("cell_id")
+        rel = os.path.relpath(f, path)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            zs = g.column(zi).statistics if zi is not None else None
+            cs = g.column(ci).statistics if ci is not None else None
+            if (
+                zs is None or cs is None
+                or not zs.has_min_max or not cs.has_min_max
+            ):
+                entries.append(
+                    {"file": rel, "zmin": None, "zmax": None,
+                     "cmin": None, "cmax": None}
+                )
+            else:
+                entries.append(
+                    {"file": rel,
+                     "zmin": int(zs.min), "zmax": int(zs.max),
+                     "cmin": int(cs.min), "cmax": int(cs.max)}
+                )
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump({"version": 1, "entries": entries}, fh)
+    return len(entries)
+
+
+def _manifest_file_matches(
+    path: str,
+    bbox_osm: tuple[int, int, int, int],
+    enlarge: bool = True,
+) -> list[str] | None:
+    """Files whose row-group (cell_zoom, cell_id) stats can intersect the
+    query bbox's cell cover — a conservative superset.  ``None`` when the
+    table has no manifest (fall back to a full-listing scan)."""
+    import json
+    import os
+
+    mf = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mf):
+        return None
+    from oshdb_spark.grid.xygrid import MAXZOOM, XYGridTree
+
+    tree = XYGridTree(MAXZOOM)
+    covers = []
+    for g in tree.grids:
+        garbage, rects = g.bbox2_cell_rects(bbox_osm, enlarge)
+        # coarse id interval per rect — the same parquet-pushable superset
+        # cell_rect_filter uses, evaluated here against manifest stats;
+        # the garbage cell (-1) joins as its own interval
+        iv = [
+            (rmin * g.zoompow + cmin, rmax * g.zoompow + cmax)
+            for cmin, cmax, rmin, rmax in rects
+        ]
+        if garbage:
+            iv.append((-1, -1))
+        if iv:
+            covers.append((g.zoom, iv))
+    with open(mf) as fh:
+        man = json.load(fh)
+    BIG = 1 << 62
+    keep: set[str] = set()
+    for e in man["entries"]:
+        if e["file"] in keep:
+            continue
+        zmin = e["zmin"]
+        if zmin is None:
+            keep.add(e["file"])  # no stats: never skip
+            continue
+        zmax, cmin, cmax = e["zmax"], e["cmin"], e["cmax"]
+        # rows are sorted by (cell_zoom, cell_id), so within a row group
+        # cmin binds only at zmin and cmax only at zmax; intermediate
+        # zooms could hold any cell id
+        for zoom, iv in covers:
+            if zoom < zmin or zoom > zmax:
+                continue
+            lo = cmin if zoom == zmin else -BIG
+            hi = cmax if zoom == zmax else BIG
+            if any(a <= hi and b >= lo for a, b in iv):
+                keep.add(e["file"])
+                break
+    return sorted(keep)
 
 
 def read_entities_table(spark: SparkSession, path: str) -> DataFrame:
@@ -69,12 +186,31 @@ def read_pruned(
     path: str,
     bbox_osm: tuple[int, int, int, int],
     enlarge: bool = True,
+    use_manifest: bool = True,
 ) -> DataFrame:
     """Scan only the cells whose rect cover intersects the query bbox.
 
-    The predicate is plain comparisons on (cell_zoom, cell_id%2^z, ...);
-    the cell_zoom/cell_id conjuncts reach parquet as PushedFilters and the
-    within-file (cell_zoom, cell_id) sort turns them into row-group skips.
+    Two pruning layers:
+      1. FILE level — the manifest (write_manifest) lists per-row-group
+         (cell_zoom, cell_id) min/max; only files that can intersect the
+         cover are handed to the reader at plan time (the Iceberg-manifest
+         behavior; df.inputFiles() shows the shrunken listing);
+      2. ROW-GROUP level — the cell_zoom/cell_id conjuncts of the exact
+         predicate reach parquet as PushedFilters, and the within-file
+         (cell_zoom, cell_id) sort turns them into row-group skips.
     """
-    df = spark.read.parquet(path)
+    files = (
+        _manifest_file_matches(path, bbox_osm, enlarge) if use_manifest
+        else None
+    )
+    if files is None:
+        df = spark.read.parquet(path)
+    elif not files:
+        df = spark.read.parquet(path).filter(F.lit(False))
+    else:
+        import os
+
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
     return df.filter(cell_rect_filter(bbox_osm, enlarge=enlarge))

@@ -19,7 +19,9 @@ def store_path(spark, docs_parquet, tmp_path_factory):
     path, _, _ = docs_parquet
     ents = extract_entities(spark.read.parquet(path))
     out = str(tmp_path_factory.mktemp("store") / "entities")
-    write_entities_table(ents, out, n_buckets=8)
+    # small target file size so each sorted bucket splits into several
+    # range-disjoint files — the layout the manifest prunes at file level
+    write_entities_table(ents, out, n_buckets=8, max_records_per_file=64)
     return out
 
 
@@ -61,6 +63,33 @@ def test_pruned_read_is_superset_and_refinable(spark, store_path):
     n_pruned = pruned.filter(exact).count()
     assert n_pruned == n_full
     assert pruned.count() < full.count()  # it actually prunes
+
+
+def test_manifest_skips_files_on_cold_scan(spark, store_path):
+    """The footer-stat manifest (Iceberg-manifest emulation) must shrink
+    the FILE LISTING itself for a selective bbox — not only row groups —
+    and the pruned read must stay a correct superset."""
+    import json
+    import os
+
+    from oshdb_spark.sources.store import MANIFEST_NAME
+
+    assert os.path.exists(os.path.join(store_path, MANIFEST_NAME))
+    with open(os.path.join(store_path, MANIFEST_NAME)) as fh:
+        man = json.load(fh)
+    assert len(man["entries"]) > 0
+    # a selective bbox: one degree square
+    small = (100_000_000, 100_000_000, 110_000_000, 110_000_000)
+    full = read_entities_table(spark, store_path)
+    pruned = read_pruned(spark, store_path, small)
+    n_files_full = len(set(full.inputFiles()))
+    n_files_pruned = len(set(pruned.inputFiles()))
+    assert n_files_pruned < n_files_full
+    # manifest pruning must not change results vs the listing-scan path
+    baseline = read_pruned(spark, store_path, small, use_manifest=False)
+    assert pruned.count() == baseline.count()
+    # partition column survives the per-file read (basePath)
+    assert "pt" in pruned.columns
 
 
 def test_knn_plan_broadcasts(spark, docs_parquet):

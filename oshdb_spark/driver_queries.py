@@ -278,6 +278,153 @@ def q_s2_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h3lite_oracle_sql(res: int) -> str:
+    """The full 64-bit h3lite id re-derived in DuckDB SQL (even `res`).
+
+    Face selection, gnomonic projection, hex cube-rounding, and the
+    aperture-7 digit extraction are re-expressed arithmetically (CASE +
+    FLOOR + trig, no shared code); only the 20 face-center/azimuth
+    constants are embedded as a VALUES list — the icosahedron itself is
+    pinned independently by tests/test_h3lite.py (unit centers, band
+    structure, zero-residue, round-trip invariants), mirroring how the
+    S2 oracle embeds the Hilbert lookup table."""
+    from oshdb_spark.grid import h3lite as hl
+
+    assert res % 2 == 0 and res >= 2
+    faces = ", ".join(
+        f"({f}, {hl.FACE_CENTERS[f,0]!r}, {hl.FACE_CENTERS[f,1]!r},"
+        f" {hl.FACE_CENTERS[f,2]!r}, {hl.FACE_LAT[f]!r}, {hl.FACE_LON[f]!r},"
+        f" {hl.FACE_AZ[f]!r})"
+        for f in range(20)
+    )
+
+    def lround(v: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({v}) >= 0 THEN FLOOR(({v}) + 0.5)"
+            f" ELSE CEIL(({v}) - 0.5) END AS BIGINT)"
+        )
+
+    def unit_digit(ra: str, rb: str) -> str:
+        return (
+            f"(4 * (({ra}) - LEAST({ra}, {rb}, 0))"
+            f" + 2 * (({rb}) - LEAST({ra}, {rb}, 0))"
+            f" - LEAST({ra}, {rb}, 0))"
+        )
+
+    # aperture-7 digit extraction, res -> 1 (even res: cw first)
+    digit_ctes = []
+    prev = "ij"
+    a, b = "a", "b"
+    for rr in range(res, 0, -1):
+        ccw = (rr % 2) == 1
+        if ccw:
+            pa = lround(f"(3.0 * {a} - {b}) / 7.0")
+            pb = lround(f"({a} + 2.0 * {b}) / 7.0")
+        else:
+            pa = lround(f"(2.0 * {a} + {b}) / 7.0")
+            pb = lround(f"(3.0 * {b} - {a}) / 7.0")
+        # remainder vs the parent's child-origin (down-ap7 image)
+        if ccw:
+            ra, rb = "a - (2 * pa + pb)", "b - (-pa + 3 * pb)"
+        else:
+            ra, rb = "a - (3 * pa - pb)", "b - (pa + 2 * pb)"
+        name = f"d{rr}"
+        digit_ctes.append(
+            f"{name}_p AS (SELECT *, {pa} AS pa, {pb} AS pb FROM {prev}),"
+            f" {name} AS (SELECT event_id, user_id, face, pa AS a, pb AS b,"
+            f" {unit_digit(ra, rb)} AS dig{rr}"
+            + "".join(f", dig{k}" for k in range(rr + 1, res + 1))
+            + f" FROM {name}_p)"
+        )
+        prev = name
+    digits_sql = ", ".join(digit_ctes)
+    id_expr = (
+        f"CAST({1 << 59} AS BIGINT) + CAST({res} AS BIGINT) * {1 << 52}"
+        f" + face * CAST({1 << 45} AS BIGINT)"
+        + "".join(
+            f" + dig{rr} * CAST({1 << (3 * (15 - rr))} AS BIGINT)"
+            for rr in range(1, res + 1)
+        )
+        + f" + {(1 << (3 * (15 - res))) - 1}"
+    )
+    scale = f"(2.0 / POWER(SQRT(7.0), {res}))"
+    # hex cube rounding (coordijk branch table re-derived)
+    j_inc = """CASE
+      WHEN r1 < 1.0/3.0 THEN CASE WHEN r2 >= (1.0 + r1)/2.0 THEN 1 ELSE 0 END
+      WHEN r1 < 0.5     THEN CASE WHEN r2 >= 1.0 - r1 THEN 1 ELSE 0 END
+      WHEN r1 < 2.0/3.0 THEN CASE WHEN r2 >= 1.0 - r1 THEN 1 ELSE 0 END
+      ELSE CASE WHEN r2 >= r1/2.0 THEN 1 ELSE 0 END END"""
+    i_inc = """CASE
+      WHEN r1 < 1.0/3.0 THEN 0
+      WHEN r1 < 0.5     THEN CASE WHEN (1.0 - r1) <= r2 AND r2 < 2.0*r1 THEN 1 ELSE 0 END
+      WHEN r1 < 2.0/3.0 THEN CASE WHEN (2.0*r1 - 1.0) < r2 AND r2 < 1.0 - r1 THEN 0 ELSE 1 END
+      ELSE 1 END"""
+    return f"""
+WITH g AS ({{derive}}),
+faces(face, fx, fy, fz, flat, flon, faz) AS (VALUES {faces}),
+pt AS (SELECT event_id, user_id, radians(lon_fp / 1e7) AS lon,
+              radians(lat_fp / 1e7) AS lat FROM g),
+p AS (SELECT *, cos(lat)*cos(lon) AS px, cos(lat)*sin(lon) AS py,
+             sin(lat) AS pz FROM pt),
+sel AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+          ORDER BY (px*fx + py*fy + pz*fz) DESC, face) AS rn
+        FROM p CROSS JOIN faces),
+f1 AS (SELECT event_id, user_id, face, lon, lat, flat, flon, faz,
+              LEAST(GREATEST(px*fx + py*fy + pz*fz, -1.0), 1.0) AS cd
+       FROM sel WHERE rn = 1),
+ang AS (SELECT event_id, user_id, face,
+        acos(cd) AS r,
+        faz - atan2(cos(lat) * sin(lon - flon),
+                    cos(flat) * sin(lat)
+                    - sin(flat) * cos(lat) * cos(lon - flon)) AS theta
+        FROM f1),
+xy AS (SELECT event_id, user_id, face,
+       tan(r) / {scale} * cos(theta) AS hx,
+       tan(r) / {scale} * sin(theta) AS hy FROM ang),
+hr0 AS (SELECT *, abs(hx) AS a1, abs(hy) / (SQRT(3.0)/2.0) AS x2 FROM xy),
+hr1 AS (SELECT *, a1 + x2/2.0 AS x1 FROM hr0),
+hr2 AS (SELECT *, FLOOR(x1) AS m1, FLOOR(x2) AS m2,
+               x1 - FLOOR(x1) AS r1, x2 - FLOOR(x2) AS r2 FROM hr1),
+hr3 AS (SELECT event_id, user_id, face, hx, hy,
+        CAST(m1 + {i_inc} AS BIGINT) AS i0,
+        CAST(m2 + {j_inc} AS BIGINT) AS j0 FROM hr2),
+hr4 AS (SELECT event_id, user_id, face, hy, j0 AS jx,
+        CASE WHEN hx < 0 THEN
+          CASE WHEN j0 % 2 = 0
+               THEN i0 - 2 * (i0 - j0 // 2)
+               ELSE i0 - (2 * (i0 - (j0 + 1) // 2) + 1) END
+        ELSE i0 END AS ix FROM hr3),
+ij AS (SELECT event_id, user_id, face,
+       CASE WHEN hy < 0 THEN ix - jx ELSE ix END AS a,
+       CASE WHEN hy < 0 THEN -jx ELSE jx END AS b FROM hr4),
+{digits_sql},
+ids AS (SELECT user_id, {id_expr} AS h3_cell FROM {prev})
+SELECT h3_cell, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq_users
+FROM ids GROUP BY 1
+"""
+
+
+_Q_H3_ORACLE = _h3lite_oracle_sql(2).format(
+    derive=_duck_derive(GEO_POINT_EXPRS)
+)
+
+
+@_q("h3_cell_assign", _Q_H3_ORACLE, bench=True)
+def q_h3_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h3lite res-2 cell assignment over the synthetic point stream — the
+    aperture-7 icosahedral hex index (grid/h3lite.py pure-numpy port of
+    the published H3 algorithm; derived orientation, see module
+    docstring), oracle-checked on the full 64-bit id like s2_cell_assign."""
+    from oshdb_spark.operators.tiling import h3_udf
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return (
+        g.withColumn("h3_cell", h3_udf(2)("lon_fp", "lat_fp"))
+        .groupBy("h3_cell")
+        .agg(count_agg("cnt"), count_uniq_agg("user_id", "uniq_users"))
+    )
+
+
 _Q02_ORACLE = f"""
 WITH g AS ({_duck_derive(GEO_LOCAL_EXPRS)}),
 b AS (SELECT user_id, MIN(lon_fp) AS minlon, MIN(lat_fp) AS minlat,

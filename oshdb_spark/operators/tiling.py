@@ -152,18 +152,40 @@ def s2_udf(level: int):
     return _udf
 
 
-def h3_udf(resolution: int):
-    """True H3 ids when the `h3` package is available (absent here)."""
+def h3_udf(resolution: int, prefer_library: bool = True):
+    """Aperture-7 hexagonal cell ids from fixed-point coords.
+
+    With the `h3` package installed (and ``prefer_library``), returns the
+    canonical library's ids.  Without it — this sandbox — falls back to
+    the pure-numpy aperture-7 icosahedral port (grid/h3lite.py: the
+    published H3 algorithm and bit layout with a DERIVED orientation and
+    face-based base cells; see its docstring for the exact deviation).
+    Either way the ids are a deterministic hierarchical hex index
+    suitable for the tiling joins; only the h3lite path is oracle-gated
+    (driver query h3_cell_assign)."""
     from oshdb_spark.session import ensure_package_on_workers
     ensure_package_on_workers()
-    try:
-        import h3  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "h3 package not installed in this environment; quadcell is the "
-            "hierarchical index. With h3 installed this returns "
-            "h3.latlng_to_cell over Arrow batches."
-        ) from e
+    have_h3 = False
+    if prefer_library:
+        try:
+            import h3  # noqa: F401
+
+            have_h3 = True
+        except ImportError:
+            have_h3 = False
+    if not have_h3:
+        @F.pandas_udf("long")
+        def _lite(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            from oshdb_spark.grid import h3lite
+
+            ids = h3lite.latlng_to_cell(
+                lon.to_numpy(np.int64) / 1e7,
+                lat.to_numpy(np.int64) / 1e7,
+                resolution,
+            )
+            return pd.Series(ids.view(np.int64))
+
+        return _lite
 
     @F.pandas_udf("long")
     def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:

@@ -1,0 +1,194 @@
+"""Structural invariants pinning grid/h3lite.py (the aperture-7
+icosahedral index; see the module docstring for the documented deviation
+from canonical H3 — derived orientation/base cells, same algorithm).
+
+These play the role tests/test_s2.py plays for the S2 port: the SQL
+oracle for the driver query re-derives the same arithmetic, so the
+geometry itself must be pinned here, independently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oshdb_spark.grid import h3lite as h
+
+
+def _sphere_points(n: int, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180.0, 180.0, n)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, n)))
+    return lon, lat
+
+
+def test_icosahedron_structure():
+    # 20 faces, unit centers, deterministic order, 5-fold symmetry
+    assert h.FACE_CENTERS.shape == (20, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(h.FACE_CENTERS, axis=1), 1.0, atol=1e-12
+    )
+    lats = np.degrees(h.FACE_LAT)
+    # 5 top-cap, 10 middle, 5 bottom-cap faces by latitude bands
+    assert (lats > 30).sum() == 5
+    assert (lats < -30).sum() == 5
+    assert ((lats > -30) & (lats < 30)).sum() == 10
+    # descending-latitude face order
+    assert np.all(np.diff(np.round(lats, 9)) <= 1e-9)
+
+
+def test_bit_layout():
+    lon, lat = _sphere_points(1000)
+    for res in (0, 3, 9, 15):
+        c = h.latlng_to_cell(lon, lat, res).view(np.uint64)
+        assert np.all((c >> np.uint64(63)) == 0)            # reserved
+        assert np.all(((c >> np.uint64(59)) & np.uint64(0xF)) == 1)  # mode
+        assert np.all(((c >> np.uint64(56)) & np.uint64(0x7)) == 0)
+        assert np.all(h.cell_resolution(c.view(np.int64)) == res)
+        base = h.cell_base(c.view(np.int64))
+        assert base.min() >= 0 and base.max() < 20
+        for rr in range(1, res + 1):  # used digits valid
+            dg = (c >> np.uint64(3 * (h.MAX_RES - rr))) & np.uint64(7)
+            assert dg.max() <= 6
+        for rr in range(res + 1, h.MAX_RES + 1):  # unused digits = 7
+            dg = (c >> np.uint64(3 * (h.MAX_RES - rr))) & np.uint64(7)
+            assert dg.min() == 7
+
+
+def test_round_trip_center_exact_off_seam():
+    """cell -> center -> cell is the identity for every NON-SEAM cell (a
+    seam cell's hex center can fall in the neighbor face's ownership
+    region — the documented hex-AND-face-region partition semantics),
+    and the seam fraction shrinks ~sqrt(7)^-res."""
+    lon, lat = _sphere_points(50_000)
+    seams = []
+    for res in (2, 5, 9, 12, 15):
+        c = h.latlng_to_cell(lon, lat, res)
+        clon, clat = h.cell_to_latlng(c)
+        back = h.latlng_to_cell(clon, clat, res)
+        # non-seam: the center's owning face equals the cell's face
+        center_face = h.cell_base(h.latlng_to_cell(clon, clat, 0))
+        off_seam = center_face == h.cell_base(c)
+        assert np.array_equal(back[off_seam], c[off_seam]), res
+        seams.append(1.0 - float(np.mean(off_seam)))
+    assert seams == sorted(seams, reverse=True)  # shrinks with res
+    assert seams[-1] < 1e-3  # res 15: seams negligible
+
+
+def test_seam_fraction_bounds():
+    lon, lat = _sphere_points(100_000, seed=21)
+    for res, bound in ((2, 0.25), (5, 0.02), (9, 0.001)):
+        c = h.latlng_to_cell(lon, lat, res)
+        clon, clat = h.cell_to_latlng(c)
+        center_face = h.cell_base(h.latlng_to_cell(clon, clat, 0))
+        seam = 1.0 - float(np.mean(center_face == h.cell_base(c)))
+        assert seam < bound, (res, seam)
+
+
+def test_zero_residue_including_face_corners():
+    """The aperture-7 up-chain must land EVERY point on the face-center
+    res-0 cell (residue (0,0)) — the property that makes base cell = face
+    injective.  Sampled at random plus adversarially near the face
+    corners and edge midpoints where the margin is smallest."""
+    lon, lat = _sphere_points(200_000)
+    # adversarial: points pulled toward each face's three corners
+    tri_lat, tri_lon = [], []
+    top = np.degrees(np.arctan(0.5))
+    verts = [(90.0, 0.0)]
+    verts += [(top, 72.0 * k) for k in range(5)]
+    verts += [(-top, 72.0 * k + 36.0) for k in range(5)]
+    verts += [(-90.0, 0.0)]
+    for vla, vlo in verts:
+        for eps in (1e-9, 1e-6, 1e-3, 0.1):
+            for daz in range(8):
+                tri_lat.append(vla - eps * np.cos(daz))
+                tri_lon.append(vlo + eps * np.sin(daz))
+    lon = np.concatenate([lon, np.array(tri_lon)])
+    lat = np.concatenate([lat, np.clip(np.array(tri_lat), -90, 90)])
+    for res in (1, 2, 7, 15):
+        lonr, latr = np.radians(lon), np.radians(lat)
+        clat = np.cos(latr)
+        p = np.stack(
+            [clat * np.cos(lonr), clat * np.sin(lonr), np.sin(latr)], axis=1
+        )
+        dots = p @ h.FACE_CENTERS.T
+        face = np.argmax(dots, axis=1)
+        cd = np.clip(dots[np.arange(len(face)), face], -1, 1)
+        r = np.arccos(cd)
+        az = h._azimuth(h.FACE_LAT[face], h.FACE_LON[face], latr, lonr)
+        theta = h.FACE_AZ[face] - az
+        if res % 2 == 1:
+            theta = theta - h.AP7_ROT_RADS
+        rg = np.tan(r) / (h.RES0_U_GNOMONIC / (h.SQRT7 ** res))
+        ca, cb = h._hex2d_to_ij(rg * np.cos(theta), rg * np.sin(theta))
+        for rr in range(res, 0, -1):
+            ca, cb = h._up_ap7(ca, cb, (rr % 2) == 1)
+        assert int((np.abs(ca) + np.abs(cb)).max()) == 0
+
+
+def test_aperture7_growth():
+    """Cell areas shrink ~7x per resolution: unique-cell count over a
+    dense uniform sample grows toward 7x per step until saturation."""
+    lon, lat = _sphere_points(400_000, seed=3)
+    u = [len(np.unique(h.latlng_to_cell(lon, lat, r))) for r in range(6)]
+    assert u[0] == 20
+    # the res-1 step is face-clipped (cells larger than the face core),
+    # later steps converge toward 7x (measured 2.7, 5.1, 5.9, 6.6)
+    ratios = [b / a for a, b in zip(u, u[1:])]
+    assert ratios[1] > 2.2
+    for rt in ratios[2:]:
+        assert rt > 4.5
+    assert ratios[-1] > 6.0
+
+
+def test_parent_is_digit_truncation():
+    lon, lat = _sphere_points(50_000)
+    c9 = h.latlng_to_cell(lon, lat, 9)
+    p5 = h.cell_parent(c9, 5)
+    assert np.all(h.cell_resolution(p5) == 5)
+    # parent of parent == direct grandparent
+    assert np.array_equal(h.cell_parent(p5, 2), h.cell_parent(c9, 2))
+    # a cell is its own res-parent
+    assert np.array_equal(h.cell_parent(c9, 9), c9)
+    # parent's base cell unchanged
+    assert np.array_equal(h.cell_base(p5), h.cell_base(c9))
+
+
+def test_parent_mostly_contains_children():
+    """Aperture-7 children straddle parent hexagon boundaries (true of
+    canonical H3 as well), so direct assignment at the parent resolution
+    agrees with digit-truncation parenting for the large majority of
+    points but NOT all — pin the band."""
+    lon, lat = _sphere_points(100_000, seed=5)
+    c9 = h.latlng_to_cell(lon, lat, 9)
+    d8 = h.latlng_to_cell(lon, lat, 8)
+    agree = float(np.mean(h.cell_parent(c9, 8) == d8))
+    assert 0.75 < agree < 1.0
+
+
+def test_cells_are_geographically_tight():
+    """All points mapping to one cell sit within ~2 cell radii of its
+    center — the index is a real spatial partition, not a hash."""
+    lon, lat = _sphere_points(200_000, seed=9)
+    res = 6
+    c = h.latlng_to_cell(lon, lat, res)
+    clon, clat = h.cell_to_latlng(c)
+    # haversine distance in radians
+    la1, lo1 = np.radians(lat), np.radians(lon)
+    la2, lo2 = np.radians(clat), np.radians(clon)
+    d = 2 * np.arcsin(
+        np.sqrt(
+            np.sin((la2 - la1) / 2) ** 2
+            + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+        )
+    )
+    # res-r hex circumradius on the sphere ~ atan(unit) with margin
+    max_r = 2.0 * np.arctan(h.RES0_U_GNOMONIC / (h.SQRT7 ** res))
+    assert float(d.max()) < max_r
+
+
+def test_resolution_bounds():
+    with pytest.raises(ValueError):
+        h.latlng_to_cell([0.0], [0.0], 16)
+    with pytest.raises(ValueError):
+        h.cell_parent(h.latlng_to_cell([0.0], [0.0], 3), 5)

@@ -535,9 +535,12 @@ FROM t LEFT JOIN hit USING (snap_ts)
 """
 
 
-@_q("fluent_snapshot_pipeline", _FLUENT_ORACLE)
-def q_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oshdb_spark.api import OSHDB, SnapshotView
+def _fluent_node_db(spark: SparkSession, sf_dir: str):
+    """The versioned-node OSHDB used by the fluent-API gate queries:
+    GEO_VERSION_EXPRS entities with a single translated tag key ``k``
+    (tag_v as its int value) — the same derivation the oracles re-express
+    over `events` in SQL."""
+    from oshdb_spark.api import OSHDB
     from oshdb_spark.filters.dsl import TagTranslator
 
     g = _derive(spark, sf_dir, GEO_VERSION_EXPRS)
@@ -563,7 +566,14 @@ def q_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys={"k": 1},
         values={("k", "0"): 0, ("k", "1"): 1, ("k", "2"): 2},
     )
-    db = OSHDB(spark, ent, translator=tr)
+    return OSHDB(spark, ent, translator=tr)
+
+
+@_q("fluent_snapshot_pipeline", _FLUENT_ORACLE)
+def q_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import SnapshotView
+
+    db = _fluent_node_db(spark, sf_dir)
     tri = {
         "type": "Polygon",
         "coordinates": [
@@ -578,6 +588,117 @@ def q_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .timestamps(_FLUENT_SNAPS)
         .aggregate_by_timestamp()
         .count()
+    )
+
+
+# groupByEntity (MapReducer.groupByEntity, MapReducer.java:585-623) under
+# the value-hash gate: all snapshot rows of one entity collected into ONE
+# timestamp-sorted list.  The position-weighted signature
+# sum((position+1) * tag_v) over the collected list is order-sensitive, so
+# a wrong or unstable sort comparator shows up as a value mismatch, not
+# just a count mismatch.
+_GBE_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+v AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts_us, event_id)
+        AS version FROM g),
+w AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY id ORDER BY ts_us, version)
+        AS next_ts FROM v),
+t(snap_ts) AS (VALUES {_SNAP_VALUES}),
+s AS (SELECT w.id, t.snap_ts, w.tag_v
+      FROM w JOIN t ON t.snap_ts >= w.ts_us
+                   AND (w.next_ts IS NULL OR t.snap_ts < w.next_ts)
+      WHERE w.visible),
+r AS (SELECT id, ROW_NUMBER() OVER (PARTITION BY id ORDER BY snap_ts) AS rn,
+        tag_v FROM s)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_snaps,
+       CAST(SUM(rn * tag_v) AS BIGINT) AS ord_sig
+FROM r GROUP BY id
+"""
+
+
+@_q("groupby_entity_history", _GBE_ORACLE)
+def q_groupby_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import SnapshotView
+
+    db = _fluent_node_db(spark, sf_dir)
+    gb = SnapshotView.on(db).timestamps(SNAP_TS_US).group_by_entity()
+    # fold over the COLLECTED list (order matters): position-weighted sum
+    # of the tag value at each snapshot
+    sig = (
+        "aggregate(rows,"
+        " struct(CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS sig),"
+        " (a, x) -> struct(a.i + 1L,"
+        "                  a.sig + (a.i + 1L) * CAST(x.tags[1] AS BIGINT)),"
+        " a -> a.sig)"
+    )
+    return gb.select(
+        "id",
+        F.size("rows").cast("long").alias("n_snaps"),
+        F.expr(sig).alias("ord_sig"),
+    )
+
+
+# generic monoid reduce (MapReducer.reduce(identitySupplier, accumulator,
+# combiner), MapReducer.java:834-935) under the value-hash gate: a 5-field
+# moments monoid (count, sum, sum-of-squares, min, max) folded per
+# partition in one Arrow pass and combined driver-side — the oracle
+# recomputes the same scalars with plain SQL aggregates over the as-of
+# semantics.
+_GRM_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+v AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts_us, event_id)
+        AS version FROM g),
+w AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY id ORDER BY ts_us, version)
+        AS next_ts FROM v),
+t(snap_ts) AS (VALUES {_SNAP_VALUES}),
+s AS (SELECT w.id, t.snap_ts
+      FROM w JOIN t ON t.snap_ts >= w.ts_us
+                   AND (w.next_ts IS NULL OR t.snap_ts < w.next_ts)
+      WHERE w.visible)
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(SUM(id * id) AS BIGINT) AS sum_id2,
+       CAST(MIN(snap_ts) AS BIGINT) AS min_ts,
+       CAST(MAX(snap_ts) AS BIGINT) AS max_ts
+FROM s
+"""
+
+
+@_q("generic_reduce_moments", _GRM_ORACLE)
+def q_generic_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import SnapshotView
+
+    db = _fluent_node_db(spark, sf_dir)
+    mr = SnapshotView.on(db).timestamps(SNAP_TS_US)
+
+    def identity():
+        return (0, 0, 0, None, None)
+
+    def combine(a, b):
+        mins = [x for x in (a[3], b[3]) if x is not None]
+        maxs = [x for x in (a[4], b[4]) if x is not None]
+        return (
+            a[0] + b[0], a[1] + b[1], a[2] + b[2],
+            min(mins) if mins else None,
+            max(maxs) if maxs else None,
+        )
+
+    def acc(state, pdf):
+        ids = pdf["id"].astype("int64")
+        ts = pdf["snap_ts"].astype("int64")
+        part = (
+            int(len(pdf)),
+            int(ids.sum()),
+            int((ids * ids).sum()),
+            int(ts.min()) if len(ts) else None,
+            int(ts.max()) if len(ts) else None,
+        )
+        return combine(state, part)
+
+    cnt, s1, s2, mn, mx = mr.reduce(identity, acc, combine)
+    return spark.createDataFrame(
+        [(cnt, s1, s2, mn, mx)],
+        "cnt long, sum_id long, sum_id2 long, min_ts long, max_ts long",
     )
 
 
@@ -1931,7 +2052,7 @@ _WPA_LON0 = "((w % 20) * 1.5 - 15.0)"
 _WPA_LAT0 = "(CAST(w AS DOUBLE) - (w % 20)) / 20 * 2.5 + 10.0"
 _WPA_S = "(0.01 + w * 0.0005)"
 
-_Q32_ORACLE = f"""
+_WPA_AREA_CTE = f"""
 WITH w AS (SELECT UNNEST(GENERATE_SERIES(0, {_WPA_N - 1})) AS w),
 geo AS (SELECT w, {_WPA_LON0} AS lon0, {_WPA_LAT0} AS lat0, {_WPA_S} AS s
         FROM w),
@@ -1960,16 +2081,19 @@ a AS (SELECT w,
        * COS(RADIANS((LIST_MAX(ys) + LIST_MIN(ys)) / 2))
        * COS(RADIANS((LIST_MAX(ys) + LIST_MIN(ys)) / 2))) AS area
   FROM ring)
+"""
+
+_Q32_ORACLE = f"""{_WPA_AREA_CTE}
 SELECT w AS way_id,
        CAST(ROW_NUMBER() OVER (ORDER BY area DESC, w) AS BIGINT) AS area_rank
 FROM a
 """
 
 
-@_q("way_polygon_area", _Q32_ORACLE)
-def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oshdb_spark.operators.snapshot import snapshot_view
-
+def _wpa_entities(spark: SparkSession) -> DataFrame:
+    """200 square building ways (4 corner nodes each) of strictly
+    increasing size at varying latitudes — the shared fixture for the
+    geodesic-area queries."""
     w = spark.range(_WPA_N).selectExpr("id AS w").selectExpr(
         "w", f"{_WPA_LON0} AS lon0", f"{_WPA_LAT0} AS lat0", f"{_WPA_S} AS s"
     )
@@ -2022,7 +2146,14 @@ def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("array<struct<type:string,ref:bigint,role:string>>")
         .alias("members"),
     )
-    snaps = snapshot_view(nodes.unionByName(ways), [200])
+    return nodes.unionByName(ways)
+
+
+@_q("way_polygon_area", _Q32_ORACLE)
+def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.snapshot import snapshot_view
+
+    snaps = snapshot_view(_wpa_entities(spark), [200])
     return (
         snaps.filter("type = 'way'")
         .withColumn(
@@ -2031,6 +2162,36 @@ def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").alias("way_id"), F.col("area_rank").cast("long"))
     )
+
+
+# geometry-metric filter DSL (oshdb-filter GeometryFilterArea,
+# GeometryFilter.java:8-34) under the value-hash gate: the fluent chain
+# compiles "geometry:polygon and area:(lo..hi)" against the snapshot
+# view's built geometries; the oracle recomputes the EXACT geodesic area
+# formula in SQL and applies the same range.  The bounds are midpoints
+# between adjacent area values (adjacent gaps >= 1%), so last-ulp libm
+# differences cannot flip membership.
+_MFA_LO = "57484559.528328344"
+_MFA_HI = "314585816.0850468"
+
+_MFA_ORACLE = f"""{_WPA_AREA_CTE}
+SELECT w AS way_id
+FROM a WHERE area >= {_MFA_LO} AND area <= {_MFA_HI}
+"""
+
+
+@_q("metric_filter_area", _MFA_ORACLE)
+def q_metric_filter_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import OSHDB, SnapshotView
+
+    db = OSHDB(spark, _wpa_entities(spark))
+    out = (
+        SnapshotView.on(db)
+        .timestamps([200])
+        .filter(f"geometry:polygon and area:({_MFA_LO}..{_MFA_HI})")
+        .dataframe()
+    )
+    return out.select(F.col("id").alias("way_id"))
 
 
 # ---------------------------------------------------------------------------

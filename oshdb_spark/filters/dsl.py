@@ -354,6 +354,11 @@ class AndOp(Node):
     def osm_types(self) -> frozenset[str]:
         return self.left.osm_types() & self.right.osm_types()
 
+    def negate(self) -> "Node":
+        # De Morgan push-down (AndOperator.negate -> OrOperator of the
+        # negated operands, BinaryOperator.java / NegateTest.java)
+        return OrOp(self.left.negate(), self.right.negate())
+
 
 @dataclass
 class OrOp(Node):
@@ -366,6 +371,11 @@ class OrOp(Node):
     def osm_types(self) -> frozenset[str]:
         return self.left.osm_types() | self.right.osm_types()
 
+    def negate(self) -> "Node":
+        # De Morgan push-down (OrOperator.negate -> AndOperator of the
+        # negated operands, BinaryOperator.java / NegateTest.java)
+        return AndOp(self.left.negate(), self.right.negate())
+
 
 @dataclass
 class NotOp(Node):
@@ -376,6 +386,11 @@ class NotOp(Node):
 
     def osm_types(self) -> frozenset[str]:
         return ALL_TYPES  # conservative (reference: negation widens)
+
+    def negate(self) -> "Node":
+        # double negation elimination (FilterExpression.negate contract,
+        # NegateTest.java: negation of a negation is the original filter)
+        return self.child
 
 
 # ---------------------------------------------------------------------------

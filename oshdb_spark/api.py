@@ -60,6 +60,26 @@ class OSHDBTimeoutError(TimeoutError):
     MapReducerJdbc.java:47-53)."""
 
 
+def _flush_python_workers(spark: SparkSession, tries: int = 3) -> None:
+    """Probe every pooled Python worker with a trivial Arrow-UDF job so a
+    worker poisoned by a cancelled/interrupted task dies here (inside a
+    sacrificial job) instead of failing the caller's next query.  Only
+    invoked on the timeout path — zero cost for normal queries."""
+
+    def _probe(batches):
+        yield from batches
+
+    n = max(int(spark.sparkContext.defaultParallelism), 1)
+    for _ in range(tries):
+        try:
+            spark.range(n * 2).repartition(n).mapInPandas(
+                _probe, "id long"
+            ).count()
+            return
+        except Exception:  # poisoned worker consumed; retry the probe
+            continue
+
+
 def _run_with_timeout(spark: SparkSession, seconds, fn):
     """Run a terminal action under a cancellable Spark job group.
 
@@ -109,6 +129,15 @@ def _run_with_timeout(spark: SparkSession, seconds, fn):
         sc.setLocalProperty("spark.jobGroup.id", None)
         sc.setLocalProperty("spark.job.description", None)
         sc.setLocalProperty("spark.job.interruptOnCancel", None)
+        if fired.is_set():
+            # interrupting Arrow-UDF tasks can release a mid-protocol
+            # Python worker back to the reuse pool; the NEXT UDF job then
+            # crashes on the poisoned worker.  A real cluster retries the
+            # task (maxFailures=4) and self-heals, but local[N] runs with
+            # maxFailures=1, so probe-flush the pool here: each probe task
+            # either proves a pooled worker healthy or consumes the broken
+            # one (failed workers are killed, not returned).
+            _flush_python_workers(spark)
 
 
 class OSHDB:

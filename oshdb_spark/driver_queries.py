@@ -2164,6 +2164,53 @@ def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# connected-components dedup clustering: candidate pairs -> duplicate
+# CLUSTERS (the last step of a dedup pipeline; canonical doc = min id).
+# Pairs = exact token-Jaccard links at offsets 25 and 50, which chain
+# into components up to ~20 docs — multi-hop transitivity, the case a
+# pairwise-only dedup gets wrong.  Engine: alternating large-star /
+# small-star (shuffle-bounded, O(log n) rounds — worst-case chains
+# included).  Oracle: recursive-CTE min-label propagation in DuckDB.
+_CC_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks FROM documents),
+near AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM t a JOIN t b ON b.doc_id - a.doc_id IN (25, 50)
+  WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) > 0.3),
+edges AS (SELECT u, v FROM near UNION SELECT v AS u, u AS v FROM near),
+reach(node, label) AS (
+  SELECT u, u FROM edges GROUP BY u
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comp GROUP BY component
+"""
+
+
+@_q("dedup_connected_components", _CC_ORACLE)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import (
+        connected_components,
+        token_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # two EQUI-join offset passes (never a range join): same pair set as
+    # the oracle's b - a IN (25, 50)
+    near = token_jaccard_pairs(docs, offset=25, threshold=0.3).unionByName(
+        token_jaccard_pairs(docs, offset=50, threshold=0.3)
+    )
+    pairs = near.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(count_agg("n_docs"))
+
+
 # geometry-metric filter DSL (oshdb-filter GeometryFilterArea,
 # GeometryFilter.java:8-34) under the value-hash gate: the fluent chain
 # compiles "geometry:polygon and area:(lo..hi)" against the snapshot

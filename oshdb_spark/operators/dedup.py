@@ -252,3 +252,92 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         ),
     ).groupBy("id").agg(F.sum("bitval").cast("long").alias("simhash"))
     return fp
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair/edge set — the missing last step
+    of a dedup pipeline: candidate pairs -> duplicate CLUSTERS -> one
+    canonical (min-id) representative per cluster.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    standard shuffle-bounded CC for this setting).  Each round is one
+    groupBy(min) + one join, both keyed on node id; the edge set only
+    ever shrinks toward a forest of stars rooted at each component's
+    minimum, and convergence takes O(log n) rounds (2-3 in practice for
+    dedup graphs, whose components are near-cliques).  No driver-side
+    graph state: the only collected values are the per-round
+    (count, checksum) convergence probe.
+
+    100-TB posture: every shuffle is linear in the surviving edge set;
+    iteration state is localCheckpoint'd so the lineage (and Catalyst
+    re-optimization cost) stays O(1) per round instead of O(rounds).
+    Worst-case path graphs still converge in O(log n) rounds — unlike
+    naive min-label propagation, which needs O(diameter).
+
+    Returns (node, component) with one row per node that appears in any
+    pair; component = the smallest node id reachable from it.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # undirected neighborhood of every node
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        m = m.select("u", F.least("u", "m").alias("m"))
+        joined = nbrs.join(m, "u")
+        # large-star: attach strictly LARGER neighbors to the min;
+        # small-star: attach the not-larger neighbors (and the node) to it
+        kept = joined.filter(
+            F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        ).select(F.col("m").alias("a"), F.col("v").alias("b"))
+        own = (
+            None
+            if large
+            else m.filter(F.col("u") != F.col("m")).select(
+                F.col("m").alias("a"), F.col("u").alias("b")
+            )
+        )
+        out = kept if own is None else kept.unionByName(own)
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        probe = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-insensitive, overflow-free set checksum (ANSI mode
+            # rejects sum() over full-range hashes)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (probe["n"], probe["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: a forest of stars rooted at each component's min
+    roots = edges.select(F.col("u").alias("component")).distinct().select(
+        F.col("component").alias("node"), "component"
+    )
+    members = edges.select(
+        F.col("v").alias("node"), F.col("u").alias("component")
+    )
+    return members.unionByName(roots)

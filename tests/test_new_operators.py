@@ -249,3 +249,58 @@ def test_ivf_topk_finds_identical_vector(spark, emb_df):
     got = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
     # identical vector lands in the same LSH bucket by construction
     assert got and got[0] == 100
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges):
+    from oshdb_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df).collect()
+    comps = {}
+    for r in out:
+        comps[r["node"]] = r["component"]
+    return comps
+
+
+def test_cc_two_cliques_and_bridge(spark):
+    cliques = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    assert _cc(spark, cliques) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # a bridge merges them into one component rooted at the global min
+    merged = _cc(spark, cliques + [(3, 10)])
+    assert merged == {n: 1 for n in (1, 2, 3, 10, 11, 12)}
+
+
+def test_cc_path_graph_worst_case(spark):
+    # a 40-node path: the worst case for naive min-label propagation
+    # (O(diameter) rounds); large-star/small-star converges in O(log n)
+    path = [(i, i + 1) for i in range(40)]
+    comps = _cc(spark, path)
+    assert comps == {n: 0 for n in range(41)}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    comps = _cc(spark, [(5, 7), (7, 5), (5, 7), (7, 9)])
+    assert comps == {5: 5, 7: 5, 9: 5}
+
+
+def test_cc_self_loops_and_empty(spark):
+    from oshdb_spark.operators.dedup import connected_components
+
+    assert _cc(spark, [(4, 4), (1, 2)]) == {1: 1, 2: 1}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_cc_string_ids(spark):
+    from oshdb_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id_a string, id_b string"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a"}

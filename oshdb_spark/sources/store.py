@@ -214,3 +214,51 @@ def read_pruned(
             *[os.path.join(path, f) for f in files]
         )
     return df.filter(cell_rect_filter(bbox_osm, enlarge=enlarge))
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_records_per_file: int | None = 4_000_000,
+) -> None:
+    """Re-tile a store whose files were written incrementally.
+
+    A streaming/append ingest assigns each micro-batch's rows by the
+    LIFETIME bbox visible WITHIN that batch; once an entity's versions
+    span batches, its partial assignments differ from the global one the
+    OSHDB placement guarantee needs (every version of an entity in the
+    ONE cell covering its whole lifetime, members included — else a
+    pruned scan can miss the out-of-box versions that as-of resolution
+    requires).  Compaction restores the invariant: read everything,
+    recompute the global assignment, rewrite — the ingest-then-compact
+    shape of Iceberg-style pipelines.  Runs out-of-place (write to a
+    sibling dir, atomic swap) so readers never see a half-compacted
+    store and a crash leaves the original intact.
+    """
+    import os
+    import shutil
+
+    raw_cols = [
+        "doc_id", "id", "type", "version", "visible", "ts", "changeset",
+        "uid", "tags", "lon", "lat", "refs", "members",
+    ]
+    ents = spark.read.parquet(path).select(*raw_cols)
+    tmp = path.rstrip("/") + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_entities_table(
+        ents, tmp, n_buckets=n_buckets,
+        max_records_per_file=max_records_per_file,
+    )
+    # carry the streaming commit journal over so a post-compaction
+    # micro-batch replay still de-duplicates
+    journal = os.path.join(path.rstrip("/"), "_streaming_commits.json")
+    if os.path.exists(journal):
+        shutil.copy(journal, os.path.join(tmp, "_streaming_commits.json"))
+    old = path.rstrip("/") + ".pre-compact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path.rstrip("/"), old)
+    os.replace(tmp, path.rstrip("/"))
+    shutil.rmtree(old)

@@ -1,0 +1,136 @@
+"""Structured-Streaming ingest for the interleaved docs table.
+
+The reference engine is batch-only (its keytables/ETL loop imports a
+finished .osh.pbf extract — SURVEY §2.8), but a production
+training-data pipeline at 10^12 docs ingests continuously.  This module
+is the streaming front door to the SAME operators the batch path uses:
+
+  readStream(docs) -> extract_entities (stateless per-doc Catalyst
+  expressions, streaming-safe by construction) -> per-micro-batch
+  tile + bucket + sort append into the entities store (foreachBatch),
+  exactly-once via a batch-id commit journal (the standard idempotent-
+  foreachBatch pattern; Spark's checkpoint gives at-least-once, the
+  journal de-duplicates replayed batches)
+
+plus the streaming analog of aggregateByTimestamp: an event-time
+tumbling-window aggregation with a watermark for late data.
+
+Scale posture: extraction and tiling are stateless, so a micro-batch
+never holds cross-batch state; the only stateful operator is the
+windowed aggregation, whose state is bounded by the watermark horizon.
+Lifetime-bbox tiling (which needs ALL versions of an entity) stays a
+property of the store-maintenance/compaction pass, exactly like
+Iceberg-style ingest-then-compact pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_docs(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of docs parquet files.
+
+    ``schema`` defaults to the directory's current batch schema (the
+    streaming file source requires an explicit schema)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def _commits_path(store_path: str) -> str:
+    return os.path.join(store_path, "_streaming_commits.json")
+
+
+def _committed_batches(store_path: str) -> set[int]:
+    p = _commits_path(store_path)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def _record_commit(store_path: str, batch_id: int) -> None:
+    done = _committed_batches(store_path)
+    done.add(int(batch_id))
+    tmp = _commits_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(done), f)
+    os.replace(tmp, _commits_path(store_path))  # atomic journal update
+
+
+def incremental_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+) -> StreamingQuery:
+    """Continuously append extracted entity versions into the tiled
+    entities store (sources/store layout: bucketed dirs, cell-sorted
+    row groups, footer-stats manifest).
+
+    Exactly-once: Spark's foreachBatch replays a batch after a failure
+    (at-least-once); the commit journal makes the replay a no-op, so the
+    store sees each micro-batch once.  The manifest is refreshed after
+    every committed batch so file-level pruning covers the new files."""
+    from oshdb_spark.sources.entities import extract_entities
+    from oshdb_spark.sources.store import write_entities_table, write_manifest
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in _committed_batches(store_path):
+            return  # replayed micro-batch: already in the store
+        ents = extract_entities(batch_df)
+        write_entities_table(
+            ents, store_path, n_buckets=n_buckets, mode="append",
+            manifest=False,
+        )
+        write_manifest(store_path)
+        _record_commit(store_path, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_aggregate_by_timestamp(
+    events: DataFrame,
+    interval_seconds: int,
+    ts_col: str = "ts",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Streaming analog of aggregateByTimestamp's interval floor
+    (operators/aggregations.ts_interval_floor): event-time tumbling
+    windows with a watermark bounding the late-data state.
+
+    Output: (snap_ts = window start in epoch micros, cnt) — the same
+    shape the batch reducer emits, so downstream consumers are
+    agnostic to which path produced a row."""
+    # parquet timestamps load as NTZ; watermarks/event time require LTZ
+    # (session TZ is UTC, so the epoch interpretation is unchanged)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    win = F.window(F.col(ts_col), f"{int(interval_seconds)} seconds")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("snap_ts"),
+            F.col("cnt"),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Structured-Streaming ingest: the streaming front door produces the
+SAME store a batch ETL would, exactly once, and the windowed event-time
+aggregation matches its batch equivalent.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from oshdb_spark.streaming import (
+    incremental_ingest,
+    stream_docs,
+    streaming_aggregate_by_timestamp,
+)
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, docs_parquet, tmp_path_factory):
+    """The docs table split into several parquet files in one directory
+    (a stream of arriving files)."""
+    path, _, _ = docs_parquet
+    out = str(tmp_path_factory.mktemp("stream_docs"))
+    spark.read.parquet(path).repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _store_rows(spark, store):
+    from oshdb_spark.sources.store import read_entities_table
+
+    df = read_entities_table(spark, store)
+    return sorted(
+        (r["type"], r["id"], r["version"], r["cell_zoom"], r["cell_id"])
+        for r in df.select("type", "id", "version", "cell_zoom", "cell_id")
+        .collect()
+    )
+
+
+def test_incremental_ingest_matches_batch_etl(spark, docs_dir, tmp_path):
+    """Streamed ingest + compaction produces the SAME store a batch ETL
+    would.  Before compaction the entity ROWS already match (extraction
+    is stateless), but per-micro-batch lifetime bboxes can place an
+    entity whose versions span batches in a different cell — compaction
+    restores the global placement invariant."""
+    from oshdb_spark.sources.entities import extract_entities
+    from oshdb_spark.sources.store import compact_store, write_entities_table
+
+    store_s = str(tmp_path / "store_stream")
+    store_b = str(tmp_path / "store_batch")
+    ckpt = str(tmp_path / "ckpt")
+
+    # streaming: one micro-batch per file
+    stream = stream_docs(spark, docs_dir, max_files_per_trigger=1)
+    q = incremental_ingest(stream, store_s, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+
+    # batch ETL over the same input
+    write_entities_table(
+        extract_entities(spark.read.parquet(docs_dir)), store_b, n_buckets=4
+    )
+
+    # extraction itself is batch-identical even pre-compaction
+    def _ent_rows(store):
+        df = spark.read.parquet(store).select("type", "id", "version")
+        return sorted(tuple(r) for r in df.collect())
+
+    assert _ent_rows(store_s) == _ent_rows(store_b)
+
+    compact_store(spark, store_s, n_buckets=4)
+    assert _store_rows(spark, store_s) == _store_rows(spark, store_b)
+    # several micro-batches actually ran (one per input file)
+    from oshdb_spark.streaming import _committed_batches
+
+    assert len(_committed_batches(store_s)) >= 2
+
+
+def test_ingest_is_exactly_once_on_replay(spark, docs_dir, tmp_path):
+    """Re-running with the same commit journal but a FRESH checkpoint
+    replays every micro-batch; the journal must de-duplicate them all."""
+    store = str(tmp_path / "store")
+    q = incremental_ingest(
+        stream_docs(spark, docs_dir, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt1"), n_buckets=4,
+    )
+    q.awaitTermination(120)
+    before = _store_rows(spark, store)
+    n_files_before = len(glob.glob(f"{store}/pt=*/*.parquet"))
+
+    # fresh checkpoint -> Spark replays all files as new micro-batches
+    q2 = incremental_ingest(
+        stream_docs(spark, docs_dir, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt2"), n_buckets=4,
+    )
+    q2.awaitTermination(120)
+
+    assert _store_rows(spark, store) == before
+    assert len(glob.glob(f"{store}/pt=*/*.parquet")) == n_files_before
+
+
+def test_streamed_store_prunes_like_batch(spark, docs_dir, tmp_path):
+    """The streamed store supports the same pruned read path."""
+    from oshdb_spark.sources.store import read_entities_table, read_pruned
+
+    store = str(tmp_path / "store")
+    q = incremental_ingest(
+        stream_docs(spark, docs_dir), store, str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+    bbox = (-1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000)
+    n_all = read_entities_table(spark, store).count()
+    n_pruned = read_pruned(spark, store, bbox).count()
+    assert 0 < n_pruned <= n_all
+
+
+def test_windowed_aggregation_matches_batch(spark, tmp_path):
+    events_src = f"{SF_DIR}/events.parquet"
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    for f_ in glob.glob(events_src) or [events_src]:
+        if os.path.isdir(f_):
+            for p in glob.glob(f"{f_}/*.parquet"):
+                shutil.copy(p, events_dir)
+        else:
+            shutil.copy(f_, events_dir)
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = streaming_aggregate_by_timestamp(stream, 7 * 86400)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("weekly_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["snap_ts"], r["cnt"])
+        for r in spark.sql("SELECT * FROM weekly_counts").collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", f"{7 * 86400} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp_ltz")).alias(
+                "snap_ts"
+            ),
+            "cnt",
+        )
+    )
+    want = {(r["snap_ts"], r["cnt"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -728,9 +728,14 @@ class ContributionView(_MapReducer):
         # predicate (FilterExpression.java:98-113): contribution_view
         # attaches the metric columns to every event state when needed
         needs_metrics = any(metrics_needed(c) for c in alive_nodes)
+        from oshdb_spark.filters.dsl import compile_with_packed_geom
+
+        # event states carry PACKED way/relation geometry (null wkt), so
+        # geometry:-type selectors compile against the packed header byte
         match = None
         for n in alive_nodes:
-            match = n.osm_column() if match is None else (match & n.osm_column())
+            c = compile_with_packed_geom(n)
+            match = c if match is None else (match & c)
         # the AOI participates in ALIVENESS: a geometry moving out of the
         # bbox/polygon is a DELETION, moving in a CREATION
         # (CellIterator.java:665-679 "geometry became empty in AOI").

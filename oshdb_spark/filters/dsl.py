@@ -83,6 +83,14 @@ _GEOM_TYPE_COND = {
     "other": ["GEOMETRYCOLLECTION", "MULTIPOINT"],
 }
 
+# packed-geometry header byte (geometry/model.py _GTYPE_CODE) per DSL type
+_GEOM_TYPE_PACKED = {
+    "point": [1],
+    "line": [2, 3],
+    "polygon": [4, 5],
+    "other": [6],
+}
+
 _METRIC_COLS = {
     "area": "area",
     "length": "length",
@@ -102,6 +110,28 @@ _METRIC_COLS = {
 # metrics whose columns are not part of the base view output and must be
 # derived from the built geometry on demand
 DERIVED_METRICS = {"vertices", "outers", "inners", "roundness", "squareness"}
+
+
+def compile_with_packed_geom(node: "Node") -> Column:
+    """Compile a filter tree for CONTRIBUTION event states, where
+    ways/relations carry packed binary geometry and a null wkt:
+    GeometryTypeFilter nodes use their packed-header fallback
+    (geom_column); everything else compiles as usual.  Fixes
+    geometry:-type selectors silently matching nothing on the
+    contribution view (ApplyOSMContributionTest.testBasicFallback)."""
+    if isinstance(node, GeometryTypeFilter):
+        return node.geom_column()
+    if isinstance(node, AndOp):
+        return compile_with_packed_geom(node.left) & compile_with_packed_geom(
+            node.right
+        )
+    if isinstance(node, OrOp):
+        return compile_with_packed_geom(node.left) | compile_with_packed_geom(
+            node.right
+        )
+    if isinstance(node, NotOp):
+        return ~compile_with_packed_geom(node.child)
+    return node.osm_column()
 
 
 def osh_prefilter(node: "Node"):
@@ -297,6 +327,21 @@ class GeometryTypeFilter(Node):
             # (both are polygonal); 'other' excludes them
             pass
         return cond
+
+    def geom_column(self) -> Column:
+        """Like osm_column, but for dataframes where ways/relations carry
+        the PACKED geometry (binary `geom`, null `wkt` — contribution
+        event states): falls back to the packed header's gtype byte
+        (geometry/model.py byte-0 codes) when wkt is null.  JVM-side
+        either way — one substring per row, no decode."""
+        codes = _GEOM_TYPE_PACKED[self.geom_type]
+        head = F.expr("substring(geom, 1, 1)")
+        packed = F.lit(False)
+        for c in codes:
+            packed = packed | (head == F.expr(f"X'{c:02x}'"))
+        return F.when(F.col("wkt").isNotNull(), self.osm_column()).otherwise(
+            F.coalesce(packed, F.lit(False))
+        )
 
     def osm_types(self) -> frozenset[str]:
         return _GEOM_TYPE_OSM[self.geom_type]

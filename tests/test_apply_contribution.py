@@ -140,6 +140,35 @@ def test_snapshot_selector_documented_deviation(contrib_db):
     assert _n(250) == 1
 
 
+def test_contributor_uid_member_attribution(spark):
+    """Port of OSMContributionGetContributorUserIdTest (oshdb-api):
+    a contribution caused by a MEMBER edit is attributed to the member
+    version's editor (wayIndirect: node v2 uid 7, v3 uid 8), while the
+    way's own creation keeps its own uid (wayDirect/node: uid of the
+    entity version)."""
+    from oshdb_spark.operators.contribution import contribution_view
+
+    rows = [
+        # member node 3: three versions by three different users
+        ("n3", 3, "node", 1, True, 121, 2, 6, {}, 0, 0, None, None),
+        ("n3", 3, "node", 2, True, 123, 3, 7, {}, 10_000_000, 0, None, None),
+        ("n3", 3, "node", 3, True, 125, 4, 8, {}, 20_000_000, 0, None, None),
+        # static second node
+        ("n4", 4, "node", 1, True, 100, 1, 5, {}, 0, 10_000_000, None, None),
+        # way 1 created by uid 1, referencing both nodes
+        ("w1", 1, "way", 1, True, 122, 10, 1, {}, None, None, [3, 4], None),
+    ]
+    ents = spark.createDataFrame(rows, ENT_SCHEMA)
+    cv = contribution_view(ents, 0, 1000, squash=False)
+    way_rows = {
+        r["ts"]: (r["contrib_uid"], r["own_change"])
+        for r in cv.filter("type = 'way'").collect()
+    }
+    assert way_rows[122] == (1, True)   # own creation -> own uid
+    assert way_rows[123] == (7, False)  # member edit -> member's editor
+    assert way_rows[125] == (8, False)
+
+
 if __name__ == "__main__":
     import sys
 

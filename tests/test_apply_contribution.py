@@ -169,6 +169,31 @@ def test_contributor_uid_member_attribution(spark):
     assert way_rows[125] == (8, False)
 
 
+
+def test_filter_by_lambda_escape_hatch(contrib_db):
+    """Port of FilterByTest (oshdb-filter): the lambda escape hatch —
+    here a raw Catalyst Column — filters entities by arbitrary
+    predicates and negates with ~.  byOSMEntity(version == 1) keeps the
+    v1 contribution; its negation keeps the rest."""
+    from oshdb_spark.api import SnapshotView
+
+    def _ids(col):
+        return sorted(
+            r["id"]
+            for r in SnapshotView.on(contrib_db)
+            .timestamps([150])
+            .filter(col)
+            .dataframe()
+            .collect()
+        )
+
+    by_id = F.col("id") == 1          # Filter.byOSHEntity(getId() == 1)
+    assert _ids(by_id) == [1]
+    assert _ids(~by_id) == []
+    by_version = F.col("version") == 1  # Filter.byOSMEntity(getVersion() == 1)
+    assert _ids(by_version) == [1]
+    assert _ids(~by_version) == []
+
 if __name__ == "__main__":
     import sys
 

@@ -2164,6 +2164,92 @@ def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# raster->vector zonal aggregation: per-cell event counts (the raster at
+# z12) aggregated onto polygon zones with EXACT partial-cell coverage
+# weights.  Zone edges sit on quarter-cell offsets (dyadic rationals), so
+# every coverage fraction is an exact multiple of 1/16 and the weighted
+# sums are IEEE-identical between the engine's clipper+shoelace and the
+# oracle's rectangle-overlap arithmetic — a bit-for-bit hash compare of
+# a geometric computation.
+_RZ_W = "0.087890625"     # 360/4096, exact dyadic z12 cell width
+_RZ_Q = "0.02197265625"   # w/4: zone edges at quarter-cell offsets
+# zone rects in quarter-cell units (lon: 0..16384, lat: 0..8192); sized
+# ~12-15 deg so each zone holds a few dozen raster cells of the sf0.01
+# point scatter, with edges at quarter-cell offsets for fractional
+# boundary coverage
+_RZ_ZONES = {
+    "a": (8200, 4100, 8838, 4738),
+    "b": (9000, 3000, 9702, 3501),
+    "c": (2000, 5500, 2503, 6111),
+}
+
+
+def _rz_deg(qlon: int, qlat: int) -> tuple[float, float]:
+    q = float(_RZ_Q)
+    return (-180.0 + qlon * q, -90.0 + qlat * q)
+
+
+_RZ_ZONE_SQL = ", ".join(
+    f"('{k}', -180.0 + {x0} * {_RZ_Q}, -90.0 + {y0} * {_RZ_Q},"
+    f" -180.0 + {x1} * {_RZ_Q}, -90.0 + {y1} * {_RZ_Q})"
+    for k, (x0, y0, x1, y1) in _RZ_ZONES.items()
+)
+
+_RZ_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+c AS (SELECT {_cell_sql(12, "lon_fp", "lat_fp")} AS cell_id, COUNT(*) AS cnt
+      FROM g GROUP BY 1),
+cells AS (SELECT cell_id, cnt,
+    -180.0 + (cell_id % 4096) * {_RZ_W} AS cx0,
+    -90.0 + (cell_id // 4096) * {_RZ_W} AS cy0
+  FROM c WHERE cell_id >= 0),
+z(zone_key, zx0, zy0, zx1, zy1) AS (VALUES {_RZ_ZONE_SQL}),
+o AS (SELECT zone_key, cnt,
+    GREATEST(0.0, LEAST(zx1, cx0 + {_RZ_W}) - GREATEST(zx0, cx0))
+      * GREATEST(0.0, LEAST(zy1, cy0 + {_RZ_W}) - GREATEST(zy0, cy0))
+      / ({_RZ_W} * {_RZ_W}) AS coverage
+  FROM z CROSS JOIN cells),
+agg AS (SELECT zone_key, SUM(cnt * coverage) AS wcnt,
+          CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM o WHERE coverage > 0 GROUP BY zone_key)
+SELECT z.zone_key, agg.wcnt, agg.n_cells
+FROM z LEFT JOIN agg USING (zone_key)
+"""
+
+
+@_q("raster_zonal_weighted", _RZ_ORACLE)
+def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.zonal import raster_zonal_aggregate
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    raster = (
+        g.withColumn(
+            "cell_id", xy_cell_id_col(12, F.col("lon_fp"), F.col("lat_fp"))
+        )
+        .filter("cell_id >= 0")
+        .groupBy("cell_id")
+        .agg(count_agg("cnt"))
+    )
+    zones = []
+    for key, (x0, y0, x1, y1) in _RZ_ZONES.items():
+        lon0, lat0 = _rz_deg(x0, y0)
+        lon1, lat1 = _rz_deg(x1, y1)
+        zones.append((key, {
+            "type": "Polygon",
+            "coordinates": [[
+                [lon0, lat0], [lon1, lat0], [lon1, lat1],
+                [lon0, lat1], [lon0, lat0],
+            ]],
+        }))
+    return raster_zonal_aggregate(
+        spark, raster, zones, 12,
+        [
+            F.sum(F.col("cnt") * F.col("coverage")).alias("wcnt"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        ],
+    )
+
+
 # connected-components dedup clustering: candidate pairs -> duplicate
 # CLUSTERS (the last step of a dedup pipeline; canonical doc = min id).
 # Pairs = exact token-Jaccard links at offsets 25 and 50, which chain

@@ -239,3 +239,102 @@ def zonal_polygon_aggregate(
         if c != "zone_key":
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def _planar_area(geom) -> float:
+    """Planar (degree-space) area of a (Multi)Polygon — shoelace per
+    ring, holes negative.  Exact in IEEE doubles when all coordinates
+    are dyadic rationals (which grid-cell corners are)."""
+    from oshdb_spark.geometry.polyclip import _signed_area2
+
+    if geom is None:
+        return 0.0
+    t = geom.get("type")
+    if t == "Polygon":
+        polys = [geom["coordinates"]]
+    elif t == "MultiPolygon":
+        polys = geom["coordinates"]
+    else:
+        return 0.0
+    total = 0.0
+    for rings in polys:
+        for i, ring in enumerate(rings):
+            pts = ring[:-1] if ring and ring[0] == ring[-1] else ring
+            if len(pts) < 3:
+                continue
+            a = abs(_signed_area2(pts)) / 2.0
+            total += a if i == 0 else -a
+    return total
+
+
+def polygon_cell_cover(poly, zoom: int) -> list[tuple[int, float]]:
+    """Rasterize a polygon zone onto the XYGrid at ``zoom``:
+    (cell_id, coverage fraction) for every cell the zone overlaps, with
+    coverage = exact clipped planar area / cell area (partial-pixel
+    weighting; the raster half of raster<->vector zonal aggregation).
+
+    Driver-side by design — the cover is O(zone_bbox_area / cell_area)
+    entries and zones are small by the same contract as the reference's
+    in-memory GeometrySplitter STRtree (GeometrySplitter.java:43-277);
+    pick a coarser zoom for continent-sized zones.  Cell corners are
+    dyadic (w = 360/2^zoom), so for zones whose vertices are also
+    dyadic the fractions are IEEE-exact, which is what lets the driver
+    oracle hash-compare the weighted aggregates bit-for-bit."""
+    from oshdb_spark.geometry.clip import clip_to_bbox
+    from oshdb_spark.geometry.model import bounds
+
+    b = bounds(poly)
+    if b is None:
+        return []
+    minx, miny, maxx, maxy = b
+    n = 1 << zoom
+    w = 360.0 / n
+    x0 = max(int((minx + 180.0) // w), 0)
+    x1 = min(int((maxx + 180.0) // w), n - 1)
+    y0 = max(int((miny + 90.0) // w), 0)
+    y1 = min(int((maxy + 90.0) // w), n // 2 - 1)
+    cell_area = w * w
+    out: list[tuple[int, float]] = []
+    for y in range(y0, y1 + 1):
+        cy = -90.0 + y * w
+        for x in range(x0, x1 + 1):
+            cx = -180.0 + x * w
+            frac = _planar_area(
+                clip_to_bbox(poly, (cx, cy, cx + w, cy + w))
+            ) / cell_area
+            if frac > 0.0:
+                out.append((y * n + x, frac))
+    return out
+
+
+def raster_zonal_aggregate(
+    spark: SparkSession,
+    raster: DataFrame,
+    zones: list[tuple[str, dict]],
+    zoom: int,
+    aggs: list[Column],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Aggregate a RASTER (per-cell values at ``zoom``) onto polygon
+    zones with partial-cell coverage weights — the raster->vector half
+    of zonal statistics (the vector->raster half is assign_cells).
+
+    Plan shape: the (zone_key, cell_id, coverage) cover is broadcast
+    (zones are small; see polygon_cell_cover) and the join is a plain
+    EQUI-join on cell_id — the raster never shuffles, no geometry is
+    evaluated executor-side, and aggs can weight by `coverage` (e.g.
+    ``F.sum(F.col("cnt") * F.col("coverage"))``).  Zones with no
+    overlapping cells still appear (zerofill through the zone frame,
+    MapAggregator.java:880-889)."""
+    cover = [
+        (key, cid, frac)
+        for key, poly in zones
+        for cid, frac in polygon_cell_cover(poly, zoom)
+    ]
+    cdf = spark.createDataFrame(
+        cover, f"zone_key string, {cell_col} long, coverage double"
+    )
+    zdf = spark.createDataFrame([(k,) for k, _ in zones], "zone_key string")
+    joined = raster.join(F.broadcast(cdf), cell_col)
+    per_zone = joined.groupBy("zone_key").agg(*aggs)
+    return F.broadcast(zdf).join(per_zone, "zone_key", "left")

@@ -304,3 +304,57 @@ def test_cc_string_ids(spark):
     )
     out = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert out == {"a": "a", "b": "a", "c": "a"}
+
+
+# ---------------------------------------------------------------------------
+# raster->vector zonal aggregation (polygon_cell_cover / raster_zonal)
+# ---------------------------------------------------------------------------
+
+
+def _rect_poly(x0, y0, x1, y1):
+    return {
+        "type": "Polygon",
+        "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+    }
+
+
+def test_polygon_cell_cover_exact_fractions():
+    from oshdb_spark.operators.zonal import polygon_cell_cover
+
+    # zoom 4: w = 22.5 deg.  Zone spans cell x=8 fully and half of x=9
+    # in lon, one full cell row in lat.
+    cover = dict(polygon_cell_cover(_rect_poly(0.0, 0.0, 33.75, 22.5), 4))
+    assert cover == {4 * 16 + 8: 1.0, 4 * 16 + 9: 0.5}
+    # a triangle over exactly half of one cell
+    tri = {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [22.5, 0.0], [0.0, 22.5], [0.0, 0.0]]],
+    }
+    assert dict(polygon_cell_cover(tri, 4)) == {4 * 16 + 8: 0.5}
+
+
+def test_raster_zonal_aggregate_weights_and_zerofill(spark):
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.zonal import raster_zonal_aggregate
+
+    # raster at zoom 4: cell (4,8) has cnt 10, cell (4,9) cnt 4
+    raster = spark.createDataFrame(
+        [(4 * 16 + 8, 10), (4 * 16 + 9, 4)], "cell_id long, cnt long"
+    )
+    zones = [
+        ("half", _rect_poly(0.0, 0.0, 33.75, 22.5)),  # full + half cell
+        ("empty", _rect_poly(100.0, 50.0, 101.0, 51.0)),  # no raster cells
+    ]
+    out = {
+        r["zone_key"]: (r["wcnt"], r["n_cells"])
+        for r in raster_zonal_aggregate(
+            spark, raster, zones, 4,
+            [
+                F.sum(F.col("cnt") * F.col("coverage")).alias("wcnt"),
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+            ],
+        ).collect()
+    }
+    assert out["half"] == (10 * 1.0 + 4 * 0.5, 2)
+    assert out["empty"] == (None, None)  # zerofill row survives the join

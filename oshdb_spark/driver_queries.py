@@ -2164,6 +2164,33 @@ def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic stratified sampling: md5-prefix threshold (string
+# compare — engine-portable, stable under retries/repartitioning, the
+# property rand()-based sampling lacks), with a per-source rate map
+# (stratified: 'web' at ~16%, everything else at ~8%).
+_DS_ORACLE = """
+SELECT doc_id, source
+FROM documents
+WHERE substr(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < (CASE WHEN source = 'web' THEN '28f5' ELSE '147a' END)
+"""
+
+
+@_q("deterministic_sample", _DS_ORACLE)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_rate = docs.withColumn(
+        "rate_hex",
+        F.when(F.col("source") == "web", F.lit("28f5")).otherwise(
+            F.lit("147a")
+        ),
+    )
+    out = deterministic_sample(with_rate, salt="s7", rate_col="rate_hex")
+    return out.select("doc_id", "source")
+
+
 # raster->vector zonal aggregation: per-cell event counts (the raster at
 # z12) aggregated onto polygon zones with EXACT partial-cell coverage
 # weights.  Zone edges sit on quarter-cell offsets (dyadic rationals), so

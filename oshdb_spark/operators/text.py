@@ -140,3 +140,35 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return docs.select("doc_id", best["lang"].alias("lang_pred"), best["score"].alias("lang_score"))
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    threshold_hex: str = "28f5",
+    salt: str = "s0",
+    id_col: str = "doc_id",
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Deterministic, engine-portable document sampling.
+
+    Keep a doc iff the first 4 hex chars of md5(salt|id) sort below
+    ``threshold_hex`` — a pure string compare, so the SAME rows are
+    selected by Spark, DuckDB, or any engine with md5 (the portability
+    trick the minhash oracle uses).  Sampling rate ~= int(threshold_hex,
+    16) / 65536; resampling with a different salt draws an independent
+    sample; the sample is stable under repartitioning, retries, and
+    incremental reprocessing — the property a 10^12-doc pipeline needs
+    (rand()-based sampling is none of these).
+
+    ``rate_col``: optional per-row threshold column (4-char hex string)
+    for STRATIFIED sampling — e.g. join a broadcast per-source rate map
+    first, then sample each stratum at its own rate in the same pass.
+    Everything is JVM-side Catalyst (md5 + substring + compare); no
+    shuffle, fully pushdown-friendly.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+        1, 4,
+    )
+    limit = F.col(rate_col) if rate_col else F.lit(threshold_hex.lower())
+    return docs.filter(h < limit)

@@ -358,3 +358,21 @@ def test_raster_zonal_aggregate_weights_and_zerofill(spark):
     }
     assert out["half"] == (10 * 1.0 + 4 * 0.5, 2)
     assert out["empty"] == (None, None)  # zerofill row survives the join
+
+
+def test_deterministic_sample_stability(spark):
+    from oshdb_spark.operators.text import deterministic_sample
+
+    docs = spark.range(2000).selectExpr("CAST(id AS STRING) AS doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "2000", "a").collect()}
+    # stable under repartitioning (rand()-based sampling is not)
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), "2000", "a").collect()
+    }
+    assert s1 == s2 and 0 < len(s1) < 2000
+    # rate ~ threshold/65536 (2000_hex = 8192/65536 = 12.5%)
+    assert 0.08 < len(s1) / 2000 < 0.17
+    # a different salt draws an (almost surely) different sample
+    s3 = {r["doc_id"] for r in deterministic_sample(docs, "2000", "b").collect()}
+    assert s3 != s1

@@ -2164,6 +2164,35 @@ def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token-budget shard packing: shard = floor(exclusive-prefix-sum(tokens)
+# / budget) in doc_id order.  The engine computes the prefix sum
+# DISTRIBUTED (range partials + driver offsets + within-partition
+# window — no single-task global sort); the oracle is the plain global
+# window, so the hash gate proves the distributed plan implements
+# exactly the global-cumsum semantics.
+_SHARD_BUDGET = 1500
+
+_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+             LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 AS tok
+           FROM documents)
+SELECT doc_id,
+  CAST(FLOOR((SUM(tok) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - tok)
+              / {_SHARD_BUDGET}.0) AS BIGINT) AS shard
+FROM t
+"""
+
+
+@_q("token_shard_packing", _PACK_ORACLE)
+def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.text import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_shards(docs, _SHARD_BUDGET).select("doc_id", "shard")
+
+
 # deterministic stratified sampling: md5-prefix threshold (string
 # compare — engine-portable, stable under retries/repartitioning, the
 # property rand()-based sampling lacks), with a per-source rate map

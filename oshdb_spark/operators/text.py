@@ -172,3 +172,57 @@ def deterministic_sample(
     )
     limit = F.col(rate_col) if rate_col else F.lit(threshold_hex.lower())
     return docs.filter(h < limit)
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Assign each doc to a training shard so consecutive docs (in
+    ``order_col`` order) fill shards of ~``budget_tokens`` tokens:
+    shard = floor(exclusive-prefix-sum(tokens) / budget) — the "pack
+    into ~N-token shards" step of a training-data pipeline.
+
+    A naive global window (Window.orderBy with no partition) serializes
+    the whole table through ONE task; this is instead the classic
+    DISTRIBUTED PREFIX SUM: range-partition by the order key, compute
+    per-partition token totals (<= n_ranges rows, collected), turn them
+    into per-partition starting offsets on the driver, broadcast the
+    tiny offset map back, and run the cumulative sum as a
+    WITHIN-partition window + offset.  Exactly the global-cumsum
+    semantics, no single-task sort, one range shuffle.
+
+    Returns the input rows plus a ``shard`` column (long)."""
+    from pyspark.sql import Window
+
+    toks = docs.withColumn("__tok", token_count_col(text_col))
+    part = toks.repartitionByRange(n_ranges, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint()  # pin partition ids for the two passes
+    totals = part.groupBy("__pid").agg(
+        F.sum("__tok").alias("t"), F.min(order_col).alias("lo")
+    ).collect()
+    totals.sort(key=lambda r: r["lo"])  # range partitions are key-ordered
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in totals:
+        offsets[int(r["__pid"])] = run
+        run += int(r["t"])
+    if not offsets:
+        return docs.withColumn("shard", F.lit(None).cast("long"))
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    cum_excl = F.sum("__tok").over(w) + omap[F.col("__pid")] - F.col("__tok")
+    return (
+        part.withColumn(
+            "shard",
+            F.floor(cum_excl / F.lit(int(budget_tokens))).cast("long"),
+        )
+        .drop("__tok", "__pid")
+    )

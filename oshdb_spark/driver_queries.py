@@ -291,10 +291,12 @@ def _h3lite_oracle_sql(res: int) -> str:
     from oshdb_spark.grid import h3lite as hl
 
     assert res % 2 == 0 and res >= 2
+    # plain-float repr: numpy >= 2.0 reprs scalars as "np.float64(x)",
+    # which would inject invalid tokens into the DuckDB SQL
     faces = ", ".join(
-        f"({f}, {hl.FACE_CENTERS[f,0]!r}, {hl.FACE_CENTERS[f,1]!r},"
-        f" {hl.FACE_CENTERS[f,2]!r}, {hl.FACE_LAT[f]!r}, {hl.FACE_LON[f]!r},"
-        f" {hl.FACE_AZ[f]!r})"
+        f"({f}, {float(hl.FACE_CENTERS[f,0])!r}, {float(hl.FACE_CENTERS[f,1])!r},"
+        f" {float(hl.FACE_CENTERS[f,2])!r}, {float(hl.FACE_LAT[f])!r},"
+        f" {float(hl.FACE_LON[f])!r}, {float(hl.FACE_AZ[f])!r})"
         for f in range(20)
     )
 

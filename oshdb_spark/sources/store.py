@@ -92,6 +92,9 @@ def write_manifest(path: str) -> int:
     for f in sorted(
         _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     ):
+        rel_parts = os.path.relpath(f, path).split(os.sep)
+        if any(p.startswith(("_", ".")) for p in rel_parts):
+            continue  # staging/metadata paths Spark's listing also ignores
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         zi = idx.get("cell_zoom")
@@ -115,8 +118,13 @@ def write_manifest(path: str) -> int:
                      "zmin": int(zs.min), "zmax": int(zs.max),
                      "cmin": int(cs.min), "cmax": int(cs.max)}
                 )
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+    # temp + atomic rename: a reader racing a refresh (e.g. streaming
+    # ingest) must never observe a truncated manifest
+    final = os.path.join(path, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"version": 1, "entries": entries}, fh)
+    os.replace(tmp, final)
     return len(entries)
 
 
@@ -133,6 +141,13 @@ def _manifest_file_matches(
 
     mf = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(mf):
+        return None
+    try:
+        with open(mf) as fh:
+            man = json.load(fh)
+        man["entries"]
+    except (json.JSONDecodeError, OSError, KeyError, TypeError):
+        # corrupt/truncated manifest degrades to the unpruned listing
         return None
     from oshdb_spark.grid.xygrid import MAXZOOM, XYGridTree
 
@@ -151,8 +166,6 @@ def _manifest_file_matches(
             iv.append((-1, -1))
         if iv:
             covers.append((g.zoom, iv))
-    with open(mf) as fh:
-        man = json.load(fh)
     BIG = 1 << 62
     keep: set[str] = set()
     for e in man["entries"]:

@@ -72,6 +72,34 @@ def _record_commit(store_path: str, batch_id: int) -> None:
     os.replace(tmp, _commits_path(store_path))  # atomic journal update
 
 
+def _promote_batch(store_path: str, staging: str, batch_id: int) -> None:
+    """Move a staged micro-batch's parquet files into the store under
+    batch-tagged names (``b<id>-<file>``), deleting any files a previous
+    CRASHED attempt of the same batch left behind first.  Replaying the
+    batch therefore converges to exactly one copy of its rows no matter
+    where the previous attempt died — the property a bare ``append``
+    cannot give (the r4 duplicate-append crash window)."""
+    import glob as _glob
+    import shutil
+
+    # sweep partial files from an earlier attempt of THIS batch
+    for stale in _glob.glob(
+        os.path.join(store_path, "pt=*", f"b{int(batch_id)}-*.parquet")
+    ):
+        os.remove(stale)
+    for f in _glob.glob(os.path.join(staging, "pt=*", "*.parquet")):
+        bucket = os.path.basename(os.path.dirname(f))
+        dest_dir = os.path.join(store_path, bucket)
+        os.makedirs(dest_dir, exist_ok=True)
+        os.replace(
+            f,
+            os.path.join(
+                dest_dir, f"b{int(batch_id)}-{os.path.basename(f)}"
+            ),
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def incremental_ingest(
     docs_stream: DataFrame,
     store_path: str,
@@ -83,20 +111,34 @@ def incremental_ingest(
     row groups, footer-stats manifest).
 
     Exactly-once: Spark's foreachBatch replays a batch after a failure
-    (at-least-once); the commit journal makes the replay a no-op, so the
-    store sees each micro-batch once.  The manifest is refreshed after
-    every committed batch so file-level pruning covers the new files."""
+    (at-least-once).  Each micro-batch is (1) written to a per-batch
+    STAGING directory (overwrite — idempotent), (2) PROMOTED into the
+    store under batch-tagged file names after sweeping any partial files
+    a crashed attempt of the same batch left, (3) journaled.  A crash at
+    ANY point — mid-staging, mid-promote, before the journal record —
+    makes the replay rebuild the staging dir and re-promote the same
+    batch onto a clean slate, so the store never holds two copies of a
+    micro-batch's rows (the standard idempotent-foreachBatch pattern).
+    The journal then short-circuits replays of fully committed batches.
+    The manifest is refreshed after every committed batch so file-level
+    pruning covers the new files."""
     from oshdb_spark.sources.entities import extract_entities
     from oshdb_spark.sources.store import write_entities_table, write_manifest
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in _committed_batches(store_path):
-            return  # replayed micro-batch: already in the store
+            return  # fully committed earlier: replay is a no-op
         ents = extract_entities(batch_df)
+        # underscore prefix: Spark's file listing and write_manifest both
+        # ignore _-prefixed paths, so readers never see staged rows
+        staging = os.path.join(
+            store_path, "_staging", f"batch-{int(batch_id)}"
+        )
         write_entities_table(
-            ents, store_path, n_buckets=n_buckets, mode="append",
+            ents, staging, n_buckets=n_buckets, mode="overwrite",
             manifest=False,
         )
+        _promote_batch(store_path, staging, batch_id)
         write_manifest(store_path)
         _record_commit(store_path, batch_id)
 

@@ -103,6 +103,83 @@ def test_ingest_is_exactly_once_on_replay(spark, docs_dir, tmp_path):
     assert len(glob.glob(f"{store}/pt=*/*.parquet")) == n_files_before
 
 
+@pytest.mark.parametrize("crash_point", ["before_promote", "mid_promote",
+                                         "before_journal"])
+def test_ingest_crash_window_no_duplicates(
+    spark, docs_dir, tmp_path, monkeypatch, crash_point
+):
+    """Kill the sink at each point of the append→journal window, restart
+    with the SAME checkpoint (Spark replays the uncommitted batch), and
+    assert the store holds exactly one copy of every row — the r4
+    duplicate-append crash window is closed."""
+    import oshdb_spark.streaming as streaming_mod
+    from pyspark.errors import StreamingQueryException
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_promote = streaming_mod._promote_batch
+    real_record = streaming_mod._record_commit
+    crashed = {"done": False}
+
+    if crash_point == "before_promote":
+        def bomb(store_path, staging, batch_id):
+            if not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("crash before promote")
+            return real_promote(store_path, staging, batch_id)
+        monkeypatch.setattr(streaming_mod, "_promote_batch", bomb)
+    elif crash_point == "mid_promote":
+        def bomb(store_path, staging, batch_id):
+            if not crashed["done"]:
+                crashed["done"] = True
+                # move ONE file then die: a torn promote
+                import glob as _glob
+                files = _glob.glob(os.path.join(staging, "pt=*", "*.parquet"))
+                f = files[0]
+                bucket = os.path.basename(os.path.dirname(f))
+                dest = os.path.join(store, bucket)
+                os.makedirs(dest, exist_ok=True)
+                os.replace(f, os.path.join(
+                    dest, f"b{int(batch_id)}-{os.path.basename(f)}"))
+                raise RuntimeError("crash mid promote")
+            return real_promote(store_path, staging, batch_id)
+        monkeypatch.setattr(streaming_mod, "_promote_batch", bomb)
+    else:  # before_journal: promote + manifest done, journal not written
+        def bomb(store_path, batch_id):
+            if not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("crash before journal")
+            return real_record(store_path, batch_id)
+        monkeypatch.setattr(streaming_mod, "_record_commit", bomb)
+
+    q = incremental_ingest(
+        stream_docs(spark, docs_dir, max_files_per_trigger=1),
+        store, ckpt, n_buckets=4,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+
+    # restart with the SAME checkpoint: Spark replays the failed batch
+    q2 = incremental_ingest(
+        stream_docs(spark, docs_dir, max_files_per_trigger=1),
+        store, ckpt, n_buckets=4,
+    )
+    q2.awaitTermination(120)
+    assert crashed["done"]
+
+    from oshdb_spark.sources.entities import extract_entities
+
+    got = spark.read.parquet(store).select("type", "id", "version")
+    want = extract_entities(spark.read.parquet(docs_dir)).select(
+        "type", "id", "version"
+    )
+    # multiset equality: one copy of every row, zero duplicates
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
 def test_streamed_store_prunes_like_batch(spark, docs_dir, tmp_path):
     """The streamed store supports the same pruned read path."""
     from oshdb_spark.sources.store import read_entities_table, read_pruned

@@ -188,32 +188,45 @@ def pack_shards(
 
     A naive global window (Window.orderBy with no partition) serializes
     the whole table through ONE task; this is instead the classic
-    DISTRIBUTED PREFIX SUM: range-partition by the order key, compute
-    per-partition token totals (<= n_ranges rows, collected), turn them
-    into per-partition starting offsets on the driver, broadcast the
-    tiny offset map back, and run the cumulative sum as a
-    WITHIN-partition window + offset.  Exactly the global-cumsum
-    semantics, no single-task sort, one range shuffle.
+    DISTRIBUTED PREFIX SUM: pick a tiny set of RANGE BOUNDARIES on the
+    order key (deterministic hash sample, collected — <= ~100k keys at
+    any table size), derive every row's range id from the boundary
+    literals (a pure Catalyst expression, identical on every pass — no
+    checkpoint/persist needed to pin partition ids, the r4 weak spot),
+    compute per-range token totals (<= n_ranges rows, collected), turn
+    them into per-range starting offsets on the driver, and run the
+    cumulative sum as a WITHIN-range window + offset.  Exactly the
+    global-cumsum semantics, no single-task sort, no full-table
+    materialization; the only shuffle is the window's hash exchange on
+    the range id.
+
+    Null ``text_col`` counts as 0 tokens (a null-text doc occupies no
+    budget but still receives the shard its position implies).
 
     Returns the input rows plus a ``shard`` column (long)."""
     from pyspark.sql import Window
 
-    toks = docs.withColumn("__tok", token_count_col(text_col))
-    part = toks.repartitionByRange(n_ranges, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    toks = docs.withColumn(
+        "__tok", F.coalesce(token_count_col(text_col), F.lit(0))
     )
-    part = part.localCheckpoint()  # pin partition ids for the two passes
-    totals = part.groupBy("__pid").agg(
-        F.sum("__tok").alias("t"), F.min(order_col).alias("lo")
-    ).collect()
-    totals.sort(key=lambda r: r["lo"])  # range partitions are key-ordered
+    bounds = _range_boundaries(toks, order_col, n_ranges)
+    if bounds is None:  # empty input
+        return docs.withColumn("shard", F.lit(None).cast("long"))
+    # range id = number of boundaries <= key: deterministic in both
+    # passes because it depends only on the row and the literals
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(F.col(order_col) >= F.lit(b), 1).otherwise(0)
+    part = toks.withColumn("__pid", pid.cast("int"))
+    totals = {
+        int(r["__pid"]): int(r["t"])
+        for r in part.groupBy("__pid").agg(F.sum("__tok").alias("t")).collect()
+    }
     offsets: dict[int, int] = {}
     run = 0
-    for r in totals:
-        offsets[int(r["__pid"])] = run
-        run += int(r["t"])
-    if not offsets:
-        return docs.withColumn("shard", F.lit(None).cast("long"))
+    for p in range(len(bounds) + 1):  # pids are ordinal by construction
+        offsets[p] = run
+        run += totals.get(p, 0)
     omap = F.create_map(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
@@ -226,3 +239,34 @@ def pack_shards(
         )
         .drop("__tok", "__pid")
     )
+
+
+def _range_boundaries(
+    df: DataFrame,
+    order_col: str,
+    n_ranges: int,
+    target_sample: int = 100_000,
+) -> list | None:
+    """<= n_ranges-1 boundary values of ``order_col`` from a
+    DETERMINISTIC hash sample (xxhash64 modulus — stable under
+    repartitioning and retries, unlike rand()): count (column-pruned),
+    sample ~min(count, target_sample) keys, sort driver-side, take
+    evenly spaced cut points.  Boundary QUALITY only affects range
+    balance, never the packing result — the prefix sum is exact for any
+    boundary set.  Returns None for an empty input."""
+    n = df.count()
+    if n == 0:
+        return None
+    m = max(1, n // min(n, target_sample))
+    keys = sorted(
+        r[0]
+        for r in df.filter(
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(m)) == 0
+        )
+        .select(order_col)
+        .collect()
+    )
+    if not keys:
+        return []
+    step = max(1, len(keys) // n_ranges)
+    return sorted({keys[i] for i in range(step, len(keys), step)})[: n_ranges - 1]

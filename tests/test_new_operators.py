@@ -378,6 +378,38 @@ def test_deterministic_sample_stability(spark):
     assert s3 != s1
 
 
+def test_pack_shards_null_text_and_no_materialization(spark):
+    """Null-text docs count 0 tokens (no crash, no silent null shard),
+    and the plan contains no checkpoint/persist of the full table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oshdb_spark.operators.text import pack_shards, token_count_col
+
+    docs = spark.range(200).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "CASE WHEN id % 5 = 0 THEN NULL"
+        " ELSE TRIM(repeat('w ', CAST(id % 11 AS INT) + 1)) END AS text",
+    )
+    out = pack_shards(docs, 40, n_ranges=4)
+    assert "Scan ExistingRDD" not in out._jdf.queryExecution().toString()
+    got = {r["doc_id"]: r["shard"] for r in out.collect()}
+    assert None not in got.values()
+    w = Window.orderBy("doc_id")
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in docs.withColumn(
+            "__tok", F.coalesce(token_count_col(), F.lit(0))
+        )
+        .withColumn(
+            "shard",
+            F.floor((F.sum("__tok").over(w) - F.col("__tok")) / 40).cast("long"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_pack_shards_matches_global_cumsum(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F

@@ -635,19 +635,26 @@ class _MapReducer:
         zone_items = sorted(zones.items())
 
         def pre(df: DataFrame) -> DataFrame:
-            from oshdb_spark.operators.zonal import zone_clip_udf, zones_of_wkt_udf
+            from oshdb_spark.operators.zonal import zone_clip_udf, zones_match_udf
 
             # ONE Arrow pass regardless of zone count: ZoneIndex candidate
             # lookup (the STRtree of GeometrySplitter.java:46-95) + exact
             # intersects on candidates, emitting the matched keys as an
-            # array that explodes to one row per (zone, feature)
+            # array that explodes to one row per (zone, feature); the UDFs
+            # decode the packed geom bytes, not WKT (text parse only on
+            # node fast-path rows that carry no geom)
+            geom = (
+                F.col("geom") if "geom" in df.columns
+                else F.lit(None).cast("binary")
+            )
             df = df.withColumn(
-                "zone_key", F.explode(zones_of_wkt_udf(zone_items)(F.col("wkt")))
+                "zone_key",
+                F.explode(zones_match_udf(zone_items)(geom, F.col("wkt"))),
             )
             if clip:
                 cu = zone_clip_udf(zone_items)
                 df = (
-                    df.withColumn("__zc", cu(F.col("wkt"), F.col("zone_key")))
+                    df.withColumn("__zc", cu(geom, F.col("wkt"), F.col("zone_key")))
                     .withColumn("zone_clipped_wkt", F.col("__zc.clipped_wkt"))
                     .withColumn("zone_clipped_area", F.col("__zc.clipped_area"))
                     .withColumn("zone_clipped_length", F.col("__zc.clipped_length"))

@@ -206,12 +206,15 @@ def test_zone_index_global_zone():
     assert any(idx.keys[i] == "world" for i in idx.candidates((5.5, 5.5, 5.6, 5.6)))
 
 
-def test_zones_of_wkt_udf_many_zones(spark):
+@pytest.mark.parametrize("rep", ["wkt", "packed"])
+def test_zones_match_udf_many_zones(spark, rep):
     """2500-zone zonal tagging through the single-UDF indexed path: every
-    point lands in its containing cell zone(s)."""
+    point lands in its containing cell zone(s), whether the row carries a
+    WKT string (node fast path) or packed geom bytes (the hot path)."""
     from pyspark.sql import functions as F
 
-    from oshdb_spark.operators.zonal import zones_of_wkt_udf
+    from oshdb_spark.geometry.model import pack_geometry
+    from oshdb_spark.operators.zonal import zones_match_udf
 
     zones = _grid_zones(50)
     pts = spark.range(500).select(
@@ -221,10 +224,27 @@ def test_zones_of_wkt_udf_many_zones(spark):
             ((F.col("id") % 47) * 1.03 + 0.011).cast("string"),
             F.lit(" "),
             ((F.col("id") % 43) * 1.07 + 0.013).cast("string"),
-            F.lit(")"),
+        F.lit(")"),
         ).alias("wkt"),
     )
-    tagged = pts.withColumn("zk", F.explode(zones_of_wkt_udf(zones)(F.col("wkt"))))
+    if rep == "packed":
+        @F.udf("binary")
+        def _pack(i):
+            return pack_geometry({
+                "type": "Point",
+                "coordinates": [(i % 47) * 1.03 + 0.011,
+                                (i % 43) * 1.07 + 0.013],
+            })
+        pts = pts.select(
+            "id", _pack("id").alias("geom"),
+            F.lit(None).cast("string").alias("wkt"),
+        )
+        geom = F.col("geom")
+    else:
+        geom = F.lit(None).cast("binary")
+    tagged = pts.withColumn(
+        "zk", F.explode(zones_match_udf(zones)(geom, F.col("wkt")))
+    )
     rows = tagged.collect()
     assert len(rows) == 500  # interior points -> exactly one zone each
     for r in rows:

@@ -23,8 +23,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# a rep whose /proc/stat steal share exceeds this over its own window is
+# CONTAMINATED by hypervisor co-tenants and is discarded + re-run (the
+# r4 adjudication problem: quiet-host 22.4s vs stolen-host 54.4s records
+# needed prose arbitration; now the evidence rides in the JSON)
+STEAL_MAX = float(os.environ.get("SCALE_STEAL_MAX", "0.02"))
 
-def run_suite(cpus: int) -> dict[str, float]:
+
+def _stat_snap(cpus: set[int] | None = None):
+    """(steal_ticks, busy_ticks, total_ticks) summed over ``cpus`` (None =
+    every host cpu) from /proc/stat per-cpu lines."""
+    steal = busy = total = 0
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if not (line.startswith("cpu") and line[3:4].isdigit()):
+                    continue
+                p = line.split()
+                if cpus is not None and int(p[0][3:]) not in cpus:
+                    continue
+                v = list(map(int, p[1:]))
+                steal += v[7] if len(v) > 7 else 0
+                busy += sum(v) - v[3] - (v[4] if len(v) > 4 else 0)
+                total += sum(v)
+    except OSError:  # non-Linux: stamps read as zero, nothing discarded
+        pass
+    return steal, busy, total
+
+
+class HostMeter:
+    """Per-window host-noise stamps: steal share on OUR cpus (the discard
+    signal) and busy share on the OTHER cpus (co-tenant processes inside
+    this VM — pytest runs etc. — evidence, not a discard signal, because
+    taskset confinement already isolates us from them)."""
+
+    def __init__(self):
+        self.mine = set(os.sched_getaffinity(0)) if hasattr(
+            os, "sched_getaffinity") else None
+        ncpu = os.cpu_count() or 0
+        self.others = (
+            set(range(ncpu)) - self.mine
+            if self.mine is not None and len(self.mine) < ncpu
+            else None
+        )
+
+    def start(self):
+        self._a = _stat_snap(self.mine)
+        self._oa = _stat_snap(self.others) if self.others else None
+
+    def stamp(self) -> dict:
+        b = _stat_snap(self.mine)
+        dt = max(b[2] - self._a[2], 1)
+        out = {
+            "steal": round((b[0] - self._a[0]) / dt, 4),
+            "load1": round(os.getloadavg()[0], 1),
+        }
+        if self._oa:
+            ob = _stat_snap(self.others)
+            out["other_busy"] = round(
+                (ob[1] - self._oa[1]) / max(ob[2] - self._oa[2], 1), 4
+            )
+        return out
+
+
+def run_suite(cpus: int) -> tuple[dict[str, float], dict]:
     from oshdb_spark import driver_queries as dq
     from oshdb_spark.session import get_spark
 
@@ -36,14 +98,28 @@ def run_suite(cpus: int) -> dict[str, float]:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footer caches with one cheap action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    meter = HostMeter()
+    contaminated: dict[str, float] = {}
+    suite_meter = HostMeter()
+    suite_meter.start()
     for name, fn in dq.bench_queries().items():
+        meter.start()
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
         timings[f"__rows_{name}"] = n
+        s = meter.stamp()["steal"]
+        if s > STEAL_MAX:
+            contaminated[name] = s
+    host = suite_meter.stamp()
+    # per-query steal stamps for contaminated windows: lets the judge see
+    # WHICH timings a co-tenant smeared without prose adjudication (the
+    # r4 BENCH_r04 54.4s-vs-22.4s ambiguity)
+    if contaminated:
+        host["queries_steal"] = contaminated
     spark.stop()
-    return timings
+    return timings, host
 
 
 def _docs_parquet(n_features: int) -> tuple[str, int]:
@@ -124,29 +200,50 @@ def _scaling_worker(master: str, docs_path: str) -> None:
     docs = spark.read.parquet(docs_path)
     docs.count()  # warm footers
 
+    meter = HostMeter()
+
     def measure(
         fn,
         warmups=int(os.environ.get("SCALE_WARMUPS", "1")),
-        reps=int(os.environ.get("SCALE_REPS", "3")),
+        reps=int(os.environ.get("SCALE_REPS", "5")),
     ):
         # clearCache between reps: operators may persist() intermediates
         # (e.g. lifetime_bboxes' single-scan edge relation), which is a
         # legitimate WITHIN-job reuse — but letting rep N+1 read rep N's
-        # cache would fake the steady-state throughput being measured
+        # cache would fake the steady-state throughput being measured.
+        # Steal-aware protocol (r4 verdict Next #1): every rep is stamped
+        # with the steal share of ITS OWN /proc/stat window; a rep whose
+        # steal exceeds STEAL_MAX is discarded and re-run, up to
+        # SCALE_MAX_ATTEMPTS total, so ONE invocation on a noisy host
+        # either produces `reps` clean reps or reports exactly which reps
+        # were thrown away and why.
+        max_attempts = int(os.environ.get("SCALE_MAX_ATTEMPTS", str(reps * 4)))
         for _ in range(warmups):
             spark.catalog.clearCache()
             fn(spark, docs, bbox).collect()
-        walls = []
-        for _ in range(reps):
+        clean, discarded = [], []
+        attempts = 0
+        while len(clean) < reps and attempts < max_attempts:
+            attempts += 1
             spark.catalog.clearCache()
+            meter.start()
             t0 = time.monotonic()
             fn(spark, docs, bbox).collect()
-            walls.append(round(time.monotonic() - t0, 3))
-        return walls
+            wall = round(time.monotonic() - t0, 3)
+            rep = {"wall": wall, **meter.stamp()}
+            if rep["steal"] > STEAL_MAX:
+                rep["discard_reason"] = (
+                    f"steal {rep['steal']:.2%} > {STEAL_MAX:.2%} of the rep window"
+                )
+                discarded.append(rep)
+            else:
+                clean.append(rep)
+        return {"clean": clean, "discarded": discarded}
 
     out = {
         "assign": measure(tile_assign_throughput),
         "join": measure(tile_join_throughput),
+        "affinity_cpus": len(meter.mine) if meter.mine else None,
     }
     spark.stop()
     print(json.dumps(out))
@@ -193,6 +290,7 @@ def _scaling_report(
     masters: tuple[str, str], cpus: tuple[int, int], docs_path: str, n_docs: int
 ) -> dict:
     lo, hi = cpus
+    reps_wanted = int(os.environ.get("SCALE_REPS", "5"))
     r_lo = run_pipeline(masters[0], docs_path)
     r_hi = run_pipeline(masters[1], docs_path)
     report = {
@@ -201,23 +299,187 @@ def _scaling_report(
         "cpus": [lo, hi],
         "masters": list(masters),
         "n_docs": n_docs,
+        "steal_threshold": STEAL_MAX,
+        "reps_requested": reps_wanted,
         "workloads": {},
     }
+    short = []  # (workload, level) pairs that ran out of clean reps
+    n_discarded = 0
     for wl in ("assign", "join"):
-        w_lo, w_hi = sorted(r_lo[wl]), sorted(r_hi[wl])
+        d_lo, d_hi = r_lo[wl], r_hi[wl]
+        w_lo = sorted(r["wall"] for r in d_lo["clean"])
+        w_hi = sorted(r["wall"] for r in d_hi["clean"])
+        for level, d, w in ((lo, d_lo, w_lo), (hi, d_hi, w_hi)):
+            n_discarded += len(d["discarded"])
+            if len(w) < reps_wanted:
+                short.append(f"{wl}@{level}")
+        if not w_lo or not w_hi:
+            report["workloads"][wl] = {
+                "efficiency": None,
+                "reps": {str(lo): d_lo, str(hi): d_hi},
+            }
+            continue
         med_lo, med_hi = w_lo[len(w_lo) // 2], w_hi[len(w_hi) // 2]
         thr_lo, thr_hi = n_docs / med_lo, n_docs / med_hi
         report["workloads"][wl] = {
             "efficiency": round(thr_hi / ((hi / lo) * thr_lo), 4),
             "docs_per_sec": {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)},
             "wall_sec": {str(lo): w_lo, str(hi): w_hi},
+            # full per-rep evidence: wall + steal + load (+ other_busy),
+            # clean and discarded, with discard reasons
+            "reps": {str(lo): d_lo, str(hi): d_hi},
         }
-    report["value"] = report["workloads"]["join"]["efficiency"]
+    join_eff = report["workloads"]["join"]["efficiency"]
+    report["value"] = join_eff
+    report["gate"] = 0.8
+    if join_eff is None:
+        verdict = "contaminated"  # no clean rep survived at some level
+    elif join_eff >= 0.8:
+        verdict = "pass" if not short else "pass_low_reps"
+    else:
+        verdict = "fail" if not short else "fail_low_reps"
+    report["verdict"] = verdict
+    report["reps_discarded"] = n_discarded
+    if short:
+        report["short_of_clean_reps"] = short
     return report
+
+
+def _relation_docs_parquet(n_rels: int) -> str:
+    import pathlib
+
+    path = f"/tmp/oshdb_bench_rels_{n_rels}.parquet"
+    if not pathlib.Path(path, "_SUCCESS").exists():
+        from oshdb_spark.session import get_spark
+        from oshdb_spark.sources.docs import synthesize_relation_docs
+
+        spark = get_spark(app_name="bench_relgen", master="local[32]")
+        synthesize_relation_docs(spark, n_rels).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.stop()
+    return path
+
+
+def run_relation_bench() -> dict:
+    """Relation-heavy geometry-assembly throughput (r4 verdict Next #8):
+    snapshot_view over a fixture where relations are ~9% of entities
+    (8 nodes + 2 ring ways + 1 multipolygon relation per group) vs an
+    all-node fixture of the same entity count — the difference prices
+    the per-relation Python ring assembly as a measured number."""
+    from oshdb_spark.operators.snapshot import snapshot_view
+    from oshdb_spark.session import get_spark
+    from oshdb_spark.sources.entities import extract_entities
+
+    n_rels = int(os.environ.get("REL_BENCH_RELS", "30000"))
+    n_entities = n_rels * 11
+    rel_path = _relation_docs_parquet(n_rels)
+    os.environ.setdefault("SCALE_DOCS_N", str(n_entities))
+    node_path, _ = _docs_parquet(0)
+    spark = get_spark(
+        app_name="bench_relations", master="local[32]", shuffle_partitions=64
+    )
+    meter = HostMeter()
+    reps = int(os.environ.get("REL_BENCH_REPS", "3"))
+    out = {"metric": "relation_assembly_throughput", "unit": "entities_per_sec",
+           "n_rels": n_rels, "n_entities": n_entities, "fixtures": {}}
+    for label, path in (("relation_mix", rel_path), ("all_nodes", node_path)):
+        docs = spark.read.parquet(path)
+        docs.count()  # warm footers
+        ents = extract_entities(docs)
+        walls, stamps, rows = [], [], None
+        for i in range(reps + 1):  # rep 0 = warmup
+            spark.catalog.clearCache()
+            meter.start()
+            t0 = time.monotonic()
+            rows = snapshot_view(ents, [1_400_000_000]).count()
+            wall = round(time.monotonic() - t0, 3)
+            if i:
+                walls.append(wall)
+                stamps.append(meter.stamp())
+        med = sorted(walls)[len(walls) // 2]
+        out["fixtures"][label] = {
+            "rows": rows,
+            "wall_sec": sorted(walls),
+            "entities_per_sec": round(n_entities / med, 1),
+            "host": stamps,
+        }
+    rm = out["fixtures"]["relation_mix"]
+    an = out["fixtures"]["all_nodes"]
+    out["relation_overhead_ratio"] = round(
+        sorted(rm["wall_sec"])[reps // 2] / sorted(an["wall_sec"])[reps // 2], 3
+    )
+    out["value"] = rm["entities_per_sec"]
+    spark.stop()
+    return out
+
+
+def run_ingest_bench() -> dict:
+    """Streaming-ingest throughput vs the batch ETL on the SAME input
+    (r4 verdict Next #6): docs/s of incremental_ingest (+ the compaction
+    cost that restores the lifetime-bbox placement invariant) against
+    one-shot write_entities_table."""
+    import shutil
+
+    from oshdb_spark.session import get_spark
+    from oshdb_spark.sources.entities import extract_entities
+    from oshdb_spark.sources.store import compact_store, write_entities_table
+    from oshdb_spark.streaming import incremental_ingest, stream_docs
+
+    os.environ.setdefault("SCALE_DOCS_N", os.environ.get("INGEST_DOCS_N", "8000000"))
+    docs_path, n_docs = _docs_parquet(0)
+    spark = get_spark(
+        app_name="bench_ingest", master="local[32]", shuffle_partitions=64
+    )
+    meter = HostMeter()
+    work = "/tmp/oshdb_ingest_bench"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    out = {"metric": "ingest_throughput", "unit": "docs_per_sec",
+           "n_docs": n_docs, "phases": {}}
+
+    def phase(name, fn):
+        meter.start()
+        t0 = time.monotonic()
+        fn()
+        wall = round(time.monotonic() - t0, 3)
+        out["phases"][name] = {
+            "wall_sec": wall,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "host": meter.stamp(),
+        }
+
+    n_buckets = int(os.environ.get("INGEST_BUCKETS", "16"))
+    phase("batch_etl", lambda: write_entities_table(
+        extract_entities(spark.read.parquet(docs_path)),
+        f"{work}/store_batch", n_buckets=n_buckets,
+    ))
+    trig = int(os.environ.get("INGEST_FILES_PER_TRIGGER", "8"))
+    phase("stream_ingest", lambda: incremental_ingest(
+        stream_docs(spark, docs_path, max_files_per_trigger=trig),
+        f"{work}/store_stream", f"{work}/ckpt", n_buckets=n_buckets,
+    ).awaitTermination())
+    phase("compaction", lambda: compact_store(
+        spark, f"{work}/store_stream", n_buckets=n_buckets))
+    b = out["phases"]["batch_etl"]["wall_sec"]
+    s = out["phases"]["stream_ingest"]["wall_sec"]
+    c = out["phases"]["compaction"]["wall_sec"]
+    out["stream_to_batch_ratio"] = round(s / b, 3)
+    out["stream_plus_compact_to_batch_ratio"] = round((s + c) / b, 3)
+    out["value"] = out["phases"]["stream_ingest"]["docs_per_sec"]
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if "--relations" in sys.argv:
+        print(json.dumps(run_relation_bench()))
+        return
+    if "--ingest" in sys.argv:
+        print(json.dumps(run_ingest_bench()))
+        return
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         _scaling_worker(sys.argv[i + 1], sys.argv[i + 2])
@@ -268,7 +530,7 @@ def main() -> None:
         return
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    timings = run_suite(cpus)
+    timings, host = run_suite(cpus)
     queries = {k: v for k, v in timings.items() if not k.startswith("__")}
     total = round(sum(queries.values()), 3)
     print(
@@ -279,6 +541,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "host": host,
             }
         )
     )

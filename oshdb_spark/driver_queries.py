@@ -421,7 +421,10 @@ def q_h3_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return (
-        g.withColumn("h3_cell", h3_udf(2)("lon_fp", "lat_fp"))
+        # prefer_library=False: this gate pins the h3lite ALGORITHM against
+        # its SQL re-derivation; on a host with the real `h3` package the
+        # default library routing would (correctly) produce different ids
+        g.withColumn("h3_cell", h3_udf(2, prefer_library=False)("lon_fp", "lat_fp"))
         .groupBy("h3_cell")
         .agg(count_agg("cnt"), count_uniq_agg("user_id", "uniq_users"))
     )
@@ -637,6 +640,50 @@ def q_groupby_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.size("rows").cast("long").alias("n_snaps"),
         F.expr(sig).alias("ord_sig"),
+    )
+
+
+# combined (nested) indices (OSHDBCombinedIndex, MapAggregator.java:181-290)
+# under the value-hash gate: aggregate_by_timestamp().aggregate_by(key) with
+# zerofill over the FULL timestamp x key product — absent combinations
+# surface as explicit identity rows (MapAggregator.java:880-889), including
+# every key at the pre-data snapshot.  The oracle builds the product with a
+# CROSS JOIN + LEFT JOIN.
+_CIX_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_VERSION_EXPRS)}),
+v AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts_us, event_id)
+        AS version FROM g),
+w AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY id ORDER BY ts_us, version)
+        AS next_ts FROM v),
+t(snap_ts) AS (VALUES {", ".join(f"({t})" for t in _FLUENT_SNAPS)}),
+b(uid_b) AS (VALUES (0), (1), (2)),
+hit AS (
+  SELECT t.snap_ts, (w.event_id % 97) % 3 AS uid_b, COUNT(*) AS c
+  FROM w JOIN t ON t.snap_ts >= w.ts_us
+              AND (w.next_ts IS NULL OR t.snap_ts < w.next_ts)
+  WHERE w.visible AND w.tag_v IN (1, 2)
+  GROUP BY 1, 2)
+SELECT t.snap_ts, CAST(b.uid_b AS BIGINT) AS uid_b,
+       CAST(COALESCE(hit.c, 0) AS BIGINT) AS cnt
+FROM t CROSS JOIN b
+LEFT JOIN hit ON hit.snap_ts = t.snap_ts AND hit.uid_b = b.uid_b
+"""
+
+
+@_q("combined_index_agg", _CIX_ORACLE)
+def q_combined_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import SnapshotView
+
+    db = _fluent_node_db(spark, sf_dir)
+    return (
+        SnapshotView.on(db)
+        .filter("k=1 or k=2")
+        .timestamps(_FLUENT_SNAPS)
+        .aggregate_by_timestamp()
+        .aggregate_by(
+            (F.col("uid") % 3).cast("long"), name="uid_b", keys=[0, 1, 2]
+        )
+        .count()
     )
 
 

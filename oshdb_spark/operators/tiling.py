@@ -162,7 +162,18 @@ def h3_udf(resolution: int, prefer_library: bool = True):
     face-based base cells; see its docstring for the exact deviation).
     Either way the ids are a deterministic hierarchical hex index
     suitable for the tiling joins; only the h3lite path is oracle-gated
-    (driver query h3_cell_assign)."""
+    (driver query h3_cell_assign, which pins ``prefer_library=False``).
+
+    COMPAT: h3lite ids live in their OWN namespace.  They are NOT
+    interchangeable with canonical Uber-H3 ids, and no round-trip
+    converter can exist without H3's irreducible base-cell constant
+    tables (faceCenterGeo, faceAxesAzRadsCII, faceIjkBaseCells,
+    baseCellData — data with no generating rule; everything else in the
+    pipeline is re-derived from the published spec).  Never join h3lite
+    ids against externally-H3-indexed datasets: install `h3` (the
+    default routing then uses it — tests/test_h3lite.py covers both the
+    routing and, when installed, bit-parity with the library's published
+    test vector) or re-index the external data with this UDF."""
     from oshdb_spark.session import ensure_package_on_workers
     ensure_package_on_workers()
     have_h3 = False

@@ -586,3 +586,100 @@ def synthesize_bench_docs(spark, n_docs: int):
         ),
     )
     return df.select("doc_id", spans.alias("spans"))
+
+
+def synthesize_relation_docs(spark, n_rels: int):
+    """Spark-native RELATION-HEAVY deterministic docs (BENCH relation
+    fixture, r4 verdict Next #8): for each k of ``n_rels``, 8 nodes + 2
+    closed ways (an outer and an inner square ring) + 1 multipolygon
+    relation — relations are 1/11 (~9%) of entities, vs ~0.3% in OSM,
+    so the per-relation Python ring-assembly cost dominates and becomes
+    a tracked number instead of an estimate.
+
+    Same doc shape as ``synthesize_bench_docs`` (3 interleaved spans);
+    geometry: disjoint squares on a grid (outer half-size 8000 fp,
+    inner 2400 fp, 20000 fp pitch), every ring closed, winding left to
+    the assembler's normalization."""
+    from pyspark.sql import functions as F
+
+    NODE_B, WAY_B, REL_B = 1_000_000_000, 2_000_000_000, 3_000_000_000
+    TS = "1250000000"
+
+    def doc_of(df, payload):
+        half = F.floor(F.length(payload) / 2).cast("int")
+        spans = F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                payload.substr(F.lit(1), half).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.format_string("media://%s/img0", F.col("doc_id")).alias("media_ref"),
+                half.alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                payload.substr(half + 1, F.length(payload)).alias("text"),
+                F.lit("").alias("media_ref"),
+                (half + 1).alias("offset"),
+            ),
+        )
+        return df.select("doc_id", spans.alias("spans"))
+
+    # nodes: 8 per relation; corners 0-3 outer ring, 4-7 inner ring
+    nd = spark.range(n_rels * 8).select(
+        F.col("id").alias("i"),
+        (F.col("id") / 8).cast("long").alias("k"),
+        F.pmod(F.col("id"), F.lit(8)).alias("c"),
+    )
+    cx = (F.pmod(F.col("k"), F.lit(10000)) * 20000 - 100_000_000)
+    cy = ((F.col("k") / 10000).cast("long") * 20000 - 50_000_000)
+    hs = F.when(F.col("c") < 4, 8000).otherwise(2400)
+    corner = F.pmod(F.col("c"), F.lit(4))
+    sx = F.when(corner.isin(1, 2), 1).otherwise(-1)
+    sy = F.when(corner >= 2, 1).otherwise(-1)
+    nodes = nd.select(
+        F.format_string("rel-n-%012d", F.col("i")).alias("doc_id"),
+        F.format_string(
+            '{"id": %d, "type": "node", "version": 1, "visible": true,'
+            ' "ts": ' + TS + ', "changeset": 1, "uid": 1, "tags": {},'
+            ' "lon": %d, "lat": %d, "refs": null, "members": null}',
+            F.col("i") + NODE_B, cx + sx * hs, cy + sy * hs,
+        ).alias("payload"),
+    )
+    # ways: 2 per relation (outer j%2==0, inner j%2==1), closed rings
+    wy = spark.range(n_rels * 2).select(
+        F.col("id").alias("j"), (F.col("id") / 2).cast("long").alias("k")
+    )
+    base = F.col("k") * 8 + F.when(F.pmod(F.col("j"), F.lit(2)) == 1, 4).otherwise(0) + NODE_B
+    ways = wy.select(
+        F.format_string("rel-w-%012d", F.col("j")).alias("doc_id"),
+        F.format_string(
+            '{"id": %d, "type": "way", "version": 1, "visible": true,'
+            ' "ts": ' + TS + ', "changeset": 1, "uid": 1, "tags": {},'
+            ' "lon": null, "lat": null,'
+            ' "refs": [%d, %d, %d, %d, %d], "members": null}',
+            F.col("j") + WAY_B, base, base + 1, base + 2, base + 3, base,
+        ).alias("payload"),
+    )
+    # relations: type=multipolygon (tag key 4 value 1), outer + inner member
+    rl = spark.range(n_rels).select(F.col("id").alias("k"))
+    rels = rl.select(
+        F.format_string("rel-r-%012d", F.col("k")).alias("doc_id"),
+        F.format_string(
+            '{"id": %d, "type": "relation", "version": 1, "visible": true,'
+            ' "ts": ' + TS + ', "changeset": 1, "uid": 1, "tags": {"4": 1},'
+            ' "lon": null, "lat": null, "refs": null, "members":'
+            ' [{"type": "way", "ref": %d, "role": "outer"},'
+            '  {"type": "way", "ref": %d, "role": "inner"}]}',
+            F.col("k") + REL_B, F.col("k") * 2 + WAY_B, F.col("k") * 2 + 1 + WAY_B,
+        ).alias("payload"),
+    )
+    out = None
+    for df in (nodes, ways, rels):
+        d = doc_of(df, F.col("payload"))
+        out = d if out is None else out.unionByName(d)
+    return out

@@ -125,3 +125,40 @@ class TestExtraction:
             ),
         )
         assert verify_span_equality(docs, mutated) == 5
+
+
+class TestRelationHeavyFixture:
+    """synthesize_relation_docs (bench.py --relations): 11 entities per
+    group (8 nodes, 2 closed ring ways, 1 multipolygon relation), all
+    parseable by the standard extraction and assembling into holed
+    polygons."""
+
+    def test_shape_and_assembly(self, spark):
+        from oshdb_spark.operators.snapshot import snapshot_view
+        from oshdb_spark.sources.docs import synthesize_relation_docs
+        from oshdb_spark.sources.entities import extract_entities
+
+        docs = synthesize_relation_docs(spark, 20)
+        assert docs.count() == 220
+        ents = extract_entities(docs)
+        by_type = {r["type"]: r["count"] for r in ents.groupBy("type").count().collect()}
+        assert by_type == {"node": 160, "way": 40, "relation": 20}
+        snaps = snapshot_view(ents, [1_400_000_000])
+        rels = snaps.filter("type = 'relation'").select("wkt", "area").collect()
+        assert len(rels) == 20
+        for r in rels:
+            # outer ring + inner hole
+            assert r["wkt"].startswith("POLYGON ((")
+            assert r["wkt"].count("(") - 1 == 2
+            assert r["area"] > 0
+
+    def test_span_roundtrip(self, spark):
+        from oshdb_spark.sources.docs import synthesize_relation_docs
+        from oshdb_spark.sources.entities import (
+            extract_entities,
+            verify_span_equality,
+        )
+
+        docs = synthesize_relation_docs(spark, 10)
+        ents = extract_entities(docs, keep_spans=True)
+        assert verify_span_equality(docs, ents) == 0

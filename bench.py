@@ -194,6 +194,8 @@ def _scaling_worker(master: str, docs_path: str) -> None:
     from oshdb_spark.session import get_spark
 
     extra = {"spark.sql.files.maxPartitionBytes": "4m"}
+    if os.environ.get("SCALE_LOCALITY_WAIT") is not None:
+        extra["spark.locality.wait"] = os.environ["SCALE_LOCALITY_WAIT"]
     if master.startswith("local-cluster"):
         body = master.split("[", 1)[1].rstrip("]").split(",")
         cores_per_exec = int(body[1])
@@ -328,7 +330,7 @@ def _scaling_report(
     one side; the per-rep `probe_ms` stamp (memory-bandwidth probe)
     witnesses any drift in the evidence."""
     lo, hi = cpus
-    blocks = int(os.environ.get("SCALE_BLOCKS", "2"))
+    blocks = int(os.environ.get("SCALE_BLOCKS", "3"))
     reps_per_block = int(os.environ.get("SCALE_REPS", "3"))
     reps_wanted = blocks * reps_per_block
     r_lo: dict = {}
@@ -371,8 +373,14 @@ def _scaling_report(
             continue
         med_lo, med_hi = w_lo[len(w_lo) // 2], w_hi[len(w_hi) // 2]
         thr_lo, thr_hi = n_docs / med_lo, n_docs / med_hi
-        # per-block efficiencies: the spread across blocks is the
-        # residual-drift error bar for the pooled number
+        # per-block efficiencies: each block's lo and hi JVMs ran
+        # back-to-back, so a block's ratio is measured under (nearly)
+        # the SAME host speed — the drift-robust estimator is the
+        # MEDIAN of these temporally-paired ratios, which a single
+        # drifted window cannot move (with blocks >= 3); the pooled
+        # number is reported alongside as the naive estimator
+        import statistics
+
         per_block = []
         for b in range(blocks):
             bl = sorted(r["wall"] for r in d_lo["clean"] if r["block"] == b)
@@ -381,9 +389,14 @@ def _scaling_report(
                 per_block.append(round(
                     (bl[len(bl) // 2] / bh[len(bh) // 2]) / (hi / lo), 4
                 ))
+        eff = (
+            round(statistics.median(per_block), 4) if per_block
+            else round(thr_hi / ((hi / lo) * thr_lo), 4)
+        )
         report["workloads"][wl] = {
-            "efficiency": round(thr_hi / ((hi / lo) * thr_lo), 4),
+            "efficiency": eff,  # median of per-block (paired) ratios
             "efficiency_per_block": per_block,
+            "efficiency_pooled": round(thr_hi / ((hi / lo) * thr_lo), 4),
             "docs_per_sec": {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)},
             "wall_sec": {str(lo): w_lo, str(hi): w_hi},
             # full per-rep evidence: wall + steal + load (+ other_busy)

@@ -241,12 +241,20 @@ def lifetime_bboxes(entities: DataFrame, materialize: bool = True) -> DataFrame:
     docs source that is 4-5 full JSON parses of the input instead of one.
     In production the same boundary is the narrow entity-projection ETL
     table; pass materialize=False when `entities` is already materialized.
+
+    Shuffle width: 1e-7 fixed-point coordinates span ±1.8e9, which fits
+    int32, so every shuffled bbox value travels as an int (half the bytes
+    of the stored long; cast back to long at the return boundary so the
+    output schema is unchanged), and the owner type travels through the
+    edge join + owner agg as a 1-byte code instead of a "way"/"relation"
+    string.  At 10^12 docs the three shuffle stages here ARE the job's
+    bandwidth bill — the narrower rows cut it ~40% for free.
     """
     base = entities.select(
         "type",
         "id",
-        "lon",
-        "lat",
+        F.col("lon").cast("int").alias("lon"),
+        F.col("lat").cast("int").alias("lat"),
         F.when(
             F.col("type") == "way",
             F.transform(
@@ -310,21 +318,39 @@ def lifetime_bboxes(entities: DataFrame, materialize: bool = True) -> DataFrame:
     )
 
     edges = (
-        way_edges.withColumn("type", F.lit("way"))
-        .unionByName(rel_node_edges.withColumn("type", F.lit("relation")))
-        .unionByName(rel_way_edges.withColumn("type", F.lit("relation")))
+        way_edges.withColumn("tcode", F.lit(0).cast("byte"))
+        .unionByName(rel_node_edges.withColumn("tcode", F.lit(1).cast("byte")))
+        .unionByName(rel_way_edges.withColumn("tcode", F.lit(1).cast("byte")))
     )
     owner_bbox = (
         edges.join(node_bbox.withColumnRenamed("id", "ref"), "ref", "inner")
-        .groupBy("type", "id")
+        .groupBy("tcode", "id")
         .agg(
             F.min("minlon").alias("minlon"),
             F.min("minlat").alias("minlat"),
             F.max("maxlon").alias("maxlon"),
             F.max("maxlat").alias("maxlat"),
         )
+        .select(
+            F.when(F.col("tcode") == 0, F.lit("way"))
+            .otherwise(F.lit("relation"))
+            .alias("type"),
+            "id",
+            "minlon",
+            "minlat",
+            "maxlon",
+            "maxlat",
+        )
     )
-    return node_bbox.withColumn("type", F.lit("node")).unionByName(owner_bbox)
+    widen = node_bbox.withColumn("type", F.lit("node")).unionByName(owner_bbox)
+    return widen.select(
+        "id",
+        F.col("minlon").cast("long").alias("minlon"),
+        F.col("minlat").cast("long").alias("minlat"),
+        F.col("maxlon").cast("long").alias("maxlon"),
+        F.col("maxlat").cast("long").alias("maxlat"),
+        "type",
+    )
 
 
 def assign_cells(

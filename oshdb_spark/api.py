@@ -54,6 +54,12 @@ from oshdb_spark.operators.snapshot import snapshot_view
 from oshdb_spark.timestamps import parse_iso, timestamps as make_timestamps
 
 
+class OSHDBInvalidTimestampError(ValueError):
+    """A custom aggregate-by-timestamp indexer produced a timestamp outside
+    the requested time interval (OSHDBInvalidTimestampException,
+    MapReducer.java:715-733)."""
+
+
 class OSHDBTimeoutError(TimeoutError):
     """A terminal reducer exceeded ``OSHDB.timeout()`` — the analog of the
     reference's OSHDBTimeoutException (OSHDBDatabase.java:51-77,
@@ -328,6 +334,18 @@ class _MapReducer:
             return self.filter(TagEqualsAny(key, self.db.translator))
         return self.filter(TagEquals(key, value, self.db.translator))
 
+    def flat_map(
+        self, expr: Column, name: str = "value", keep: list[str] | tuple = ()
+    ) -> "_MapReducer":
+        """MapReducer.flatMap (MapReducer.java:529-560): one output row per
+        element of the array ``expr`` evaluates to (zero elements -> row
+        dropped), alongside the ``keep`` columns.  Catalyst explode — the
+        per-row callback of the reference becomes a generator expression."""
+        cols = list(keep)
+        return self.transform(
+            lambda df: df.select(*cols, F.explode(expr).alias(name))
+        )
+
     def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "_MapReducer":
         """map()/flatMap() escape hatch: an arbitrary DataFrame->DataFrame
         stage appended after the view materializes (MapReducer.java:430-476).
@@ -572,12 +590,50 @@ class _MapReducer:
 
     # -- grouped reducers --------------------------------------------------
 
-    def aggregate_by_timestamp(self) -> "MapAggregator":
+    def aggregate_by_timestamp(
+        self, indexer: Column | str | None = None
+    ) -> "MapAggregator":
+        """Automatic (snapshot ts / contribution interval floor) or CUSTOM
+        time index (MapReducer.aggregateByTimestamp(indexer),
+        MapReducer.java:703-733): a custom ``indexer`` column is validated
+        against the requested interval — a value outside
+        [first, last] fails the query (OSHDBInvalidTimestampException
+        parity, surfaced via raise_error at execution) — then floored to
+        the requested timestamp list."""
         key = "snap_ts" if self._VIEW == "snapshot" else "interval_ts"
         if self._VIEW == "snapshot":
             zf = list(self.state.ts)
         else:
             zf = list(self.state.ts)[:-1]  # interval starts (MapReducer.java:1775-1783)
+
+        if indexer is not None:
+            ts_list = list(self.state.ts)
+            raw = F.col(indexer) if isinstance(indexer, str) else indexer
+
+            def bucket_custom(df: DataFrame) -> DataFrame:
+                from oshdb_spark.operators.aggregations import floor_to_timestamps
+
+                bad = (
+                    raw.isNull()
+                    | (raw < F.lit(int(ts_list[0])))
+                    | (raw > F.lit(int(ts_list[-1])))
+                )
+                return df.withColumn(
+                    key,
+                    F.when(
+                        bad,
+                        F.raise_error(
+                            F.lit(
+                                "Aggregation timestamp outside of time query interval."
+                            )
+                        ).cast("long"),
+                    ).otherwise(floor_to_timestamps(raw, zf)),
+                )
+
+            return MapAggregator(
+                self, keys=[key], zerofill_keys={key: zf}, pre=bucket_custom
+            )
+
         agg = MapAggregator(self, keys=[key], zerofill_keys={key: zf})
 
         if self._VIEW == "contribution":
@@ -947,6 +1003,27 @@ class MapAggregator:
             out.zerofill_keys[name] = keys
         return out
 
+    def aggregate_by_timestamp(self, indexer: Column | str | None = None) -> "MapAggregator":
+        """Append the time index to an existing aggregation (the
+        aggregateBy(...).aggregateByTimestamp(...) chain order of
+        MapAggregator.java:258-290 — combined indices commute)."""
+        inner = self.parent.aggregate_by_timestamp(indexer)
+        out = MapAggregator(
+            self.parent,
+            self.keys + inner.keys,
+            {**self.zerofill_keys, **inner.zerofill_keys},
+        )
+        out.pres = self.pres + inner.pres
+        return out
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "MapAggregator":
+        """Row-level map AFTER the aggregation index is set
+        (MapAggregator.map, MapAggregator.java:551-563) — same rows, same
+        groups, extra/mapped value columns."""
+        out = MapAggregator(self.parent, list(self.keys), dict(self.zerofill_keys))
+        out.pres = self.pres + [fn]
+        return out
+
     def _df(self) -> DataFrame:
         df = self.parent.dataframe()
         for p in self.pres:
@@ -988,6 +1065,50 @@ class MapAggregator:
     def estimated_quantile(self, col: str, q: float, name: str | None = None) -> DataFrame:
         name = name or f"q{int(q * 100)}_{col}"
         return self._reduce([quantile_agg(col, q, name)], {})
+
+    def estimated_quantiles(
+        self, col: str, qs: list[float], name: str | None = None
+    ) -> DataFrame:
+        """Per-group quantile list in ONE sketch pass
+        (MapAggregator.estimatedQuantiles, MapAggregator.java:714-736)."""
+        from oshdb_spark.operators.aggregations import quantiles_agg
+
+        name = name or f"quantiles_{col}"
+        return self._reduce([quantiles_agg(col, qs, name)], {})
+
+    def collect(self, col: str, name: str | None = None) -> DataFrame:
+        """Per-group list of values (MapAggregator.collect,
+        MapAggregator.java:539-548)."""
+        name = name or f"collect_{col}"
+        return self._reduce([F.collect_list(col).alias(name)], {})
+
+    def reduce(self, identity_supplier, accumulator, combiner) -> dict:
+        """Grouped arbitrary-monoid reduce (MapAggregator.reduce,
+        MapAggregator.java:455-531): {group key: folded state}, zerofilled
+        with fresh identities for absent requested keys.  See
+        operators/aggregations.generic_reduce_by for the distributed
+        shape (per-partition per-key partials, driver combine)."""
+        from oshdb_spark.operators.aggregations import generic_reduce_by
+
+        df = self._df()
+        out = _run_with_timeout(
+            self.parent.db.spark,
+            self.parent.db.timeout_s,
+            lambda: generic_reduce_by(
+                df, self.keys, identity_supplier, accumulator, combiner
+            ),
+        )
+        if self.zerofill_keys and set(self.zerofill_keys) == set(self.keys):
+            import itertools
+
+            combos = itertools.product(
+                *[self.zerofill_keys[k] for k in self.keys]
+            )
+            for combo in combos:
+                key = combo[0] if len(self.keys) == 1 else combo
+                if key not in out:
+                    out[key] = identity_supplier()
+        return out
 
     def collect_map(self, value_df: DataFrame | None = None, reducer: str = "count") -> dict:
         """SortedMap-style result: {key(-tuple): value} from a 2+-column

@@ -87,12 +87,17 @@ def zerofill(
     keys: column -> full list of requested key values (cartesian across
     columns, like the reference's combined-index zerofill).
     fill: value column -> identity value (0 for counts/sums, None, ...).
+
+    FULL join: zerofill only INSERTS identity rows for absent requested
+    combinations (MapAggregator's insert-zerofill) — observed keys outside
+    the requested list survive (MapAggregateByIndexTest.testZerofill: the
+    result keeps 617308093 alongside the filled -1).
     """
     frames = None
     for col, values in keys.items():
         kdf = spark.createDataFrame([(v,) for v in values], f"{col}: {_sql_type(values)}")
         frames = kdf if frames is None else frames.crossJoin(kdf)
-    out = frames.join(result, list(keys), "left")
+    out = frames.join(result, list(keys), "full")
     for col, identity in fill.items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(identity)))
     return out
@@ -157,6 +162,15 @@ def exact_quantile_agg(col: str, q: float, name: str | None = None) -> Column:
     return F.expr(f"percentile({col}, {q})").alias(name or f"q{int(q*100)}_{col}_exact")
 
 
+def quantiles_agg(col: str, qs: list[float], name: str | None = None) -> Column:
+    """estimatedQuantiles analogue (MapAggregator.estimatedQuantiles,
+    MapAggregator.java:714-736): one sketch pass, an array of results."""
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    return F.percentile_approx(col, arr, F.lit(10000)).alias(
+        name or f"quantiles_{col}"
+    )
+
+
 def generic_reduce(df, identity_supplier, accumulator, combiner):
     """Arbitrary-monoid reduce over a DataFrame — the reference's generic
     reduce(identitySupplier, accumulator, combiner) contract
@@ -189,4 +203,52 @@ def generic_reduce(df, identity_supplier, accumulator, combiner):
     out = identity_supplier()
     for r in parts:
         out = combiner(out, pickle.loads(bytes(r["p"])))
+    return out
+
+
+def generic_reduce_by(df, keys: list[str], identity_supplier, accumulator, combiner):
+    """Grouped arbitrary-monoid reduce — MapAggregator.reduce
+    (MapAggregator.java:455-531: per-cell fold keyed by the aggregation
+    index, cross-cell combine per key).
+
+    Spark shape: mapInPandas folds each partition into one pickled state
+    PER KEY seen in that partition (map-side partials, no shuffle of the
+    rows), then the driver combines per-key partials.  Driver traffic is
+    one blob per (partition, key) — the same bounded-result contract as
+    the reference, whose SortedMap result must also fit on the caller.
+
+    Returns {key: state} (scalar key for a single group column, tuple for
+    combined indices).  The accumulator receives pandas sub-frames
+    (same contract as generic_reduce).
+    """
+    import pickle
+
+    import pandas as _pd
+
+    def partials(batches):
+        states: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for kv, grp in pdf.groupby(keys, dropna=False, sort=False):
+                kk = kv if isinstance(kv, tuple) else (kv,)
+                prev = states.get(kk)
+                states[kk] = accumulator(
+                    prev if prev is not None else identity_supplier(), grp
+                )
+        yield _pd.DataFrame(
+            {
+                "k": [pickle.dumps(k) for k in states],
+                "p": [pickle.dumps(v) for v in states.values()],
+            }
+        )
+
+    parts = df.mapInPandas(partials, "k binary, p binary").collect()
+    out: dict = {}
+    for r in parts:
+        k = pickle.loads(bytes(r["k"]))
+        s = pickle.loads(bytes(r["p"]))
+        out[k] = combiner(out[k], s) if k in out else combiner(identity_supplier(), s)
+    if len(keys) == 1:
+        out = {k[0]: v for k, v in out.items()}
     return out

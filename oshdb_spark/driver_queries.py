@@ -2433,6 +2433,43 @@ def q_metric_filter_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouped collect (MapAggregator.collect, MapAggregator.java:539-548):
+# per-group value lists, gated through an order-independent md5 digest of
+# the SORTED list so the hash compare is deterministic on both engines
+# ---------------------------------------------------------------------------
+
+_GCD_ORACLE = """
+SELECT event_type,
+       md5(array_to_string(list(user_id ORDER BY user_id, event_id),
+                           ',')) AS digest,
+       COUNT(*) AS cnt
+FROM (SELECT event_type, user_id, event_id FROM events)
+GROUP BY event_type
+"""
+
+
+@_q("grouped_collect_digest", _GCD_ORACLE)
+def q_grouped_collect_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the grouped-collect reducer surface: collect_list per
+    group, canonicalized by sort, digested to a scalar for the value-hash
+    gate.  The secondary sort key (event_id) breaks ties between duplicate
+    user_ids so both engines canonicalize identically."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pair_sorted = F.sort_array(
+        F.collect_list(F.struct("user_id", "event_id"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.md5(
+            F.array_join(
+                F.transform(pair_sorted, lambda s: s["user_id"].cast("string")),
+                ",",
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__.py
 # ---------------------------------------------------------------------------
 

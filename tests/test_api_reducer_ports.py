@@ -676,6 +676,78 @@ def test_helpers_uniq(bld_db):
     assert got[False] == {i for i in range(1, N_WAYS + 1) if i % 2 == 1}
 
 
+# -- HelpersOSMEntitySnapshotViewTest ------------------------------------------
+
+
+def test_helpers_snapshot_sum_count(bld_db):
+    """testSum/testCount: single stamp (42 ways alive), full monthly list
+    (first stamp 0, last stamp 42), total, and the id-parity custom index
+    (21 even / 21 odd)."""
+    s1 = _bld_snap(bld_db, [T6[-1]])
+    res = (
+        s1.transform(lambda df: df.withColumn("one", F.lit(1)))
+        .aggregate_by_timestamp()
+        .sum("one")
+    )
+    rows = res.collect()
+    assert len(rows) == 1 and rows[0]["sum_one"] == N_WAYS
+
+    t72s = _stamps("2010-01-01", "2015-12-01", MONTHLY)
+    s72 = _bld_snap(bld_db, t72s)
+    res = s72.aggregate_by_timestamp().count()
+    rows = sorted(res.collect(), key=lambda r: r["snap_ts"])
+    assert len(rows) == len(t72s)  # snapshots zerofill ALL stamps
+    assert rows[0]["cnt"] == 0 and rows[-1]["cnt"] == N_WAYS
+
+    assert s1.count() == N_WAYS
+
+    res = s1.aggregate_by((F.col("id") % 2) == 0, name="even").count()
+    got = {r["even"]: r["cnt"] for r in res.collect()}
+    assert got == {True: N_WAYS // 2, False: N_WAYS // 2}
+
+
+def test_helpers_snapshot_average_weighted(bld_db):
+    """testAverage/testWeightedAverage: parity indicator averages 0.5 over
+    1..42; weighting by the indicator picks out the odd half."""
+    s1 = _bld_snap(bld_db, [T6[-1]])
+    odd = (F.col("id") % 2).cast("double")
+    assert s1.transform(
+        lambda df: df.withColumn("o", odd)
+    ).average("o") == pytest.approx(0.5, rel=1e-9)
+
+    got = s1.transform(
+        lambda df: df.withColumn("v", F.lit(1.0)).withColumn("w", 2 * odd)
+    ).weighted_average("v", "w")
+    assert got == pytest.approx(1.0, rel=1e-9)
+
+    # custom index: average of the parity indicator per parity bucket
+    res = (
+        s1.aggregate_by((F.col("id") % 2) == 0, name="even")
+        .transform(lambda df: df.withColumn("o", odd))
+        .average("o")
+    )
+    got = {r["even"]: r["avg_o"] for r in res.collect()}
+    assert got[True] == pytest.approx(0.0, abs=1e-12)
+    assert got[False] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_helpers_snapshot_uniq_countuniq(bld_db):
+    """testUniq/testCountUniq: 42 distinct ids at the last stamp, 0 at the
+    first; parity split 21/21."""
+    t72s = _stamps("2010-01-01", "2015-12-01", MONTHLY)
+    s72 = _bld_snap(bld_db, t72s)
+    res = s72.aggregate_by_timestamp().uniq("id")
+    rows = sorted(res.collect(), key=lambda r: r["snap_ts"])
+    assert len(rows) == len(t72s)
+    assert len(rows[0]["uniq_id"] or []) == 0
+    assert len(rows[-1]["uniq_id"] or []) == N_WAYS
+
+    assert s72.count_uniq("id") == N_WAYS
+    res = s72.aggregate_by((F.col("id") % 2) == 0, name="even").count_uniq("id")
+    got = {r["even"]: r["count_uniq_id"] for r in res.collect()}
+    assert got == {True: N_WAYS // 2, False: N_WAYS // 2}
+
+
 # -- CollectTest / ForEachTest / StreamTest -----------------------------------
 
 

@@ -44,8 +44,13 @@ def prune_with_members(tiled: DataFrame, range_pred) -> DataFrame:
 
     In-range ways/relations may reference nodes (and ways) whose own insert
     cells are out of range; two id semi-joins pull exactly those back in.
-    The semi-join keys are the (small) pruned subset's refs — at 10^12 docs
-    this broadcast-prunes instead of shuffling the full node table.
+
+    The semi-join sides are NOT hint-broadcast: the key sets scale with the
+    AOI (a continental query's distinct ref set is billions of ids — a
+    forced broadcast would OOM the driver).  With AQE on (session.py) the
+    runtime re-plan broadcasts them whenever they measure small — the
+    common city/region AOI gets the broadcast semi-join for free, the
+    continental AOI degrades to a shuffled semi-join instead of dying.
     """
     in_range = tiled.filter(range_pred)
     ways_in = in_range.filter(F.col("type") == "way")
@@ -59,7 +64,7 @@ def prune_with_members(tiled: DataFrame, range_pred) -> DataFrame:
         .distinct()
     )
     extra_ways = tiled.filter(F.col("type") == "way").join(
-        F.broadcast(rel_way_ids), "id", "left_semi"
+        rel_way_ids, "id", "left_semi"
     )
     all_ways = ways_in.unionByName(extra_ways).dropDuplicates(["id", "version"])
 
@@ -73,7 +78,7 @@ def prune_with_members(tiled: DataFrame, range_pred) -> DataFrame:
         .distinct()
     )
     extra_nodes = tiled.filter(F.col("type") == "node").join(
-        F.broadcast(node_ids), "id", "left_semi"
+        node_ids, "id", "left_semi"
     )
     nodes = (
         in_range.filter(F.col("type") == "node")

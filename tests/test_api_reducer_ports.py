@@ -9,12 +9,19 @@
                                    map-before/after-aggregation equality,
                                    combined index order swap)
     FlatMapReduceTest.java / FlatMapAggregateTest.java
+      (+ the GroupedByEntity variants)
     LambdaFilterTest.java         (raw predicates pre/post aggregateBy)
     CollectTest.java / ForEachTest.java / StreamTest.java
     TestMapReducerTimestamps.java (invalid timestamp strings)
-    HelpersOSMContributionViewTest.java (sum/count/average/weightedAverage/
-                                   uniq over the contribution view in all
-                                   four shapes: single window, per-interval,
+    TestAutoAggregation.java      (map before/after aggregateByGeometry)
+    IterateByContributionTest.java (issue 108: window opening after the
+                                   entity's creation)
+    OSMDataFiltersTest.java       (chained areaOfInterest intersection;
+                                   bbox/polygon/multipolygon AOIs)
+    HelpersOSMContributionViewTest.java / HelpersOSMEntitySnapshotViewTest
+                                  (sum/count/average/weightedAverage/uniq/
+                                   countUniq over both views in all four
+                                   shapes: single window, per-interval,
                                    total, custom index)
     QuantilesTest.java            (estimated quantiles, self-referential
                                    interpolation check)
@@ -461,6 +468,46 @@ def test_lambda_filter_after_aggregate(hwy_db):
     )
     got = {r["id"]: set(r["uniq_contrib_uid"]) for r in res.collect()}
     assert got == {NID: GEOM_CHANGE_UIDS}
+
+
+# -- OSMDataFiltersTest ---------------------------------------------------------
+
+
+def test_aoi_chains(hwy_db):
+    """OSMDataFiltersTest: chained areaOfInterest calls INTERSECT; bbox,
+    polygon, and multipolygon AOIs containing the node all count it; a
+    disjoint chain counts nothing."""
+    base = SnapshotView.on(hwy_db).timestamps(T1).filter("type:node")
+    around = (7.9, 8.9, 8.2, 9.2)  # node sits at ~(8.0x, 9.0x) deg
+
+    assert base.area_of_interest(bbox=around).count() == 1
+    # bboxesNotIntersecting: disjoint chain -> empty
+    assert (
+        base.area_of_interest(bbox=(0.0, 0.0, 1.0, 1.0))
+        .area_of_interest(bbox=around)
+        .count()
+        == 0
+    )
+    # bboxesIntersecting: world then bbox == bbox
+    assert (
+        base.area_of_interest(bbox=(-180.0, -90.0, 180.0, 90.0))
+        .area_of_interest(bbox=around)
+        .count()
+        == 1
+    )
+    # polygon AOI of the same rectangle
+    poly = {
+        "type": "Polygon",
+        "coordinates": [[
+            [around[0], around[1]], [around[2], around[1]],
+            [around[2], around[3]], [around[0], around[3]],
+            [around[0], around[1]],
+        ]],
+    }
+    assert base.area_of_interest(polygon=poly).count() == 1
+    # multiPolygon AOI wrapping the same rectangle
+    multi = {"type": "MultiPolygon", "coordinates": [poly["coordinates"]]}
+    assert base.area_of_interest(polygon=multi).count() == 1
 
 
 # -- TestMapReducerTimestamps -------------------------------------------------

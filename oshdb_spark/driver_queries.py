@@ -2382,6 +2382,46 @@ FROM comp GROUP BY component
 """
 
 
+# survivorship on top of the same component structure: every document
+# mapped to its canonical representative (component min; itself when
+# unlinked) + the keep flag — the deduplicated-corpus step
+_SURV_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks FROM documents),
+near AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM t a JOIN t b ON b.doc_id - a.doc_id IN (25, 50)
+  WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) > 0.3),
+edges AS (SELECT u, v FROM near UNION SELECT v AS u, u AS v FROM near),
+reach(node, label) AS (
+  SELECT u, u FROM edges GROUP BY u
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@_q("dedup_survivorship", _SURV_ORACLE)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.operators.dedup import dedup_survivors, token_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = token_jaccard_pairs(docs, offset=25, threshold=0.3).unionByName(
+        token_jaccard_pairs(docs, offset=50, threshold=0.3)
+    )
+    pairs = near.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    out = dedup_survivors(docs.select("doc_id"), pairs)
+    return out.select("doc_id", "canonical_id", "is_canonical")
+
+
 @_q("dedup_connected_components", _CC_ORACLE)
 def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.dedup import (

@@ -341,3 +341,34 @@ def connected_components(
         F.col("v").alias("node"), F.col("u").alias("component")
     )
     return members.unionByName(roots)
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Survivorship: candidate pairs -> each doc mapped to its CANONICAL
+    representative (the min id of its duplicate component; itself when
+    unlinked) plus an `is_canonical` keep flag — the step that turns
+    near-dup clustering into a deduplicated training corpus
+    (`docs.filter("is_canonical")` is the kept copy set).
+
+    100-TB posture: connected_components is shuffle-bounded over the
+    (small) pair set; the corpus then takes exactly ONE join against the
+    per-linked-doc component map — linked docs are a tiny fraction of the
+    corpus, so AQE broadcasts the map in the common case and the corpus
+    itself never shuffles.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    comp = cc.withColumnRenamed("node", id_col)
+    out = docs.join(comp, id_col, "left")
+    return (
+        out.withColumn(
+            "canonical_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .withColumn("is_canonical", F.col("canonical_id") == F.col(id_col))
+        .drop("component")
+    )

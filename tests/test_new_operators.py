@@ -306,6 +306,31 @@ def test_cc_string_ids(spark):
     assert out == {"a": "a", "b": "a", "c": "a"}
 
 
+def test_dedup_survivors(spark):
+    """Survivorship: linked docs map to the component min, singletons to
+    themselves; `is_canonical` marks exactly one keeper per component plus
+    every singleton."""
+    from oshdb_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # components: {1,2,3} (chain), {5,6}; 4,7,8 singletons
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in dedup_survivors(docs, pairs).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+        7: (7, True), 8: (8, True),
+    }
+    # the kept set = one doc per component + all singletons
+    kept = sorted(k for k, (c, keep) in out.items() if keep)
+    assert kept == [1, 4, 5, 7, 8]
+
+
 # ---------------------------------------------------------------------------
 # raster->vector zonal aggregation (polygon_cell_cover / raster_zonal)
 # ---------------------------------------------------------------------------

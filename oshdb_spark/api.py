@@ -558,6 +558,17 @@ class _MapReducer:
     def count_uniq(self, col: str | Column) -> int:
         return int(self._agg_scalar(F.countDistinct(col)))
 
+    def count_uniq_approx(self, col: str | Column, rsd: float = 0.02) -> int:
+        """HyperLogLog++ estimate of countUniq (beyond-reference scale
+        path; the reference's countUniq — MapReducer.java:956-974,
+        countUniq = reduce over Set::add — is exact and so is
+        :meth:`count_uniq`).  At 100-TB scale an exact distinct shuffles
+        every distinct key; the HLL sketch is a fixed-size partial that
+        combines map-side, so the shuffle carries one sketch per
+        partition regardless of cardinality.  ``rsd`` is the target
+        relative standard deviation (Spark's approx_count_distinct)."""
+        return int(self._agg_scalar(F.approx_count_distinct(col, rsd)))
+
     def uniq(self, col: str | Column) -> set:
         return set(self._agg_scalar(F.collect_set(col)))
 
@@ -1055,6 +1066,17 @@ class MapAggregator:
     def count_uniq(self, col: str, name: str | None = None) -> DataFrame:
         name = name or f"count_uniq_{col}"
         return self._reduce([count_uniq_agg(col, name)], {name: 0})
+
+    def count_uniq_approx(
+        self, col: str, rsd: float = 0.02, name: str | None = None
+    ) -> DataFrame:
+        """Per-group HyperLogLog++ countUniq (see
+        :meth:`_MapReducer.count_uniq_approx`): fixed-size sketch partials
+        instead of a per-distinct-key shuffle."""
+        name = name or f"approx_uniq_{col}"
+        return self._reduce(
+            [F.approx_count_distinct(col, rsd).alias(name)], {name: 0}
+        )
 
     def uniq(self, col: str, name: str | None = None) -> DataFrame:
         name = name or f"uniq_{col}"

@@ -1068,6 +1068,37 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q11B_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS uniq_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+@_q("countuniq_approx_gate", _Q11B_ORACLE)
+def q_countuniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL countUniq gated through the hash oracle: the query emits the
+    EXACT distinct count plus a boolean asserting the HLL estimate
+    (rsd=0.01) lands within 5x the target rsd of it; the oracle expects
+    TRUE, so an out-of-tolerance sketch is a hash mismatch.  This gates
+    the scale path (fixed-size map-side-combinable sketch partials, no
+    per-distinct-key shuffle) with an exact criterion."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(
+        count_uniq_agg("user_id", "uniq_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "uniq_users",
+        (
+            F.abs(F.col("__approx") - F.col("uniq_users"))
+            <= 0.05 * F.col("uniq_users")
+        ).alias("approx_ok"),
+    )
+
+
 ZEROFILL_TYPES = ["click", "view", "purchase", "signup", "error", "refund", "ban"]
 _ZF_VALUES = ", ".join(f"('{t}')" for t in ZEROFILL_TYPES)
 _Q12_ORACLE = f"""

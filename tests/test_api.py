@@ -122,6 +122,35 @@ def test_count_uniq_and_average(db):
     assert got == pytest.approx(exp)
 
 
+def test_count_uniq_approx(db):
+    # HLL scale path: estimate within 5x the target rsd of the exact
+    # count, scalar and grouped, and grouped zerofill keeps absent keys
+    v = SnapshotView.on(db).timestamps([TS[3]]).filter("type:node")
+    exact = v.count_uniq("id")
+    approx = v.count_uniq_approx("id", rsd=0.01)
+    assert abs(approx - exact) <= max(1, 0.05 * exact)
+    res = (
+        SnapshotView.on(db)
+        .timestamps([TS[3]])
+        .aggregate_by("type", keys=["node", "way", "relation"])
+        .count_uniq_approx("id", rsd=0.01)
+    )
+    rows = {r["type"]: r["approx_uniq_id"] for r in res.collect()}
+    assert set(rows) == {"node", "way", "relation"}
+    exact_rows = {
+        r["type"]: r["count_uniq_id"]
+        for r in (
+            SnapshotView.on(db)
+            .timestamps([TS[3]])
+            .aggregate_by("type", keys=["node", "way", "relation"])
+            .count_uniq("id")
+            .collect()
+        )
+    }
+    for t, e in exact_rows.items():
+        assert abs(rows[t] - e) <= max(1, 0.05 * e)
+
+
 def test_group_by_entity_sorted(db):
     g = (
         SnapshotView.on(db)

@@ -263,6 +263,72 @@ FROM ids GROUP BY 1
 _Q_S2_ORACLE = _s2_oracle_sql(12).format(derive=_duck_derive(GEO_POINT_EXPRS))
 
 
+def _geohash_oracle_sql(precision: int) -> str:
+    """Geohash re-derived in DuckDB SQL: the same cell-index arithmetic
+    but the bit interleave expressed as a 5-step CTE chain of
+    shift-or-mask rounds and the base-32 chars as substr() lookups —
+    structurally independent of the Column construction in
+    operators/tiling.geohash_col."""
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    steps = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+             (1, 0x5555555555555555)]
+    ctes = [
+        "g AS ({derive})",
+        f"c AS (SELECT user_id, "
+        f"LEAST(CAST(FLOOR((lon_fp + 1800000000) / 3600000000.0 * {1 << nlon})"
+        f" AS BIGINT), {(1 << nlon) - 1}) AS sx, "
+        f"LEAST(CAST(FLOOR((lat_fp + 900000000) / 1800000000.0 * {1 << nlat})"
+        f" AS BIGINT), {(1 << nlat) - 1}) AS sy FROM g)",
+    ]
+    prev = "c"
+    for i, (sh, mask) in enumerate(steps):
+        ctes.append(
+            f"s{i} AS (SELECT user_id, "
+            f"(sx | (sx << {sh})) & {mask} AS sx, "
+            f"(sy | (sy << {sh})) & {mask} AS sy FROM {prev})"
+        )
+        prev = f"s{i}"
+    if bits % 2 == 0:
+        code = "((sx << 1) | sy)"
+    else:
+        code = "(sx | (sy << 1))"
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{b32}', CAST(({code} >> {5 * (precision - 1 - i)}) & 31"
+        f" AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f", h AS (SELECT user_id, {chars} AS gh FROM {prev}) "
+        "SELECT gh, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq_users "
+        "FROM h GROUP BY gh"
+    )
+
+
+_Q_GEOHASH_ORACLE = _geohash_oracle_sql(7).format(
+    derive=_duck_derive(GEO_POINT_EXPRS)
+)
+
+
+@_q("geohash_cell_assign", _Q_GEOHASH_ORACLE)
+def q_geohash_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash precision-7 assignment over the synthetic point stream —
+    the third public grid (pure Catalyst bit-spread + base-32, zero
+    UDFs; precision 7 = 35 bits exercises the odd-split branch)."""
+    from oshdb_spark.operators.tiling import geohash_col
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return (
+        g.withColumn("gh", geohash_col(F.col("lon_fp"), F.col("lat_fp"), 7))
+        .groupBy("gh")
+        .agg(count_agg("cnt"), count_uniq_agg("user_id", "uniq_users"))
+    )
+
+
 @_q("s2_cell_assign", _Q_S2_ORACLE, bench=True)
 def q_s2_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 level-12 cell assignment over the synthetic point stream —

@@ -95,6 +95,71 @@ def xy_insert_cell_col(
 # ---------------------------------------------------------------------------
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# bit-spread magic masks: place bit j of a <=32-bit value at position 2j
+_SPREAD_STEPS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_bits_col(x: Column) -> Column:
+    for shift, mask in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def geohash_col(lon: Column, lat: Column, precision: int = 8) -> Column:
+    """Geohash (public base-32 Morton grid) as a pure Catalyst expression.
+
+    Beyond-reference third public grid next to XYGrid/S2/H3: geohash is
+    the equirectangular Morton code most external datasets carry, so the
+    engine emits interoperable ids without any UDF — fixed-point inputs
+    (1e-7 degrees), bit-spread interleave (lon first, per the standard),
+    base-32 chars via substring on the alphabet literal.  Whole-stage
+    codegen keeps all of it JVM-side.
+
+    ``precision`` is the character count (5 bits each); lon gets
+    ceil(5p/2) bits, lat the rest.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    # fixed-point -> cell index; the +180/+90 shift keeps operands
+    # non-negative so FLOOR == truncation; clamp the right edge
+    xi = F.floor(
+        ((lon.cast("double") + _OSM_180) / 3_600_000_000.0) * F.lit(float(1 << nlon))
+    )
+    yi = F.floor(
+        ((lat.cast("double") + _OSM_90) / 1_800_000_000.0) * F.lit(float(1 << nlat))
+    )
+    xi = F.least(xi, F.lit((1 << nlon) - 1)).cast("long")
+    yi = F.least(yi, F.lit((1 << nlat) - 1)).cast("long")
+    if bits % 2 == 0:
+        # even total: lon bits land at odd positions (MSB is lon's MSB)
+        code = F.shiftleft(_spread_bits_col(xi), 1).bitwiseOR(
+            _spread_bits_col(yi)
+        )
+    else:
+        # odd total: lon has one extra bit and occupies even positions
+        code = _spread_bits_col(xi).bitwiseOR(
+            F.shiftleft(_spread_bits_col(yi), 1)
+        )
+    parts = []
+    for i in range(precision):
+        idx = F.shiftrightunsigned(code, 5 * (precision - 1 - i)).bitwiseAND(
+            F.lit(31)
+        )
+        parts.append(F.lit(_GEOHASH_B32).substr((idx + 1).cast("int"), F.lit(1)))
+    return F.concat(*parts)
+
+
 def xy_insert_cell_udf():
     """pandas UDF: (minlon, minlat, maxlon, maxlat) -> struct(zoom, cell)."""
     from oshdb_spark.session import ensure_package_on_workers

@@ -263,10 +263,11 @@ class _MapReducer:
 
     def area_of_interest(
         self,
-        bbox: tuple[float, float, float, float] | None = None,
+        bbox: "tuple[float, float, float, float] | BoundingBox | None" = None,
         polygon: dict | None = None,
     ) -> "_MapReducer":
-        """bbox = (minlon, minlat, maxlon, maxlat) in degrees; polygon = a
+        """bbox = (minlon, minlat, maxlon, maxlat) in degrees or a
+        geometry.bbox.BoundingBox (OSHDBBoundingBox); polygon = a
         GeoJSON-like dict.  Polygon must not override a previously set bbox
         and vice versa (CHANGELOG 1.2.0 "#512"): both combine by
         intersection — we keep whichever is set and intersect semantics via
@@ -285,6 +286,12 @@ class _MapReducer:
                 )
             return self._with(bbox_deg=eff, polygon=_freeze(polygon))
         if bbox is not None:
+            from oshdb_spark.geometry.bbox import BoundingBox
+
+            if isinstance(bbox, BoundingBox):
+                # OSHDBBoundingBox value type (OSHDBBoundingBox.java) —
+                # convert fixed-point ints to the engine's degree tuple.
+                bbox = bbox.degrees()
             eff = self.state.bbox_deg
             if eff is not None:
                 bbox = (

@@ -128,3 +128,58 @@ def timestamps(
         dt = _add_period(start_dt, i * months, i * days, i * seconds)
         cur = int(dt.timestamp()) * 1_000_000 + dt.microsecond
     return out
+
+
+class TimestampInterval:
+    """From-to time interval with OSHDBTimestampInterval parity
+    (/root/reference/oshdb-util/src/main/java/org/heigit/ohsome/oshdb/util/time/OSHDBTimestampInterval.java):
+    ``intersects`` is closed on both ends, ``includes`` is half-open
+    ``[from, to)`` — the engine's snapshot/contribution interval
+    convention — and ordering compares ``from`` then ``to``.
+
+    Timestamps are plain ints in any consistent unit (the engine uses
+    epoch microseconds); the no-arg constructor is the reference's
+    unbounded interval (Long.MIN_VALUE, Long.MAX_VALUE analog).
+    """
+
+    __slots__ = ("from_ts", "to_ts")
+
+    _MIN = -(2**63)
+    _MAX = 2**63 - 1
+
+    def __init__(self, from_ts: int | None = None, to_ts: int | None = None):
+        self.from_ts = self._MIN if from_ts is None else int(from_ts)
+        self.to_ts = self._MAX if to_ts is None else int(to_ts)
+
+    def intersects(self, other: "TimestampInterval") -> bool:
+        return other.to_ts >= self.from_ts and other.from_ts <= self.to_ts
+
+    def includes(self, ts: int) -> bool:
+        return self.from_ts <= ts < self.to_ts
+
+    def compare_against_timestamp(self, ts: int) -> int:
+        if self.includes(ts):
+            return 0
+        return -1 if ts < self.from_ts else 1
+
+    def compare_to(self, other: "TimestampInterval") -> int:
+        c = (self.from_ts > other.from_ts) - (self.from_ts < other.from_ts)
+        if c == 0:
+            c = (self.to_ts > other.to_ts) - (self.to_ts < other.to_ts)
+        return c
+
+    def __lt__(self, other: "TimestampInterval") -> bool:
+        return self.compare_to(other) < 0
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, TimestampInterval)
+            and self.from_ts == other.from_ts
+            and self.to_ts == other.to_ts
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.from_ts, self.to_ts))
+
+    def __repr__(self) -> str:
+        return f"TimestampInterval({self.from_ts}, {self.to_ts})"

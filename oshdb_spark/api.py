@@ -359,6 +359,43 @@ class _MapReducer:
         Use Column expressions / pandas UDFs inside — never per-row Python."""
         return self._with(transforms=self.state.transforms + (fn,))
 
+    def map(self, fn: Callable[[DataFrame], DataFrame]) -> "_MapReducer":
+        """Reference-name alias of :meth:`transform` (MapReducer.map,
+        :430-448) — the per-ROW lambda of the reference becomes a
+        DataFrame->DataFrame stage here (set-at-a-time, not row-at-a-time),
+        which is the whole point of the Spark re-architecture."""
+        return self.transform(fn)
+
+    def for_each(self, action: Callable) -> None:
+        """Apply ``action`` to every result row (MapReducer.forEach,
+        :1354-1360).  Like the reference this is a terminal consumer with
+        no return value; rows stream through the driver lazily."""
+        for row in self.stream():
+            action(row)
+
+    def estimated_median(self, col: str):
+        """estimatedMedian (MapReducer.java:1061-1069) =
+        estimatedQuantile(0.5)."""
+        return self.estimated_quantile(col, 0.5)
+
+    def is_cancelable(self) -> bool:
+        """Whether queries on this backend can be canceled
+        (MapReducer.isCancelable, OSHDBDatabase; the Ignite backends return
+        false for some compute modes).  The Spark backend always supports
+        job-group cancellation — it is what the timeout path uses
+        (OSHDB.timeout)."""
+        return True
+
+    def tag_interpreter(self, interpreter: TagInterpreter) -> "_MapReducer":
+        """Override the TagInterpreter used for geometry building
+        (MapReducer.tagInterpreter, :220-228) for this query chain only;
+        the OSHDB handle is not mutated."""
+        db = OSHDB(
+            self.db.spark, self.db.entities, self.db.translator, interpreter
+        )
+        db.timeout_s = self.db.timeout_s
+        return type(self)(db, self.state)
+
     # -- narrowing ---------------------------------------------------------
 
     def _type_set(self) -> frozenset[str]:

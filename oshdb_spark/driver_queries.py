@@ -1389,6 +1389,45 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS nc, STRING_SPLIT(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, nc, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i) u
+  WHERE LEN(t) >= 2
+),
+cnts AS (
+  SELECT doc_id, nc, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, nc, gram
+),
+agg AS (
+  SELECT doc_id, nc, SUM(cnt) AS n_grams, COUNT(*) AS n_distinct,
+         MAX({'cnt': cnt, 'glen': LENGTH(gram)}) AS best
+  FROM cnts GROUP BY doc_id, nc
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_gram_frac,
+       CAST(best.cnt AS BIGINT) AS top_gram_cnt,
+       CAST(best.cnt * best.glen AS DOUBLE) / nc AS top_gram_char_frac
+FROM agg
+"""
+
+
+@_q("repetition_signals", _REP_ORACLE)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-quality filters (duplicate-2-gram fraction + top-
+    2-gram char coverage); the (count, gram-length) struct max keeps the
+    tie-break deterministic on both engines."""
+    from oshdb_spark.operators.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs, n=2)
+
+
 @_q("text_token_stats", _Q17_ORACLE)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oshdb_spark.operators.text import token_stats

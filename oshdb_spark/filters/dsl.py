@@ -52,16 +52,68 @@ class FilterParseError(ValueError):
 
 @dataclass
 class TagTranslator:
-    """String keys/values <-> int codes (keytables)."""
+    """String keys/values/roles <-> int codes (keytables).
+
+    Mirrors the reference's TagTranslator surface
+    (oshdb-util/.../tagtranslator/TagTranslator.java and its
+    AbstractTagTranslatorTest): forward lookups return None for strings
+    absent from the keytables (the reference's empty Optional), reverse
+    lookups (`lookup_*`) raise KeyError for unknown ids (the reference
+    throws on ids missing from the keytables)."""
 
     keys: dict[str, int] = field(default_factory=dict)
     values: dict[tuple[str, str], int] = field(default_factory=dict)
+    roles: dict[str, int] = field(default_factory=dict)
 
     def key_id(self, key: str) -> int | None:
         return self.keys.get(key)
 
     def value_id(self, key: str, value: str) -> int | None:
         return self.values.get((key, value))
+
+    def tag_id(self, key: str, value: str) -> tuple[int, int] | None:
+        """OSMTag -> OSHDBTag (getOSHDBTagOf): (key_id, value_id) or None."""
+        ki = self.keys.get(key)
+        vi = self.values.get((key, value))
+        return None if ki is None or vi is None else (ki, vi)
+
+    def role_id(self, role: str) -> int | None:
+        """OSMRole -> OSHDBRole (getOSHDBRoleOf)."""
+        return self.roles.get(role)
+
+    # -- reverse lookups (lookupTag / lookupRole) -------------------------
+
+    def lookup_key(self, key_id: int) -> str:
+        return self._rev_keys()[key_id]
+
+    def lookup_tag(self, key_id: int, value_id: int) -> tuple[str, str]:
+        return self._rev_values()[(key_id, value_id)]
+
+    def lookup_role(self, role_id: int) -> str:
+        return self._rev_roles()[role_id]
+
+    def _rev_keys(self) -> dict[int, str]:
+        cached = getattr(self, "__rev_keys", None)
+        if cached is None or len(cached) != len(self.keys):
+            cached = {i: k for k, i in self.keys.items()}
+            object.__setattr__(self, "__rev_keys", cached)
+        return cached
+
+    def _rev_values(self) -> dict[tuple[int, int], tuple[str, str]]:
+        cached = getattr(self, "__rev_values", None)
+        if cached is None or len(cached) != len(self.values):
+            cached = {
+                (self.keys[k], i): (k, v) for (k, v), i in self.values.items()
+            }
+            object.__setattr__(self, "__rev_values", cached)
+        return cached
+
+    def _rev_roles(self) -> dict[int, str]:
+        cached = getattr(self, "__rev_roles", None)
+        if cached is None or len(cached) != len(self.roles):
+            cached = {i: r for r, i in self.roles.items()}
+            object.__setattr__(self, "__rev_roles", cached)
+        return cached
 
 
 # ---------------------------------------------------------------------------

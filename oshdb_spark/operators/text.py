@@ -241,6 +241,64 @@ def pack_shards(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, n: int = 2, text_col: str = "text", sep: str = " "
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public): per doc, the duplicate word-n-gram fraction and the fraction
+    of characters covered by the most frequent n-gram — the standard
+    repeated-content filters for LLM training corpora.  With ``sep='\\n',
+    n=1`` the same operator computes the duplicate-LINE fraction.
+
+    Output (docs with >= n tokens only):
+      doc_id, n_grams, dup_gram_frac = 1 - distinct/total grams,
+      top_gram_cnt, top_gram_char_frac = cnt*len(gram)/len(text).
+    The "top" gram is the lexicographic max of (count, gram_length) so
+    ties are deterministic across engines.
+
+    Scale shape: per-doc gram arrays are built JVM-side (transform over
+    sequence — whole-stage codegen), then ONE explode feeds two partial-
+    aggregated groupBys keyed by (doc_id, gram) then doc_id.  ``n_chars``
+    rides the grouping key (it is functionally dependent on doc_id), so
+    no join back to the docs table and no extra shuffle.  Skew is bounded
+    by the longest single document, not by corpus-wide gram frequency.
+    """
+    toks = F.split(F.col(text_col), sep)
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(
+            sep, *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    e = docs.filter(F.size(toks) >= n).select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("__nc"),
+        F.explode(grams).alias("gram"),
+    )
+    cnts = e.groupBy("doc_id", "__nc", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = F.max(F.struct(F.col("cnt"), F.length("gram").alias("glen")))
+    out = cnts.groupBy("doc_id", "__nc").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        best.alias("__best"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+        ).alias("dup_gram_frac"),
+        F.col("__best.cnt").cast("long").alias("top_gram_cnt"),
+        (
+            (F.col("__best.cnt") * F.col("__best.glen")).cast("double")
+            / F.col("__nc")
+        ).alias("top_gram_char_frac"),
+    )
+
+
 def _range_boundaries(
     df: DataFrame,
     order_col: str,

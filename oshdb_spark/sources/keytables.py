@@ -131,3 +131,53 @@ def encode_tags(
     )
     out = with_id.join(coded, join_keys, "left")
     return out if key_cols else out.drop(id_col)
+
+
+def build_role_table(roles: DataFrame, role_col: str = "role") -> dict[str, int]:
+    """Frequency-ordered role keytable from a string-role table — the
+    reference int-codes relation member roles exactly like tag strings
+    (OSHDBRole.java, AbstractTagTranslatorTest testRole2Int/2String).
+    Ties broken by name for determinism."""
+    rows = (
+        roles.groupBy(role_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc(role_col))
+        .collect()
+    )
+    return {r[role_col]: i for i, r in enumerate(rows)}
+
+
+def encode_member_roles(
+    df: DataFrame, translator: TagTranslator, members_col: str = "members"
+) -> DataFrame:
+    """Rewrite the relations' member structs with int-coded roles
+    (string `role` -> int `role`), keeping type/ref untouched.
+
+    Scale shape: the role dictionary is tiny (dozens of strings), so it
+    inlines as a Catalyst map literal — a pure `transform` over the
+    members array, zero shuffle and zero Python.  Unknown roles code to
+    -1 (the reference's missing-Optional analog; OSM data has a fixed
+    closed role vocabulary after keytable build, so -1 flags dirty input
+    rather than silently dropping the member and breaking ring assembly).
+    """
+    if translator.roles:
+        pairs = [
+            F.lit(x) for r, i in translator.roles.items() for x in (r, i)
+        ]
+        mapping = F.create_map(*pairs)
+        role_code = lambda m: F.coalesce(  # noqa: E731
+            F.element_at(mapping, m["role"]), F.lit(-1)
+        )
+    else:
+        role_code = lambda m: F.lit(-1)  # noqa: E731
+    return df.withColumn(
+        members_col,
+        F.transform(
+            F.col(members_col),
+            lambda m: F.struct(
+                m["type"].alias("type"),
+                m["ref"].alias("ref"),
+                role_code(m).cast("int").alias("role"),
+            ),
+        ),
+    )

@@ -1082,3 +1082,43 @@ def test_quantiles_map_aggregator(bld_db):
     for ts, got in multi.items():
         for q, g in zip(QS, got):
             assert g == pytest.approx(_interp_quantile(per_ts[ts], q), rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# reference-name conveniences: map (alias of transform), forEach,
+# estimatedMedian, isCancelable, tagInterpreter
+# (MapReducer.java:220-228,430-448,1061-1069,1354-1360)
+# ---------------------------------------------------------------------------
+
+
+def test_map_alias_and_for_each(spark, hwy_db):
+    from pyspark.sql import functions as F
+
+    red = _hwy_snap(hwy_db).map(
+        lambda df: df.select("id", (F.col("id") * 2).alias("dbl"))
+    )
+    rows = [(r["id"], r["dbl"]) for r in red.dataframe().collect()]
+    assert rows and all(d == 2 * i for i, d in rows)
+
+    seen = []
+    red.for_each(lambda r: seen.append(r["id"]))
+    assert sorted(seen) == sorted(i for i, _ in rows)
+
+
+def test_estimated_median_and_cancelable(spark, hwy_db):
+    red = _hwy_snap(hwy_db)
+    assert red.estimated_median("id") == red.estimated_quantile("id", 0.5)
+    assert red.is_cancelable() is True
+
+
+def test_tag_interpreter_override(spark, hwy_db):
+    from oshdb_spark.geometry.taginterpreter import TagInterpreter
+
+    base = _hwy_snap(hwy_db)
+    override = TagInterpreter()
+    red = base.tag_interpreter(override)
+    assert red.db.interpreter is override
+    assert base.db.interpreter is not override  # immutably chained
+    assert red.db.entities is base.db.entities
+    # the chain state (timestamps, filters) carries over untouched
+    assert red.state == base.state

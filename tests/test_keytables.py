@@ -141,3 +141,87 @@ def test_keytable_frames_broadcastable(spark):
     keys, vals = keytable_frames(spark, tr)
     assert keys.count() == len(tr.keys)
     assert vals.count() == len(tr.values)
+
+
+# ---------------------------------------------------------------------------
+# AbstractTagTranslatorTest.java port (oshdb-util/src/test/java/.../
+# tagtranslator/AbstractTagTranslatorTest.java:37-120): forward tag/key/
+# role lookups return None when absent (empty Optional), reverse lookups
+# round-trip, roles int-code through their own frequency-ordered table.
+# The reference pins ids against its H2 test-data file; here the fixture
+# is synthesized so the frequency ordering yields a known id assignment.
+# ---------------------------------------------------------------------------
+
+
+def _role_rows():
+    # frequencies: outer (4) > inner (2) > from (1) == to (1, name tiebreak)
+    return (
+        [("outer",)] * 4 + [("inner",)] * 2 + [("from",)] + [("to",)]
+    )
+
+
+def test_tag_translator_round_trip(spark):
+    tr = build_keytables(
+        spark.createDataFrame(_tag_rows(), "key string, value string")
+    )
+    # testTag2Int: OSMTag -> OSHDBTag
+    assert tr.tag_id("building", "yes") == (0, 0)
+    # testTags2Int: batch = per-pair forward lookups
+    batch = {
+        ("building", "yes"): tr.tag_id("building", "yes"),
+        ("building", "no"): tr.tag_id("building", "no"),
+        ("highway", "residential"): tr.tag_id("highway", "residential"),
+    }
+    assert all(v is not None for v in batch.values())
+    # testTag2String / testTags2String: reverse round-trips
+    for (k, v), tid in batch.items():
+        assert tr.lookup_tag(*tid) == (k, v)
+    # testKey2Int + unknown -> None (empty Optional)
+    assert tr.key_id("building") == 0
+    assert tr.key_id("not_in_data") is None
+    assert tr.tag_id("building", "not_a_value") is None
+
+
+def test_role_translator(spark):
+    from oshdb_spark.sources.keytables import build_role_table
+
+    tr = build_keytables(
+        spark.createDataFrame(_tag_rows(), "key string, value string")
+    )
+    tr.roles.update(
+        build_role_table(spark.createDataFrame(_role_rows(), "role string"))
+    )
+    # testRole2Int: frequency order outer=0, inner=1, from=2, to=3
+    assert tr.role_id("outer") == 0
+    assert tr.role_id("inner") == 1
+    assert tr.role_id("from") == 2
+    assert tr.role_id("to") == 3
+    assert tr.role_id("via") is None
+    # testRole2String
+    assert tr.lookup_role(1) == "inner"
+
+
+def test_encode_member_roles(spark):
+    from oshdb_spark.filters.dsl import TagTranslator
+    from oshdb_spark.sources.keytables import encode_member_roles
+
+    tr = TagTranslator(roles={"outer": 0, "inner": 1})
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"type": "way", "ref": 10, "role": "outer"},
+                    {"type": "way", "ref": 11, "role": "inner"},
+                    {"type": "node", "ref": 12, "role": "mystery"},
+                ],
+            )
+        ],
+        "id long, members array<struct<type:string,ref:long,role:string>>",
+    )
+    out = encode_member_roles(df, tr).collect()[0]["members"]
+    assert [(m["type"], m["ref"], m["role"]) for m in out] == [
+        ("way", 10, 0),
+        ("way", 11, 1),
+        ("node", 12, -1),  # unknown role flags, not drops
+    ]

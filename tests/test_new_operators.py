@@ -478,3 +478,68 @@ def test_pack_shards_matches_global_cumsum(spark):
         .count()
     )
     assert spread > 1
+
+
+def test_repetition_signals_handmade(spark):
+    from oshdb_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 tokens -> 3 bigrams: "a b","b a","a b" -> dup frac 1/3,
+            # top gram ("a b", cnt 2, len 3), text len 7
+            (1, "a b a b"),
+            # all distinct bigrams
+            (2, "x y z"),
+            # single token: no bigram -> dropped
+            (3, "solo"),
+            # tie on count: "b c" and "c b" both cnt 2; same glen ->
+            # deterministic either way; frac uses (cnt, glen) max
+            (4, "b c b c b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(docs, n=2).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    r1 = out[1]
+    assert r1["n_grams"] == 3
+    assert abs(r1["dup_gram_frac"] - (1 - 2 / 3)) < 1e-12
+    assert r1["top_gram_cnt"] == 2
+    assert abs(r1["top_gram_char_frac"] - 2 * 3 / 7) < 1e-12
+    assert out[2]["dup_gram_frac"] == 0.0
+    r4 = out[4]
+    assert r4["n_grams"] == 4 and r4["top_gram_cnt"] == 2
+
+
+def test_repetition_signals_duplicate_lines(spark):
+    """sep='\\n', n=1 computes Gopher's duplicate-line fraction."""
+    from oshdb_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "aa\nbb\naa\ncc")], "doc_id long, text string"
+    )
+    r = repetition_signals(docs, n=1, sep="\n").collect()[0]
+    assert r["n_grams"] == 4
+    assert abs(r["dup_gram_frac"] - 0.25) < 1e-12  # 3 distinct of 4
+    assert r["top_gram_cnt"] == 2  # "aa" twice
+
+
+def test_repetition_signals_plan_jvm_only(spark):
+    """The whole operator must stay in codegen: gram arrays via
+    transform/sequence, one explode, two partial-aggregated groupBys —
+    no Python eval nodes anywhere in the physical plan."""
+    from oshdb_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    plan = (
+        repetition_signals(docs, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

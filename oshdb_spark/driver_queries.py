@@ -662,6 +662,75 @@ def q_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# geometry x time combined index (the ohsome "groupBy boundary + time"
+# workload): aggregate_by_geometry(...).aggregate_by_timestamp().count()
+# with zerofill over the FULL zone x snapshot product (one pre-data
+# snapshot proves the product zerofill).  Zone rectangle edges sit on
+# .005-degree offsets while every derived coordinate is a multiple of
+# 0.01 degree, so no point ever lies on a zone edge.
+_ZTS_ZONES_FP = {
+    # zone_key -> (x0, y0, x1, y1) fixed-point 1e7; the two zones share
+    # the -100.005-degree meridian, so together they tile the derived
+    # coordinate space (all lons land in [-180, 0) at every sf)
+    "lo": (-1_800_050_000, -850_050_000, -1_000_050_000, 840_050_000),
+    "hi": (-1_000_050_000, -850_050_000, 50_000, 840_050_000),
+}
+
+_ZTS_ZONE_VALUES = ", ".join(
+    f"('{k}', {x0}, {y0}, {x1}, {y1})"
+    for k, (x0, y0, x1, y1) in sorted(_ZTS_ZONES_FP.items())
+)
+
+_ZTS_ORACLE = f"""
+WITH g AS ({{placeholder}}),
+v AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts_us, event_id)
+        AS version FROM g),
+w AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY id ORDER BY ts_us, version)
+        AS next_ts FROM v),
+t(snap_ts) AS (VALUES {", ".join(f"({t})" for t in _FLUENT_SNAPS)}),
+z(zone_key, x0, y0, x1, y1) AS (VALUES {_ZTS_ZONE_VALUES}),
+hit AS (
+  SELECT z.zone_key, t.snap_ts, COUNT(*) AS c
+  FROM w
+  JOIN t ON t.snap_ts >= w.ts_us
+        AND (w.next_ts IS NULL OR t.snap_ts < w.next_ts)
+  JOIN z ON w.lon_fp > z.x0 AND w.lon_fp < z.x1
+        AND w.lat_fp > z.y0 AND w.lat_fp < z.y1
+  WHERE w.visible
+  GROUP BY z.zone_key, t.snap_ts)
+SELECT z.zone_key, t.snap_ts, CAST(COALESCE(hit.c, 0) AS BIGINT) AS cnt
+FROM z CROSS JOIN t
+LEFT JOIN hit ON hit.zone_key = z.zone_key AND hit.snap_ts = t.snap_ts
+""".replace("{placeholder}", _duck_derive(GEO_VERSION_EXPRS))
+
+
+@_q("zonal_time_series", _ZTS_ORACLE)
+def q_zonal_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oshdb_spark.api import SnapshotView
+
+    db = _fluent_node_db(spark, sf_dir)
+
+    def rect(x0: int, y0: int, x1: int, y1: int) -> dict:
+        c = [
+            [x0 / 1e7, y0 / 1e7],
+            [x1 / 1e7, y0 / 1e7],
+            [x1 / 1e7, y1 / 1e7],
+            [x0 / 1e7, y1 / 1e7],
+            [x0 / 1e7, y0 / 1e7],
+        ]
+        return {"type": "Polygon", "coordinates": [c]}
+
+    zones = {k: rect(*b) for k, b in _ZTS_ZONES_FP.items()}
+    return (
+        SnapshotView.on(db)
+        .timestamps(_FLUENT_SNAPS)
+        .filter("type:node")
+        .aggregate_by_geometry(zones)
+        .aggregate_by_timestamp()
+        .count()
+    )
+
+
 # groupByEntity (MapReducer.groupByEntity, MapReducer.java:585-623) under
 # the value-hash gate: all snapshot rows of one entity collected into ONE
 # timestamp-sorted list.  The position-weighted signature

@@ -1486,6 +1486,42 @@ FROM agg
 """
 
 
+_DECON_PROBES = [
+    "batch batch",
+    "hash join",
+    "order sort",
+    "the fast",
+    "window window",
+]
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(t)-1)) AS i) u
+  WHERE LEN(t) >= 2
+),
+p(gram) AS (VALUES {", ".join(f"('{g}')" for g in _DECON_PROBES)})
+SELECT doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_probe_hits,
+       MIN(g.gram) AS first_hit
+FROM grams g JOIN p ON p.gram = g.gram
+GROUP BY doc_id
+"""
+
+
+@_q("ngram_decontaminate", _DECON_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs sharing any probe 2-gram, with the
+    distinct-hit count and lexicographic first hit per doc."""
+    from oshdb_spark.operators.text import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_decontaminate(docs, _DECON_PROBES, n=2)
+
+
 @_q("repetition_signals", _REP_ORACLE)
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-quality filters (duplicate-2-gram fraction + top-

@@ -241,6 +241,57 @@ def pack_shards(
     )
 
 
+def _word_ngrams(toks, n: int, sep: str):
+    """Array of word n-grams from a token-array column — a Catalyst
+    transform over sequence (whole-stage codegen, no UDF).  Callers must
+    pre-filter to size(toks) >= n."""
+    m = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(
+            sep, *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    probe_grams: list[str],
+    n: int = 8,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Benchmark decontamination: flag documents that share any word
+    n-gram with a probe set (the standard eval-set decontamination step —
+    e.g. GPT-3 appendix C / Gopher §A2's 13-gram overlap rule — run
+    before training to drop documents that leak test data).
+
+    Returns (doc_id, n_probe_hits = distinct probe grams found in the
+    doc, first_hit = lexicographic min matching gram).  Documents with no
+    hit are absent — semi-join semantics; anti-join the result against
+    the corpus to get the clean set.
+
+    Scale shape: the probe set is benchmark-sized (thousands), so it
+    broadcasts; doc n-grams are built JVM-side and exploded once, the
+    broadcast hash join filters them map-side BEFORE the only shuffle
+    (groupBy doc_id over surviving hits — normally a tiny fraction of the
+    corpus).  The corpus is never shuffled whole.
+    """
+    spark = docs.sparkSession
+    probes = spark.createDataFrame(
+        [(g,) for g in sorted(set(probe_grams))], "gram string"
+    )
+    toks = F.split(F.col(text_col), sep)
+    e = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(_word_ngrams(toks, n, sep)).alias("gram")
+    )
+    hits = e.join(F.broadcast(probes), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_probe_hits"),
+        F.min("gram").alias("first_hit"),
+    )
+
+
 def repetition_signals(
     docs: DataFrame, n: int = 2, text_col: str = "text", sep: str = " "
 ) -> DataFrame:
@@ -264,13 +315,7 @@ def repetition_signals(
     by the longest single document, not by corpus-wide gram frequency.
     """
     toks = F.split(F.col(text_col), sep)
-    m = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.concat_ws(
-            sep, *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    grams = _word_ngrams(toks, n, sep)
     e = docs.filter(F.size(toks) >= n).select(
         "doc_id",
         F.length(F.col(text_col)).alias("__nc"),

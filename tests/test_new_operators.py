@@ -543,3 +543,34 @@ def test_repetition_signals_plan_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ngram_decontaminate(spark):
+    from oshdb_spark.operators.text import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "a quick brown dog runs quick brown"),  # probe hit twice,
+            (3, "nothing to see"),                      # distinct-counted once
+            (4, "fox"),                                 # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_probe_hits"], r["first_hit"])
+        for r in ngram_decontaminate(
+            docs, ["quick brown", "to see", "fox jumps"], n=2
+        ).collect()
+    }
+    assert out == {1: (1, "quick brown"), 2: (1, "quick brown"), 3: (1, "to see")}
+
+    # plan: probe side broadcast, no Python eval anywhere
+    plan = (
+        ngram_decontaminate(docs, ["quick brown"], n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

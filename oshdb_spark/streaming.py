@@ -176,3 +176,43 @@ def streaming_aggregate_by_timestamp(
             F.col("cnt"),
         )
     )
+
+
+def streaming_dedup_docs(
+    docs: DataFrame,
+    event_time_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Dedup-on-ingest: drop re-deliveries of the same document arriving
+    within the watermark horizon (at-least-once upstreams — queue
+    redeliveries, producer retries — hand the SAME doc_id to several
+    micro-batches; this keeps the first and drops the rest).
+
+    Built on `dropDuplicatesWithinWatermark`, the streaming-native dedup
+    operator: state is keyed by `keys` (default [doc_id]) and EVICTED
+    once the watermark passes an entry, so state size is bounded by the
+    key arrival rate x horizon — never by corpus size.  This
+    intentionally does NOT replace corpus-level dedup (operators/dedup):
+    two documents ingested days apart still both land and are reconciled
+    by the batch dedup/compaction pass, exactly like the lifetime-bbox
+    re-tile (module docstring).
+
+    ``event_time_col`` must be the event-time column the watermark is
+    defined on; epoch-micros longs are cast to LTZ timestamps (session
+    TZ is UTC, so the epoch interpretation is unchanged).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(docs.schema[event_time_col].dataType, T.LongType):
+        docs = docs.withColumn(
+            event_time_col,
+            F.timestamp_micros(F.col(event_time_col)),
+        )
+    else:
+        docs = docs.withColumn(
+            event_time_col, F.col(event_time_col).cast("timestamp_ltz")
+        )
+    return docs.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["doc_id"]
+    )

@@ -242,3 +242,42 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest dedup: the same doc_id
+    delivered in two different micro-batches (within the watermark)
+    lands exactly once; distinct docs all land."""
+    from oshdb_spark.streaming import streaming_dedup_docs
+
+    src = str(tmp_path / "redelivered")
+    base = 1704067200 * 1_000_000
+    batch1 = [(i, f"text {i}", base + i * 1_000_000) for i in range(10)]
+    # batch 2 redelivers docs 0-4 (same doc_id, later ingest_ts) + 5 new
+    batch2 = [
+        (i, f"text {i} again", base + (i + 60) * 1_000_000) for i in range(5)
+    ] + [(i, f"text {i}", base + i * 1_000_000) for i in range(10, 15)]
+    schema = "doc_id long, text string, ingest_ts long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    deduped = streaming_dedup_docs(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM dedup_sink").collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == sorted(set(ids)) == list(range(15))

@@ -1557,6 +1557,43 @@ def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stopword_score(docs, stopword="the", group_col="lang")
 
 
+_QNT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         LIST_MAX(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                 x -> ABS(x))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       MD5(ARRAY_TO_STRING(
+         LIST_TRANSFORM(v, x -> CAST(CAST(FLOOR(x / scale + 0.5) AS INT)
+                                     AS VARCHAR)), ',')) AS qdigest,
+       CAST(LEN(v) AS BIGINT) AS n_dims
+FROM s WHERE scale > 0
+"""
+
+
+@_q("embedding_quantize", _QNT_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization under the value-hash gate:
+    the code array is digested (md5 of comma-joined ints) so a single
+    off-by-one code in any dimension of any vector fails the gate."""
+    from oshdb_spark.operators.similarity import quantize_embeddings
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(embs.select("vec_id", "embedding"))
+    return out.filter(F.col("scale") > 0).select(
+        "vec_id",
+        "scale",
+        F.md5(
+            F.array_join(
+                F.expr("transform(qvec, x -> CAST(x AS STRING))"), ","
+            )
+        ).alias("qdigest"),
+        F.size("qvec").cast("long").alias("n_dims"),
+    )
+
+
 _Q19_ORACLE = """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

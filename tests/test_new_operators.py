@@ -574,3 +574,31 @@ def test_ngram_decontaminate(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from oshdb_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.125, 0.0]),
+            (2, [1.0, 1.0, -1.0, 0.5]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # codes bounded, max-magnitude dim hits exactly +/-127
+    r1 = rows[1]
+    assert max(abs(q) for q in r1["qvec"]) == 127
+    # dequantization error bounded by scale/2 per dim
+    orig = [0.5, -0.25, 0.125, 0.0]
+    for q, x in zip(r1["qvec"], orig):
+        assert abs(q * r1["scale"] - x) <= r1["scale"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes (no div-by-zero)
+    assert rows[3]["scale"] == 0.0 and set(rows[3]["qvec"]) == {0}
+    # plan is pure Catalyst
+    plan = (
+        quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

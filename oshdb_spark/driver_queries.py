@@ -2787,6 +2787,87 @@ def q_grouped_collect_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-filter anti-join dedup: "which docs were already in the reference
+# corpus?" with the reference collapsed to a fixed-size broadcastable bitset.
+# Probe key = 30-char content prefix; reference = sources src0..src3, probed
+# over ALL docs so the gate exercises both the guaranteed-hit path (reference
+# docs probe their own filter: n_hits = k, keep = false -- Bloom filters have
+# no false negatives) and the miss path (everything else).  Positions are the
+# 16-bit value of the first 4 hex chars of md5('bf{k}|' || key) -- portable
+# hex-digit arithmetic, every bit identical across engines.
+_BLOOM_HEXPOS = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+    for j in range(4)
+)
+
+_BLOOM_ORACLE = f"""
+WITH ks(k) AS (VALUES (0), (1), (2), (3)),
+ref AS (SELECT substr(text, 1, 30) AS key FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+rh AS (SELECT md5('bf' || CAST(k AS VARCHAR) || '|' || key) AS h
+       FROM ref CROSS JOIN ks),
+rp AS (SELECT {_BLOOM_HEXPOS} AS pos FROM rh),
+bitset AS (SELECT pos // 63 AS word_idx,
+                  bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+           FROM rp GROUP BY 1),
+probe AS (SELECT doc_id, substr(text, 1, 30) AS key FROM documents),
+ph AS (SELECT doc_id, md5('bf' || CAST(k AS VARCHAR) || '|' || key) AS h
+       FROM probe CROSS JOIN ks),
+pp AS (SELECT doc_id, {_BLOOM_HEXPOS} AS pos FROM ph),
+hits AS (SELECT doc_id,
+    SUM(CASE WHEN b.bits IS NOT NULL
+              AND (b.bits & (1::BIGINT << CAST(p.pos % 63 AS INT))) != 0
+             THEN 1 ELSE 0 END) AS n_hits
+  FROM pp p LEFT JOIN bitset b ON p.pos // 63 = b.word_idx
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, n_hits < 4 AS keep
+FROM hits
+"""
+
+
+@_q("bloom_reference_antijoin", _BLOOM_ORACLE)
+def q_bloom_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: reference corpus -> 1041-row Bloom bitset,
+    corpus probed via k broadcast equi-joins (zero shuffle on the probe
+    side; see operators/dedup.py bloom_probe).  keep=true is a definite
+    not-in-reference."""
+    from oshdb_spark.operators.dedup import bloom_reference_antijoin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    ).select("text")
+    out = bloom_reference_antijoin(
+        docs.select("doc_id", "text"),
+        ref,
+        key_expr="substring(text, 1, 30)",
+    )
+    return out.select("doc_id", "n_hits", "keep")
+
+
+# Top-k vocabulary: the tokenizer-training precursor.  (tf DESC, token ASC)
+# is a total order (token unique per group), so the k-cutoff row set is
+# deterministic and hash-comparable across engines.
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY token
+ORDER BY tf DESC, token ASC LIMIT 20
+"""
+
+
+@_q("vocab_topk", _VOCAB_ORACLE)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus vocabulary with term + doc frequency; the Spark plan
+    must end in TakeOrderedAndProject (heap top-k), not a global sort."""
+    from oshdb_spark.operators.text import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=20)
+
+
 # ---------------------------------------------------------------------------
 # public surface for __spark_entry__.py
 # ---------------------------------------------------------------------------

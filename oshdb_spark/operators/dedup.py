@@ -372,3 +372,133 @@ def dedup_survivors(
         .withColumn("is_canonical", F.col("canonical_id") == F.col(id_col))
         .drop("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter anti-join: drop docs already present in a reference corpus
+# ---------------------------------------------------------------------------
+# The incremental-crawl dedup problem ("which of today's documents were
+# already in yesterday's corpus?") is an anti-join whose build side can be
+# petabytes.  A Bloom filter collapses the reference side to a fixed-size
+# bitset: no false negatives (a miss is a definite new doc), tunable false
+# positives (a full hit only means "maybe seen"; chase with exact dedup if
+# the FP budget matters).  Everything below is pure Catalyst, and every bit
+# is reproducible in ANSI SQL for the oracle gate (md5 of UTF-8 bytes +
+# hex-digit arithmetic), mirroring the minhash/simhash portability story.
+
+_HEX = "0123456789abcdef"
+BLOOM_POSITIONS = 1 << 16  # 16-bit probe space: 4 hex chars of md5
+_BLOOM_WORD = 63  # usable bits per packed BIGINT word; masks stay positive
+#   (1 << 63 overflows BIGINT in engines that check, so bit 63 is unused)
+
+
+def _bloom_positions(
+    df: DataFrame, key_expr: str, n_hashes: int, salt: str, keep_cols: list[str]
+) -> DataFrame:
+    """Append ``__bw{i}``/``__bm{i}`` (packed-word index, single-bit mask)
+    probe columns for each of the ``n_hashes`` salted hash functions.
+
+    Position i is the 16-bit value of the first 4 hex chars of
+    md5('{salt}{i}|' || key).  Two select stages so each digest is
+    computed once, then sliced.
+    """
+    hs = df.selectExpr(
+        *keep_cols,
+        *[
+            f"md5(cast(concat('{salt}{i}|', {key_expr}) as binary)) AS __bh{i}"
+            for i in range(n_hashes)
+        ],
+    )
+    pos_cols = [
+        "("
+        + " + ".join(
+            f"(instr('{_HEX}', substring(__bh{i}, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+            for j in range(4)
+        )
+        + f") AS __bp{i}"
+        for i in range(n_hashes)
+    ]
+    ps = hs.selectExpr(*keep_cols, *pos_cols)
+    out_cols: list[str] = []
+    for i in range(n_hashes):
+        out_cols.append(f"CAST(__bp{i} div {_BLOOM_WORD} AS BIGINT) AS __bw{i}")
+        out_cols.append(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(__bp{i} % {_BLOOM_WORD} AS INT)) AS __bm{i}"
+        )
+    return ps.selectExpr(*keep_cols, *out_cols)
+
+
+def bloom_bitset(
+    reference: DataFrame,
+    key_expr: str = "text",
+    n_hashes: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom bitset of a reference corpus as packed (word_idx, bits) rows.
+
+    At most ceil(65536 / 63) = 1041 rows regardless of corpus size, i.e.
+    always broadcastable; the build is one narrow projection + one groupBy
+    on word_idx (a <=1041-key shuffle of single-long rows).  At real scale
+    the position space would widen (more hex chars -> GB-scale bitsets are
+    still a few hundred million rows of longs, shuffled once); the plan
+    shape is unchanged.
+    """
+    pos = _bloom_positions(reference, key_expr, n_hashes, salt, keep_cols=[])
+    stacked = pos.selectExpr(
+        f"stack({n_hashes}, "
+        + ", ".join(f"__bw{i}, __bm{i}" for i in range(n_hashes))
+        + ") AS (word_idx, mask)"
+    )
+    return stacked.groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bitset: DataFrame,
+    key_expr: str = "text",
+    n_hashes: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Probe every doc against a reference bitset: adds n_hits + keep.
+
+    ZERO shuffle on the corpus: each of the k probes is a broadcast LEFT
+    equi-join against the <=1041-row bitset, so the executed plan is k
+    map-side BroadcastHashJoins + projections -- no exchange on the big
+    side, no groupBy (the k hit flags stay as columns, never exploded to
+    rows).  ``keep = n_hits < k`` is a definite not-in-reference (Bloom
+    filters have no false negatives); ``n_hits == k`` means "maybe seen"
+    with FP rate (set_bits/m)^k.
+    """
+    base_cols = list(docs.columns)
+    p = _bloom_positions(docs, key_expr, n_hashes, salt, keep_cols=base_cols)
+    for i in range(n_hashes):
+        b = bitset.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        p = p.join(F.broadcast(b), F.col(f"__bw{i}") == F.col(f"__w{i}"), "left")
+    hits = " + ".join(
+        f"(CASE WHEN (__b{i} & __bm{i}) != 0 THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return p.selectExpr(
+        *base_cols, f"CAST({hits} AS BIGINT) AS n_hits"
+    ).withColumn("keep", F.col("n_hits") < n_hashes)
+
+
+def bloom_reference_antijoin(
+    docs: DataFrame,
+    reference: DataFrame,
+    key_expr: str = "text",
+    n_hashes: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """End-to-end incremental-crawl dedup: build the reference bitset,
+    probe the corpus, return docs + (n_hits, keep).
+
+    ``docs.filter("keep")`` is the definitely-new set; the ``n_hits == k``
+    remainder can be re-checked with exact_dedup_stats / dedup_exact when
+    false positives matter.
+    """
+    bs = bloom_bitset(reference, key_expr, n_hashes, salt)
+    return bloom_probe(docs, bs, key_expr, n_hashes, salt)

@@ -373,3 +373,36 @@ def _range_boundaries(
         return []
     step = max(1, len(keys) // n_ranges)
     return sorted({keys[i] for i in range(step, len(keys), step)})[: n_ranges - 1]
+
+
+def vocab_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, tf, df), the tokenizer-training /
+    stopword-list precursor of an LLM data pipeline.
+
+    tf = total occurrences, df = documents containing the token; ordered
+    by (tf DESC, token ASC) — a total order, so the k-cutoff is
+    deterministic on every engine.
+
+    Scale posture: ONE explode feeding a token groupBy.  tf is
+    map-side-combinable (partial aggregation absorbs the stop-word skew:
+    each partition emits one partial row per distinct token, so the hot
+    token's shuffle fan-in is #partitions rows, not #occurrences);
+    df = count(distinct doc_id) expands per (token, doc) — exact here, at
+    100 TB swap in approx_count_distinct for a fixed-size HLL partial the
+    same way countuniq_approx_gate does.  The final top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    never a full sort.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)

@@ -602,3 +602,31 @@ def test_quantize_embeddings_roundtrip(spark):
         quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_topk_order_and_counts(spark):
+    from oshdb_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c c c"),
+            (2, "c b"),
+            (3, "a a z"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    # tf: c=4, a=3, b=3 -> tie a<b broken by token ASC
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("c", 4, 2),
+        ("a", 3, 2),
+        ("b", 3, 2),
+    ]
+
+
+def test_vocab_topk_plan_is_heap_topk(spark):
+    from oshdb_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort

@@ -501,4 +501,10 @@ def bloom_reference_antijoin(
     false positives matter.
     """
     bs = bloom_bitset(reference, key_expr, n_hashes, salt)
+    # Materialize the bitset ONCE: without this each of the k broadcast
+    # subtrees is a distinct plan (the per-join column aliases defeat
+    # ReusedExchange) and the reference corpus would be scanned+hashed k
+    # times.  Unlike a corpus-sized checkpoint this one is bounded by
+    # construction (<=1041 rows), so eager materialization is always safe.
+    bs = bs.localCheckpoint(eager=True)
     return bloom_probe(docs, bs, key_expr, n_hashes, salt)

@@ -30,4 +30,20 @@ def __getattr__(name):
         from oshdb_spark import api
 
         return getattr(api, name)
+    if name in (
+        "OSM",
+        "OSMType",
+        "OSMMember",
+        "OSHDBTag",
+        "OSHDBTagKey",
+        "OSHDBTags",
+        "OSHDBRole",
+        "OSHNode",
+        "OSHWay",
+        "OSHRelation",
+        "entity_from_row",
+    ):
+        from oshdb_spark import osm_types
+
+        return getattr(osm_types, name)
     raise AttributeError(name)

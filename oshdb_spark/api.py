@@ -54,6 +54,9 @@ from oshdb_spark.operators.snapshot import snapshot_view
 from oshdb_spark.timestamps import parse_iso, timestamps as make_timestamps
 
 
+from oshdb_spark.sources.store import OSHDBTableNotFoundError  # noqa: F401  (public surface)
+
+
 class OSHDBInvalidTimestampError(ValueError):
     """A custom aggregate-by-timestamp indexer produced a timestamp outside
     the requested time interval (OSHDBInvalidTimestampException,
@@ -187,6 +190,24 @@ class OSHDB:
         from oshdb_spark.sources.entities import extract_entities
 
         return cls(spark, extract_entities(docs), translator, interpreter)
+
+    @classmethod
+    def from_store(
+        cls,
+        spark: SparkSession,
+        path: str,
+        translator: TagTranslator | None = None,
+        interpreter: TagInterpreter | None = None,
+    ) -> "OSHDB":
+        """Connect to a tiled entities store written by
+        ``sources.store.write_entities_table`` — the `new OSHDBH2(path)`
+        analog.  A missing or empty table raises OSHDBTableNotFoundError,
+        the reference's contract for querying a database without its
+        tables/caches (MapReduceOSHDBJdbcMissingTablesTest,
+        MapReduceOSHDBIgniteMissingCacheTest)."""
+        from oshdb_spark.sources.store import read_entities_table
+
+        return cls(spark, read_entities_table(spark, path), translator, interpreter)
 
     @classmethod
     def with_osm_config(

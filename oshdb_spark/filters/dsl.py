@@ -116,6 +116,97 @@ class TagTranslator:
         return cached
 
 
+class CachedTagTranslator:
+    """Size-bounded caching wrapper over any TagTranslator — the analog of
+    the reference's CachedTagTranslator
+    (oshdb-util/.../tagtranslator/CachedTagTranslator.java:1-80 and its
+    CachedTagTranslatorTest): reverse lookups (`lookup_tag`/`lookup_role`)
+    populate LRU caches, the tag cache weighted by the value string's
+    UTF-16 byte size (``len(value) * 2`` — the reference's weigher) against
+    ``max_bytes_values``, the role cache by entry count against
+    ``max_num_roles``; forward ``tag_id`` hits ALSO warm the reverse cache
+    (getOSHDBTagOf's ``ifPresent(put)``).  Forward lookups themselves are
+    never cached — the source translator is already a dictionary here, so
+    only the reverse maps (rebuilt per miss in the reference's JDBC
+    translator) benefit.
+    """
+
+    def __init__(self, source: "TagTranslator", max_bytes_values: int = 1 << 20,
+                 max_num_roles: int = 1024):
+        from collections import OrderedDict
+
+        self.source = source
+        self.max_bytes_values = int(max_bytes_values)
+        self.max_num_roles = int(max_num_roles)
+        self._tag_cache: "OrderedDict[tuple[int,int], tuple[str,str]]" = OrderedDict()
+        self._tag_bytes = 0
+        self._role_cache: "OrderedDict[int, str]" = OrderedDict()
+
+    # -- forward (delegated; tag_id warms the reverse cache) --------------
+    def key_id(self, key):
+        return self.source.key_id(key)
+
+    def value_id(self, key, value):
+        return self.source.value_id(key, value)
+
+    def tag_id(self, key, value):
+        tid = self.source.tag_id(key, value)
+        if tid is not None:
+            self._put_tag(tid, (key, value))
+        return tid
+
+    def role_id(self, role):
+        return self.source.role_id(role)
+
+    # -- reverse (cached) --------------------------------------------------
+    def lookup_tag(self, key_id, value_id):
+        tid = (key_id, value_id)
+        hit = self._tag_cache.get(tid)
+        if hit is not None:
+            self._tag_cache.move_to_end(tid)
+            return hit
+        tag = self.source.lookup_tag(key_id, value_id)
+        self._put_tag(tid, tag)
+        return tag
+
+    def lookup_key(self, key_id):
+        return self.source.lookup_key(key_id)
+
+    def lookup_role(self, role_id):
+        hit = self._role_cache.get(role_id)
+        if hit is not None:
+            self._role_cache.move_to_end(role_id)
+            return hit
+        role = self.source.lookup_role(role_id)
+        self._role_cache[role_id] = role
+        while len(self._role_cache) > self.max_num_roles:
+            self._role_cache.popitem(last=False)
+        return role
+
+    def _put_tag(self, tid, tag):
+        if tid in self._tag_cache:
+            self._tag_cache.move_to_end(tid)
+            return
+        self._tag_cache[tid] = tag
+        self._tag_bytes += len(tag[1]) * 2
+        while self._tag_bytes > self.max_bytes_values and self._tag_cache:
+            _, (__, evicted_value) = self._tag_cache.popitem(last=False)
+            self._tag_bytes -= len(evicted_value) * 2
+
+    # the DSL compiler reads these dictionaries directly on the fixture path
+    @property
+    def keys(self):
+        return self.source.keys
+
+    @property
+    def values(self):
+        return self.source.values
+
+    @property
+    def roles(self):
+        return self.source.roles
+
+
 # ---------------------------------------------------------------------------
 # AST
 # ---------------------------------------------------------------------------

@@ -36,6 +36,27 @@ DEFAULT_BUCKETS = 64
 MANIFEST_NAME = "_oshdb_manifest.json"
 
 
+class OSHDBTableNotFoundError(FileNotFoundError):
+    """The entities table backing a view is absent — the analog of the
+    reference's OSHDBTableNotFoundException, raised for missing H2 tables /
+    Ignite caches (MapReduceOSHDBJdbcMissingTablesTest,
+    MapReduceOSHDBIgniteMissingCacheTest: every view and stream over a
+    database without its tables must fail with THIS type, not a raw
+    backend error)."""
+
+
+def _require_table(path: str) -> None:
+    import os
+
+    base = path.rstrip("/")
+    if not os.path.isdir(base):
+        raise OSHDBTableNotFoundError(f'Table "{path}" not found')
+    for root, _dirs, files in os.walk(base):
+        if any(f.endswith(".parquet") for f in files):
+            return
+    raise OSHDBTableNotFoundError(f'Table "{path}" has no data files')
+
+
 def write_entities_table(
     entities: DataFrame,
     path: str,
@@ -191,6 +212,7 @@ def _manifest_file_matches(
 
 
 def read_entities_table(spark: SparkSession, path: str) -> DataFrame:
+    _require_table(path)
     return spark.read.parquet(path)
 
 
@@ -212,6 +234,7 @@ def read_pruned(
          predicate reach parquet as PushedFilters, and the within-file
          (cell_zoom, cell_id) sort turns them into row-group skips.
     """
+    _require_table(path)
     files = (
         _manifest_file_matches(path, bbox_osm, enlarge) if use_manifest
         else None

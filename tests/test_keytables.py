@@ -225,3 +225,67 @@ def test_encode_member_roles(spark):
         ("way", 11, 1),
         ("node", 12, -1),  # unknown role flags, not drops
     ]
+
+
+# ---------------------------------------------------------------------------
+# CachedTagTranslator (CachedTagTranslatorTest.java: the abstract suite body
+# re-run through the caching wrapper, plus the cache-behavior contracts)
+# ---------------------------------------------------------------------------
+
+
+def _cached(spark, **kw):
+    from oshdb_spark.filters.dsl import CachedTagTranslator
+    from oshdb_spark.sources.keytables import build_role_table
+
+    tr = build_keytables(
+        spark.createDataFrame(_tag_rows(), "key string, value string")
+    )
+    tr.roles.update(
+        build_role_table(spark.createDataFrame(_role_rows(), "role string"))
+    )
+    return CachedTagTranslator(tr, **kw)
+
+
+def test_cached_translator_round_trip(spark):
+    # AbstractTagTranslatorTest body through the wrapper (CachedTagTranslatorTest)
+    tr = _cached(spark)
+    assert tr.tag_id("building", "yes") == (0, 0)
+    batch = {
+        ("building", "yes"): tr.tag_id("building", "yes"),
+        ("building", "no"): tr.tag_id("building", "no"),
+        ("highway", "residential"): tr.tag_id("highway", "residential"),
+    }
+    assert all(v is not None for v in batch.values())
+    for (k, v), tid in batch.items():
+        assert tr.lookup_tag(*tid) == (k, v)
+    assert tr.key_id("building") == 0
+    assert tr.key_id("not_in_data") is None
+    assert tr.tag_id("building", "not_a_value") is None
+    assert tr.role_id("outer") == 0
+    assert tr.role_id("via") is None
+    assert tr.lookup_role(1) == "inner"
+
+
+def test_cached_translator_forward_warms_reverse(spark):
+    # getOSHDBTagOf's ifPresent(put): a forward hit serves the reverse
+    # lookup from cache (CachedTagTranslator.java:33-37)
+    tr = _cached(spark)
+    tid = tr.tag_id("building", "yes")
+    assert tid in tr._tag_cache
+    assert tr.lookup_tag(*tid) == ("building", "yes")
+
+
+def test_cached_translator_eviction_bounds(spark):
+    # weigher = 2 bytes per value char against max_bytes_values; role cache
+    # bounded by entry count (CachedTagTranslator.java:11-17)
+    tr = _cached(spark, max_bytes_values=2 * len("residential"), max_num_roles=2)
+    tr.lookup_tag(*tr.source.tag_id("building", "yes"))
+    tr.lookup_tag(*tr.source.tag_id("highway", "residential"))  # evicts "yes"
+    assert tr._tag_bytes <= 2 * len("residential")
+    assert len(tr._tag_cache) == 1
+    for rid in (0, 1, 2):
+        tr.lookup_role(rid)
+    assert len(tr._role_cache) == 2
+    # evicted entries still resolve through the source
+    assert tr.lookup_tag(*tr.source.tag_id("building", "yes")) == ("building", "yes")
+    assert tr.lookup_role(0) == "outer"

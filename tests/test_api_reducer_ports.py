@@ -341,6 +341,30 @@ def test_flat_map_aggregate(hwy_db):
     assert result[NID] == AFTER_TAG_PAIRS
 
 
+def test_flat_map_aggregate_grouped_by_entity(hwy_db):
+    """FlatMapAggregateGroupedByEntityTest.test: groupByEntity, flatMap each
+    entity's contribution list to two (id, value) entries — its
+    GEOMETRY_CHANGE count and a constant 2 (empty for other ids) —
+    aggregateBy key, reduce(0, +, +): one map entry, value = changes + 2."""
+    grouped = _hwy_contrib(hwy_db).group_by_entity()
+    n_changes = F.size(
+        F.filter(
+            "rows",
+            lambda r: F.array_contains(r["contrib_types"], "GEOMETRY_CHANGE"),
+        )
+    )
+    entries = grouped.filter(F.col("id") == NID).select(
+        F.col("id"),
+        F.explode(F.array(n_changes.cast("int"), F.lit(2))).alias("v"),
+    )
+    result = {
+        r["id"]: r["s"]
+        for r in entries.groupBy("id").agg(F.sum("v").alias("s")).collect()
+    }
+    assert set(result.keys()) == {NID}
+    assert result[NID] == len(GEOM_CHANGE_CONTRIB_IDXS) + 2
+
+
 def test_flat_map_grouped_contribution_geometry_changes(hwy_db):
     """FlatMapReduceGroupedByEntityTest.testOSMContributionView: per-entity
     list -> one 1 per GEOMETRY_CHANGE contribution plus a constant 2,

@@ -1,7 +1,8 @@
 """osm-testdata grade suite, 1xx (basic geometries) + 3xx (attributes).
 
 1:1 port of OSHDBGeometryBuilderTestOsmTestData1xxTest.java /
-...3xxTest.java (same entity ids, same assertions, JTS predicates
+OSHDBGeometryBuilderTestOsmTestData3xxTest.java (same entity ids, same
+assertions, JTS predicates
 re-expressed with the engine's own kernels).  Fixture provenance: see
 tests/osmtestdata_harness.py.
 """

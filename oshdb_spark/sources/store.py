@@ -211,9 +211,56 @@ def _manifest_file_matches(
     return sorted(keep)
 
 
-def read_entities_table(spark: SparkSession, path: str) -> DataFrame:
+def snapshots(path: str) -> list[int]:
+    """Committed ingest batch ids, oldest first — the emulation of
+    Iceberg's snapshot log (`table.snapshots()`): every committed
+    micro-batch of ``streaming.incremental_ingest`` is one snapshot.
+    Empty for a table with no streaming history (the base ETL alone)."""
+    import json
+    import os
+
+    p = os.path.join(path.rstrip("/"), "_streaming_commits.json")
+    if not os.path.exists(p):
+        return []
+    try:
+        with open(p) as fh:
+            return sorted(int(b) for b in json.load(fh))
+    except (json.JSONDecodeError, OSError, ValueError, TypeError):
+        return []
+
+
+def read_entities_table(
+    spark: SparkSession, path: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """Read the tiled entities table; ``as_of_batch`` time-travels to the
+    table state after that ingest batch committed (Iceberg's
+    ``VERSION AS OF`` over the manifest emulation): the base-ETL files
+    plus every promoted micro-batch file ``b<id>-*`` with id <= the
+    requested snapshot.  Promotion names files by batch id precisely so
+    snapshot membership is a pure file-listing predicate — no data read,
+    no tombstones.  ``as_of_batch=-1`` reads the pre-streaming base ETL
+    alone."""
     _require_table(path)
-    return spark.read.parquet(path)
+    if as_of_batch is None:
+        return spark.read.parquet(path)
+    import glob as _glob
+    import os
+    import re
+
+    keep = []
+    for f in sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        rel_parts = os.path.relpath(f, path).split(os.sep)
+        if any(p.startswith(("_", ".")) for p in rel_parts):
+            continue
+        m = re.match(r"b(\d+)-", os.path.basename(f))
+        if m and int(m.group(1)) > int(as_of_batch):
+            continue  # a later snapshot's file
+        keep.append(f)
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.option("basePath", path).parquet(*keep)
 
 
 def read_pruned(

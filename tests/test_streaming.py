@@ -281,3 +281,79 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     rows = spark.sql("SELECT doc_id FROM dedup_sink").collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == sorted(set(ids)) == list(range(15))
+
+
+def test_snapshot_time_travel(spark, docs_dir, tmp_path):
+    """Iceberg VERSION-AS-OF emulation: reading as of snapshot k returns
+    exactly the rows of the first k+1 committed micro-batches; the full
+    read equals the newest snapshot; as_of_batch=-1 is the (empty here)
+    pre-streaming base ETL."""
+    from oshdb_spark.sources.store import read_entities_table, snapshots
+
+    store = str(tmp_path / "store")
+    q = incremental_ingest(
+        stream_docs(spark, docs_dir, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    q.awaitTermination(120)
+
+    snaps = snapshots(store)
+    assert len(snaps) >= 2  # one per file -> 4 micro-batches
+    assert snaps == sorted(snaps)
+
+    # cumulative: each snapshot is a superset of the previous one
+    prev: set = set()
+    sizes = []
+    for b in snaps:
+        df = read_entities_table(spark, store, as_of_batch=b)
+        rows = {
+            (r["type"], r["id"], r["version"])
+            for r in df.select("type", "id", "version").collect()
+        }
+        assert prev <= rows
+        prev = rows
+        sizes.append(len(rows))
+    assert sizes[0] < sizes[-1]
+
+    # newest snapshot == the live table
+    live = {
+        (r["type"], r["id"], r["version"])
+        for r in read_entities_table(spark, store)
+        .select("type", "id", "version")
+        .collect()
+    }
+    assert prev == live
+
+    # before any streaming batch: no base ETL -> empty, schema intact
+    base = read_entities_table(spark, store, as_of_batch=-1)
+    assert base.count() == 0
+    assert "cell_id" in base.columns
+
+
+def test_snapshot_time_travel_over_base_etl(spark, docs_parquet, tmp_path):
+    """A table with a batch-ETL base plus streamed increments: as-of -1
+    reads the base alone; snapshot reads add batches on top."""
+    from oshdb_spark.sources.entities import extract_entities
+    from oshdb_spark.sources.store import read_entities_table, snapshots, write_entities_table
+
+    path, _, _ = docs_parquet
+    docs = spark.read.parquet(path)
+    first, rest = docs.limit(40), docs.subtract(docs.limit(40))
+
+    store = str(tmp_path / "store")
+    write_entities_table(extract_entities(first), store, n_buckets=4)
+    base_n = read_entities_table(spark, store).count()
+
+    src = str(tmp_path / "increments")
+    rest.repartition(2).write.parquet(src)
+    q = incremental_ingest(
+        stream_docs(spark, src, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    q.awaitTermination(120)
+
+    assert read_entities_table(spark, store, as_of_batch=-1).count() == base_n
+    snaps = snapshots(store)
+    assert snaps
+    last = read_entities_table(spark, store, as_of_batch=snaps[-1]).count()
+    assert last == read_entities_table(spark, store).count() > base_n

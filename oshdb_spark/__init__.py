@@ -15,10 +15,15 @@ Layout:
     filters/    filter DSL -> pyspark Column compiler (+ type narrowing)
     plans/      salted skew joins, per-partition lineage + resumable writes
     api.py      fluent SnapshotView / ContributionView query surface
+    helpers.py  connect-by-properties database driver (oshdb-helpers port)
+    osm_types.py OSM/OSH object layer for map/filter lambdas
+    streaming.py Structured-Streaming ingest (exactly-once into the tiled
+                store), windowed event-time aggregation, dedup-on-ingest
     pipeline.py end-to-end flagship pipelines (tile -> join -> refine -> agg)
 
-The reference is batch-only (SURVEY.md §2.8): resumability comes from
-checkpointed batch stages (plans/lineage.py), not Structured Streaming.
+The reference itself is batch-only (SURVEY.md §2.8); batch resumability
+comes from checkpointed stages (plans/lineage.py), and streaming.py is a
+beyond-reference front door producing the same store incrementally.
 """
 
 __version__ = "0.1.0"
@@ -46,4 +51,8 @@ def __getattr__(name):
         from oshdb_spark import osm_types
 
         return getattr(osm_types, name)
+    if name in ("OSHDBDriver", "OSHDBConnection"):
+        from oshdb_spark import helpers
+
+        return getattr(helpers, name)
     raise AttributeError(name)

@@ -198,16 +198,24 @@ class OSHDB:
         path: str,
         translator: TagTranslator | None = None,
         interpreter: TagInterpreter | None = None,
+        as_of_batch: int | None = None,
     ) -> "OSHDB":
         """Connect to a tiled entities store written by
         ``sources.store.write_entities_table`` — the `new OSHDBH2(path)`
         analog.  A missing or empty table raises OSHDBTableNotFoundError,
         the reference's contract for querying a database without its
         tables/caches (MapReduceOSHDBJdbcMissingTablesTest,
-        MapReduceOSHDBIgniteMissingCacheTest)."""
+        MapReduceOSHDBIgniteMissingCacheTest).  ``as_of_batch`` opens the
+        table at a past ingest snapshot (sources.store.read_entities_table
+        time travel; ``sources.store.snapshots(path)`` lists them)."""
         from oshdb_spark.sources.store import read_entities_table
 
-        return cls(spark, read_entities_table(spark, path), translator, interpreter)
+        return cls(
+            spark,
+            read_entities_table(spark, path, as_of_batch=as_of_batch),
+            translator,
+            interpreter,
+        )
 
     @classmethod
     def with_osm_config(

@@ -357,3 +357,30 @@ def test_snapshot_time_travel_over_base_etl(spark, docs_parquet, tmp_path):
     assert snaps
     last = read_entities_table(spark, store, as_of_batch=snaps[-1]).count()
     assert last == read_entities_table(spark, store).count() > base_n
+
+
+def test_time_travel_through_view_api(spark, docs_dir, tmp_path):
+    """OSHDB.from_store(as_of_batch=...) opens a past snapshot: a snapshot
+    count as of an early batch is <= the live count, and the newest
+    snapshot's equals it."""
+    from oshdb_spark.api import OSHDB, SnapshotView
+    from oshdb_spark.sources.store import snapshots
+
+    store = str(tmp_path / "store")
+    q = incremental_ingest(
+        stream_docs(spark, docs_dir, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    q.awaitTermination(120)
+    snaps = snapshots(store)
+    ts = [1262304000 + k * 2 * 365 * 86400 for k in range(6)]
+
+    def count_asof(b):
+        db = OSHDB.from_store(spark, store, as_of_batch=b)
+        return SnapshotView.on(db).timestamps([ts[-1]]).count()
+
+    early, last = count_asof(snaps[0]), count_asof(snaps[-1])
+    live_db = OSHDB.from_store(spark, store)
+    live = SnapshotView.on(live_db).timestamps([ts[-1]]).count()
+    assert early <= last == live
+    assert live > 0

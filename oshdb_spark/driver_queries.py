@@ -1375,6 +1375,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(docs, group_col="source")
 
 
+_CHUNK_DEDUP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS tok,
+         generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, (pos - 1) // 8 AS idx,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM tok GROUP BY doc_id, (pos - 1) // 8
+),
+flagged AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1
+           AS keep
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         AS removed_chunks,
+       md5(coalesce(
+         string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep), ''))
+         AS kept_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+@_q("chunk_dedup_stats", _CHUNK_DEDUP_ORACLE)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (CCNet/RefinedWeb line-dedup analog):
+    corpus-wide first occurrence of each 8-token chunk wins; per-doc keep/
+    remove counts + digest of the reassembled surviving text."""
+    from oshdb_spark.operators.dedup import chunk_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup_stats(docs, chunk_tokens=8)
+
+
 _Q15_ORACLE = """
 SELECT doc_id,
   LIST_MIN([md5('0|' || substr(text, CAST(i AS INT), 7))

@@ -4,6 +4,9 @@ All hot-path hashing stays JVM-side (md5/xxhash64 Catalyst expressions over
 whole-stage codegen); nothing here uses per-row Python.
 
   * exact dedup        — hash-groupBy on content digest
+  * chunk dedup        — paragraph-granular exact dedup (K-token chunks,
+    corpus-wide first occurrence wins; min-struct keeper + digest
+    equi-join, no window sort)
   * MinHash signatures — shingle -> md5 -> array_min, k independent hashes
     via salt prefixes (portable: the oracle reproduces them in SQL)
   * LSH banding        — band key = concat of the band's minhashes; a
@@ -508,3 +511,71 @@ def bloom_reference_antijoin(
     # construction (<=1041 rows), so eager materialization is always safe.
     bs = bs.localCheckpoint(eager=True)
     return bloom_probe(docs, bs, key_expr, n_hashes, salt)
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the line/paragraph dedup step of
+    CCNet / RefinedWeb-style pipelines), over deterministic K-token chunks
+    since the synthetic corpus carries no newlines.
+
+    Every document is split into consecutive ``chunk_tokens``-token chunks;
+    a chunk is *kept* iff it is the corpus-wide first occurrence of its
+    content, first = smallest ``(doc_id, chunk_idx)``.  Returns one row per
+    document: ``(doc_id, n_chunks, kept_chunks, removed_chunks, kept_md5)``
+    where ``kept_md5`` is the digest of the document reassembled from its
+    surviving chunks in order — the per-row invariant a downstream writer
+    would re-check (BASELINE.json span-sequence equality analog at chunk
+    granularity).
+
+    Scale shape: chunking is pure Catalyst array math (no shuffle); the
+    keeper per content hash is ``min(struct(doc_id, idx))`` — a partially
+    aggregable min (map-side combine), NOT a window sort over the corpus;
+    the keep flag comes back via an equi-join on the 16-byte digest.  A
+    pathologically hot chunk (boilerplate repeated across millions of
+    docs) skews only the join probe side, which AQE skew-join splits; the
+    aggregate side is one row per distinct chunk by construction.
+    """
+    K = int(chunk_tokens)
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.concat_ws(" ", F.slice(toks, i * K + 1, K)).alias("chunk"),
+        ),
+    )
+    exploded = (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+        .withColumn("h", F.md5(F.col("chunk")))
+    )
+    keepers = exploded.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("kid"), F.col("idx").alias("kidx"))
+        ).alias("k")
+    )
+    flagged = exploded.join(keepers, "h").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("k.kid")) & (F.col("idx") == F.col("k.kidx")),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("idx", "chunk")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("kept_chunks"),
+        F.sum((~F.col("keep")).cast("long")).alias("removed_chunks"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(kept_structs, lambda x: x["chunk"])
+            )
+        ).alias("kept_md5"),
+    )

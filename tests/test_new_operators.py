@@ -630,3 +630,31 @@ def test_vocab_topk_plan_is_heap_topk(spark):
     docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
     plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+def test_chunk_dedup_stats_fixture(spark):
+    """Paragraph-granular dedup: K=2 chunks, corpus-wide first occurrence
+    (min (doc_id, idx)) wins; kept_md5 reassembles surviving chunks in
+    order.  Mirrors the line-dedup step of CCNet/RefinedWeb pipelines."""
+    import hashlib
+
+    from oshdb_spark.operators.dedup import chunk_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),  # chunks: "a b" | "c d" | "a b"(dup of own idx 0)
+            (2, "c d e f"),      # "c d" dups doc1's; "e f" fresh
+            (3, "e f"),          # dups doc2's "e f"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"], r["kept_chunks"], r["removed_chunks"], r["kept_md5"]
+        )
+        for r in chunk_dedup_stats(docs, chunk_tokens=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (3, 2, 1, md5("a b c d"))
+    assert got[2] == (2, 1, 1, md5("e f"))
+    assert got[3] == (1, 0, 1, md5(""))

@@ -2195,6 +2195,52 @@ SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok
 FROM documents GROUP BY source
 """
 
+# two media spans per doc with deterministic cross-doc ref collisions
+# (residue classes mod 97 and mod 53) so asset dedup has real work:
+# n_refs > n_docs whenever one doc's two spans hit the same asset.
+_SPAN_SPARK_SHARED_MEDIA = (
+    "array("
+    " named_struct('kind', 'text', 'text', substring(text, 1, 40),"
+    "              'media_ref', '', 'offset', 0),"
+    " named_struct('kind', 'media', 'text', '',"
+    "              'media_ref', concat('img_', CAST(doc_id % 97 AS STRING)),"
+    "              'offset', 40),"
+    " named_struct('kind', 'media', 'text', '',"
+    "              'media_ref', concat('img_', CAST(doc_id % 53 AS STRING)),"
+    "              'offset', 80),"
+    " named_struct('kind', 'text', 'text', substring(text, 41, 1000000),"
+    "              'media_ref', '', 'offset', 81)"
+    ") AS spans"
+)
+
+_MEDIA_DEDUP_ORACLE = """
+WITH refs AS (
+  SELECT doc_id, 'img_' || CAST(doc_id % 97 AS VARCHAR) AS media_ref,
+         40 AS off FROM documents
+  UNION ALL
+  SELECT doc_id, 'img_' || CAST(doc_id % 53 AS VARCHAR), 80 FROM documents
+)
+SELECT media_ref,
+       COUNT(*) AS n_refs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS canonical_doc
+FROM refs GROUP BY media_ref
+"""
+
+
+@_q("media_asset_dedup", _MEDIA_DEDUP_ORACLE)
+def q_media_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document media-asset dedup over the interleaved spans column:
+    distinct media_ref -> reference count, embedding-doc count, canonical
+    owner.  The asset-level pass a multimodal pipeline runs before decode
+    (decode each shared asset once, join features back by ref)."""
+    from oshdb_spark.operators.media import media_asset_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "text", _SPAN_SPARK_SHARED_MEDIA
+    )
+    return media_asset_dedup(docs)
+
 
 @_q("span_roundtrip", _Q27_ORACLE)
 def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

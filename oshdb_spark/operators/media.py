@@ -158,3 +158,40 @@ def resize_meta(media: DataFrame, max_dim: int = 32) -> DataFrame:
         F.round(F.col("meta.width") * scale).cast("int").alias("target_w"),
         F.round(F.col("meta.height") * scale).cast("int").alias("target_h"),
     )
+
+
+def media_asset_dedup(
+    docs: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document media-asset dedup: one row per distinct ``media_ref``
+    appearing in any media span, with its reference count, the number of
+    distinct documents embedding it, and the canonical owner (the document
+    with the smallest ``(doc_id, offset)`` that embeds it).
+
+    This is the asset-level step a multimodal pipeline runs BEFORE decode/
+    feature-extract: a boilerplate logo embedded in a million pages must be
+    decoded once, not a million times — downstream stages join features
+    back by ``media_ref``.
+
+    Scale shape: explode is narrow (no shuffle), the rollup is a single
+    hash aggregation on ``media_ref`` with map-side partial count / count-
+    distinct / min-struct; a viral asset is exactly one hot reduce key,
+    absorbed by partial aggregation before the exchange.
+    """
+    media_spans = F.filter(
+        F.col(spans_col), lambda s: s["kind"] == F.lit("media")
+    )
+    refs = docs.select(
+        F.col(id_col), F.explode(media_spans).alias("s")
+    ).select(
+        F.col(id_col),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    return refs.groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.min(F.struct(F.col(id_col), F.col("offset")))
+        .getField(id_col)
+        .alias("canonical_doc"),
+    )

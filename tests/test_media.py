@@ -69,3 +69,27 @@ def test_resize_targets(media):
         ow, oh = r["meta"]["width"], r["meta"]["height"]
         if max(ow, oh) > 32:
             assert abs(r["target_w"] / r["target_h"] - ow / oh) < 0.2
+
+
+def test_media_asset_dedup_canonical_and_counts(spark):
+    """Asset-level dedup: n_refs counts every embedding span, n_docs counts
+    distinct documents, canonical = doc with the smallest (doc_id, offset).
+    Doc 7 embeds img_a twice (n_refs > n_docs for img_a)."""
+    from oshdb_spark.operators.media import media_asset_dedup
+
+    rows = [
+        (7, [("media", "", "img_a", 0), ("media", "", "img_a", 9),
+             ("text", "t", "", 5)]),
+        (3, [("media", "", "img_a", 50)]),
+        (9, [("media", "", "img_b", 1), ("text", "x", "", 2)]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r["media_ref"]: (r["n_refs"], r["n_docs"], r["canonical_doc"])
+        for r in media_asset_dedup(docs).collect()
+    }
+    assert got == {"img_a": (3, 2, 3), "img_b": (1, 1, 9)}

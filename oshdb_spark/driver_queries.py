@@ -1375,6 +1375,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(docs, group_col="source")
 
 
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+),
+v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vsz FROM v)
+SELECT doc_id,
+       COUNT(*) AS n_toks,
+       SUM(CAST(ROUND(LN((v.cnt + 1.0) / (tot.total + tot.vsz)), 9)
+                AS DECIMAL(28,9))) AS sum_logp
+FROM tok JOIN v USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@_q("unigram_logprob_score", _UNIGRAM_ORACLE)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (CCNet perplexity-filter
+    analog): add-one-smoothed token log-probs, rounded to 9 decimals and
+    summed as DECIMAL per doc (exact, partition-order-free)."""
+    from oshdb_spark.operators.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob_score(docs)
+
+
 _CHUNK_DEDUP_ORACLE = """
 WITH tok AS (
   SELECT doc_id,

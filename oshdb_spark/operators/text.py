@@ -406,3 +406,60 @@ def vocab_topk(
         F.countDistinct("doc_id").alias("df"),
     )
     return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram LM quality score per document — the unigram
+    analog of CCNet's KenLM perplexity filter (no external model in the
+    sandbox, so the model IS the corpus: add-one-smoothed token
+    frequencies).
+
+    Two passes over one explode: (1) vocabulary ``token -> count`` plus a
+    1-row ``(total, V)``; (2) every token scored ``ln((cnt+1)/(total+V))``
+    and summed per document.  Returns ``(doc_id, n_toks, sum_logp)``;
+    consumers threshold ``sum_logp / n_toks`` (mean log-prob, a perplexity
+    proxy) — the division is left to the consumer so the compared output
+    stays exact.
+
+    Determinism contract: each token's log-prob is a pure function of
+    integers, rounded to 9 decimals and cast to DECIMAL(28,9) BEFORE the
+    per-doc sum, so the sum is exact integer arithmetic — immune to
+    float addition order across partitions (the raw-double-sum trap the
+    driver-gate methodology bans).
+
+    Scale shape: vocab build = map-side-combinable count groupBy (the
+    stop-word key is absorbed into per-partition partials); the scoring
+    join is token -> vocab, a natural-language vocabulary (~1e6 rows at
+    web scale), broadcastable after aggregation; the 1-row totals are a
+    cross-join broadcast by construction.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsz")
+    )
+    logp = F.round(
+        F.log(
+            (F.col("cnt") + F.lit(1).cast("double"))
+            / (F.col("total") + F.col("vsz")).cast("double")
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), logp.alias("logp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("logp").alias("sum_logp"),
+    )

@@ -658,3 +658,26 @@ def test_chunk_dedup_stats_fixture(spark):
     assert got[1] == (3, 2, 1, md5("a b c d"))
     assert got[2] == (2, 1, 1, md5("e f"))
     assert got[3] == (1, 0, 1, md5(""))
+
+
+def test_unigram_logprob_score_fixture(spark):
+    """Add-one-smoothed corpus unigram scoring: vocab {a:2, b:3},
+    total=5, V=2 -> p(a)=3/7, p(b)=4/7; per-token ln rounded to 9dp then
+    summed exactly as decimals."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oshdb_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b b")], "doc_id long, text string"
+    )
+    r9 = lambda x: Decimal(repr(x)).quantize(
+        Decimal("0.000000001"), rounding=ROUND_HALF_UP
+    )
+    la, lb = r9(math.log(3 / 7)), r9(math.log(4 / 7))
+    got = {
+        r["doc_id"]: (r["n_toks"], r["sum_logp"])
+        for r in unigram_logprob_score(docs).collect()
+    }
+    assert got == {1: (3, la + la + lb), 2: (2, lb + lb)}

@@ -2999,3 +2999,143 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: s.spark_fn for n, s in REGISTRY.items() if s.bench}
+
+
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' token ' || md5(CAST(doc_id AS VARCHAR))
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\b[0-9a-f]{32}\b')) AS BIGINT)
+         AS n_secrets,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b[0-9a-f]{32}\b', '<SECRET>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+@_q("pii_redact_stats", _PII_ORACLE)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over docs with deterministically injected
+    emails / IPv4s / 32-hex secrets (the synthetic corpus has none, so
+    both sides inject the same PII as a pure function of doc_id); counts
+    + the digest of the masked text are hash-gated."""
+    from oshdb_spark.operators.text import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@ex"),
+            (did % 7).cast("string"),
+            F.lit(".org"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" token "),
+                    F.md5(did.cast("string").cast("binary")),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+_MIX_ORACLE = """
+WITH per AS (
+  SELECT source,
+         SUM(CASE WHEN text IS NULL THEN 0
+                  ELSE len(text) - len(replace(text, ' ', '')) + 1
+             END) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+SELECT source, n_tokens,
+       CAST(ROUND(POW(CAST(n_tokens AS DOUBLE)
+                      / CAST(total_tokens AS DOUBLE), 0.3), 9)
+            AS DECIMAL(18,9)) AS raw_weight
+FROM per CROSS JOIN tot
+"""
+
+
+@_q("source_mixing_weights", _MIX_ORACLE)
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) data-mixing weights per source;
+    raw weight is a pure function of two integer token counts, rounded
+    to 9 decimals — normalization left to the consumer for exactness."""
+    from oshdb_spark.operators.text import source_mixing_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_mixing_weights(docs, alpha=0.3)
+
+
+_BM25_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(text) - len(replace(text, ' ', '')) + 1 END AS dl,
+         coalesce(text, '') AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, dl, unnest(string_split(text, ' ')) AS tok FROM d
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE tok IN ('spark', 'window', 'hash')
+  GROUP BY doc_id, tok
+),
+dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM d)
+SELECT doc_id,
+       COUNT(*) AS n_probe_hits,
+       SUM(CAST(ROUND(
+            LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+            / (tf + 1.2 * (0.25 + 0.75 * dl
+                           / (CAST(total_tokens AS DOUBLE) / n_docs))),
+            9) AS DECIMAL(28,9))) AS bm25_score
+FROM tf JOIN dfv USING (tok) CROSS JOIN corpus
+GROUP BY doc_id
+"""
+
+
+@_q("bm25_probe_scores", _BM25_ORACLE)
+def q_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance against a fixed probe set — per-token
+    contributions are pure functions of integer tf/df/dl/N totals,
+    rounded to 9 decimals and DECIMAL-summed (partition-order-free)."""
+    from oshdb_spark.operators.text import bm25_probe_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_probe_scores(docs, ["spark", "window", "hash"])

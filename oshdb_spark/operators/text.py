@@ -463,3 +463,157 @@ def unigram_logprob_score(
         F.count(F.lit(1)).alias("n_toks"),
         F.sum("logp").alias("sum_logp"),
     )
+
+
+# PII patterns kept to the Java-regex / RE2 common subset (no lookaround,
+# no backrefs) so the same pattern string runs verbatim in Spark (Java
+# `java.util.regex`) and in engine-portable oracles (RE2-family engines).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_HEX32 = r"\b[0-9a-f]{32}\b"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc PII detection + redaction: emails, IPv4 addresses and
+    32-hex secrets (API-key/md5-shaped tokens) are counted on the raw
+    text and masked to ``<EMAIL>``/``<IP>``/``<SECRET>`` in a fixed
+    pass order (email first, so an address-shaped substring inside an
+    email never double-masks).
+
+    Returns ``(id, n_emails, n_ipv4, n_secrets, redacted_md5)`` — the
+    digest rather than the redacted body keeps the compared output
+    narrow; the redacted text itself is ``regexp_replace`` chains any
+    caller can inline.
+
+    Scale shape: one projection, zero shuffle, whole-stage codegen —
+    per-row regex work on the JVM, no Python.  Counts are computed on
+    the original text independently of masking, so overlapping detector
+    classes are visible to consumers (documented, not hidden).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_HEX32, "<SECRET>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_HEX32)).cast("long").alias("n_secrets"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def source_mixing_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights per source (the
+    multilingual-sampling rule of Lample/Conneau 2019 §3.1, used for
+    domain mixing in LLM data pipelines): ``raw_s = (tokens_s /
+    total_tokens) ** alpha``, reported per source with its token count.
+
+    Normalization (``raw_s / sum(raw)``) is left to the consumer — the
+    per-source raw weight is a pure function of two integers rounded to
+    9 decimals, so the compared output stays exact, while a normalized
+    share would divide by an order-sensitive float sum.
+
+    Scale shape: map-side-combinable token-count groupBy (one shuffle of
+    |sources| partials), 1-row total broadcast by construction; the
+    output is |sources| rows — driver-safe.
+    """
+    per_src = docs.groupBy(source_col).agg(
+        F.sum(
+            F.coalesce(token_count_col(text_col), F.lit(0))
+        ).alias("n_tokens")
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    raw = F.round(
+        F.pow(
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            F.lit(float(alpha)),
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            F.col(source_col),
+            F.col("n_tokens"),
+            raw.alias("raw_weight"),
+        )
+    )
+
+
+def bm25_probe_scores(
+    docs: DataFrame,
+    probe_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed probe-token set
+    (Robertson/Zaragoza 2009, the standard keyword retrieval scorer) —
+    the text-side counterpart of the embedding ANN operators.
+
+    score(d) = sum over probe tokens q of
+      idf(q) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(q) = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Determinism contract: tf/df/N/dl are integers and avgdl a ratio of
+    integers, so each per-token contribution is a pure double function
+    of integers; it is rounded to 9 decimals and DECIMAL-summed per doc
+    — exact under any partition order.  Only docs containing at least
+    one probe token appear (tf=0 contributes 0 by the formula).
+
+    Scale shape: probes broadcast as a literal array; tf extraction is
+    one JVM filter+explode over tokens with the probe membership pushed
+    BEFORE the only shuffle (per (doc, tok) count groupBy); df and the
+    (N, avgdl) totals are tiny aggregates broadcast back.  No UDFs.
+    """
+    probes = F.array(*[F.lit(p) for p in probe_tokens])
+    toks = docs.select(
+        F.col(id_col),
+        token_count_col(text_col).alias("dl"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
+    ).where(F.array_contains(probes, F.col("tok")))
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.coalesce(token_count_col(text_col), F.lit(0))
+        ).alias("total_tokens"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl
+    )
+    contrib = F.round(
+        idf * F.col("tf") * F.lit(float(k1) + 1.0) / denom, 9
+    ).cast("decimal(28,9)")
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), contrib.alias("contrib"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_probe_hits"),
+        F.sum("contrib").alias("bm25_score"),
+    )

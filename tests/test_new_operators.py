@@ -681,3 +681,93 @@ def test_unigram_logprob_score_fixture(spark):
         for r in unigram_logprob_score(docs).collect()
     }
     assert got == {1: (3, la + la + lb), 2: (2, lb + lb)}
+
+
+def test_pii_scrub_fixture(spark):
+    """Email / IPv4 / 32-hex detection + fixed-order masking."""
+    import hashlib
+
+    from oshdb_spark.operators.text import pii_scrub
+
+    secret = "0123456789abcdef0123456789abcdef"
+    docs = spark.createDataFrame(
+        [
+            (1, f"mail a@b.org and c.d@e-f.co ip 10.0.0.1 key {secret} end"),
+            (2, "nothing here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_secrets"]) == (
+        2, 1, 1,
+    )
+    red = "mail <EMAIL> and <EMAIL> ip <IP> key <SECRET> end"
+    assert got[1]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_secrets"]) == (
+        0, 0, 0,
+    )
+    assert got[3]["redacted_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_source_mixing_weights_fixture(spark):
+    """(tokens_s/total)^alpha rounded to 9dp; token counts via the
+    char-arithmetic counter (null text -> 0 tokens)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oshdb_spark.operators.text import source_mixing_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),      # 3 tokens
+            (2, "d e", "s1"),        # 2
+            (3, "f", "s2"),          # 1
+            (4, None, "s2"),         # 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    r9 = lambda x: Decimal(repr(x)).quantize(
+        Decimal("0.000000001"), rounding=ROUND_HALF_UP
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["raw_weight"])
+        for r in source_mixing_weights(docs, alpha=0.3).collect()
+    }
+    assert got == {
+        "s1": (5, r9((5 / 6) ** 0.3)),
+        "s2": (1, r9((1 / 6) ** 0.3)),
+    }
+
+
+def test_bm25_probe_scores_fixture(spark):
+    """BM25 with k1=1.2, b=0.75 recomputed by hand on a 3-doc corpus."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oshdb_spark.operators.text import bm25_probe_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark window x"),  # dl=4
+            (2, "spark y z"),             # dl=3
+            (3, "u v w q"),               # dl=4
+        ],
+        "doc_id long, text string",
+    )
+    n_docs, total = 3, 11
+    avgdl = total / n_docs
+
+    def contrib(tf, df, dl):
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        v = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return Decimal(repr(v)).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
+    got = {
+        r["doc_id"]: (r["n_probe_hits"], r["bm25_score"])
+        for r in bm25_probe_scores(docs, ["spark", "window"]).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (2, contrib(2, 2, 4) + contrib(1, 1, 4))
+    assert got[2] == (1, contrib(1, 2, 3))

@@ -3139,3 +3139,130 @@ def q_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bm25_probe_scores(docs, ["spark", "window", "hash"])
+
+
+_DWITHIN_R = 10_000_000  # 1.0 degree in fixed-point units
+
+_DWITHIN_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)})
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+     + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp) AS d2
+FROM g a JOIN g b ON a.event_id < b.event_id
+  AND b.lon_fp BETWEEN a.lon_fp - {_DWITHIN_R} AND a.lon_fp + {_DWITHIN_R}
+  AND b.lat_fp BETWEEN a.lat_fp - {_DWITHIN_R} AND a.lat_fp + {_DWITHIN_R}
+WHERE (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+    + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp)
+    <= CAST({_DWITHIN_R} AS BIGINT) * {_DWITHIN_R}
+"""
+
+
+@_q("dwithin_pairs", _DWITHIN_ORACLE, bench=True)
+def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band self-join: all point pairs within 1 degree planar
+    fixed-point distance, via grid-bucket + neighbor-ring equi-join with
+    an exact integer predicate (the oracle brute-forces the same
+    predicate through DuckDB's inequality join)."""
+    from oshdb_spark.operators.knn import dwithin_join
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return dwithin_join(g, _DWITHIN_R, zoom=8)
+
+
+_SESSION_GAP_US = 50_000_000_000  # ~13.9 hours
+
+_SESSION_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+d AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS BIGINT)
+           AS session_id
+  FROM d
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_ts, MAX(ts_us) AS end_ts,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@_q("session_stats", _SESSION_ORACLE)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (new session when the per-user event gap
+    exceeds ~13.9h) with integer-exact per-session stats."""
+    from oshdb_spark.operators.aggregations import session_stats
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return session_stats(g, _SESSION_GAP_US)
+
+
+_PYRAMID_MAXZ = 6
+
+_PYRAMID_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT CAST({z} AS BIGINT) AS zoom,
+       (lon_fp + 1800000000) // {3_600_000_000 >> z} AS cx,
+       (lat_fp + 900000000) // {3_600_000_000 >> z} AS cy,
+       COUNT(*) AS n
+FROM ({{g}}) GROUP BY 2, 3"""
+    for z in range(0, _PYRAMID_MAXZ + 1)
+).format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("cell_count_pyramid", _PYRAMID_ORACLE)
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom density pyramid (zooms 0..6): one point-sized shuffle
+    at the deepest zoom, then rollups of the per-cell count table; the
+    oracle recomputes every level independently from the raw points."""
+    from oshdb_spark.operators.tiling import cell_count_pyramid
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return cell_count_pyramid(g, max_zoom=_PYRAMID_MAXZ, min_zoom=0)
+
+
+_TOPK_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+c AS (
+  SELECT {_cell_sql(6, "lon_fp", "lat_fp")} AS cell_id, user_id,
+         COUNT(*) AS n_events
+  FROM g GROUP BY 1, 2
+),
+r AS (
+  SELECT cell_id, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY cell_id
+                            ORDER BY n_events DESC, user_id) AS rnk
+  FROM c
+)
+SELECT cell_id, user_id, n_events, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@_q("topk_cell_contributors", _TOPK_ORACLE)
+def q_topk_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 contributors per grid cell (the ohsome 'most active mappers
+    per tile' query shape): map-side-combinable (cell, user) count, then
+    a per-cell window rank with a deterministic user_id tie-break."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.operators.tiling import xy_cell_id_col
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    counts = (
+        g.withColumn("cell_id", xy_cell_id_col(6, F.col("lon_fp"), F.col("lat_fp")))
+        .groupBy("cell_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(F.desc("n_events"), "user_id")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )

@@ -252,3 +252,60 @@ def generic_reduce_by(df, keys: list[str], identity_supplier, accumulator, combi
     if len(keys) == 1:
         out = {k[0]: v for k, v in out.items()}
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session segmentation per key: a new session starts at
+    the first event and whenever the time since the previous event
+    exceeds ``gap_us`` — the per-user analogue of the contribution
+    view's changeset squashing (GroupByChangesetIds semantics,
+    MapReducer.java:678-732 interval flooring family), and the standard
+    web-analytics sessionization operator.
+
+    Returns the event frame with a dense per-key ``session_id`` (1-based
+    running count of session starts).  Session assignment depends only
+    on the ordered multiset of timestamps — equal-timestamp ties have a
+    zero gap and land in the same session under any tie order — so the
+    output is deterministic; ``order_col`` pins the tie order anyway so
+    the event-level frame is reproducible row-for-row.
+
+    Scale shape: one shuffle (partitionBy key), two window passes over
+    it (lag + running sum) with no driver involvement; per-key state is
+    a single partition — the usual long-tail-user caveat applies and is
+    the same skew class the salted-join helpers cover.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn(
+        "session_id", F.sum(is_new).over(run).cast("long")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-session aggregate over :func:`sessionize`: event count,
+    start/end timestamps and duration — all integer-exact."""
+    s = sessionize(events, gap_us, key_col, ts_col, order_col)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration_us"),
+    )

@@ -140,3 +140,72 @@ def knn_join(
     # <= (r_inner+1)*w*sqrt(2) <= r_scan*w <= any unscanned cell's distance
     assert cell_w_deg > 0
     return ranked.select("qid", F.col("event_id").alias("neighbor_id"), "rank")
+
+
+def dwithin_join(
+    points: DataFrame,
+    r_fp: int,
+    zoom: int = 9,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Distance-band (DWithin) self-join: every unordered point pair at
+    planar fixed-point degree distance <= ``r_fp`` (squared-integer
+    predicate), the set-returning sibling of :func:`knn_join` — the
+    reference reaches the same pairs by scanning ``getNeighbours`` rings
+    per cell (XYGrid.java:409-423); here the ring is an equi-join key.
+
+    Shape: bucket every point into an integer grid of width
+    ``cell_fp = 3_600_000_000 >> zoom``; the PROBE side explodes each
+    point to its ``(2*ring+1)^2`` neighbor cells
+    (``ring = ceil(r_fp / cell_fp)``, a plan-time constant — pick zoom
+    so cell width ~ r and the factor stays 9), the BUILD side keeps the
+    home cell only, and one hash equi-join on ``(jx, jy)`` + the exact
+    long-arithmetic predicate ``dlon^2 + dlat^2 <= r_fp^2`` refines.
+    Each qualifying pair is emitted EXACTLY once: the build point's home
+    cell is unique and the probe point visits each ring cell once, with
+    ``a_id < b_id`` de-mirroring.  No brute force anywhere: candidate
+    volume is (local density) x 9, not n^2; dense-cell skew is the same
+    salted-join problem as cell_hash_join (plans/skew.py applies).
+
+    Determinism contract: bucketing, join keys and the distance
+    predicate are all pure 64-bit integer arithmetic — bit-identical in
+    any engine; d2 (long) is safe to hash-compare.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    ring = -(-int(r_fp) // cell_fp)
+    p = points.select(
+        F.col(id_col).alias("id"),
+        "lon_fp",
+        "lat_fp",
+        F.expr(f"(lon_fp + {_OSM_180}) DIV {cell_fp}").alias("cx"),
+        F.expr(f"(lat_fp + {_OSM_90}) DIV {cell_fp}").alias("cy"),
+    )
+    deltas = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
+    probe = (
+        p.withColumn("dx", F.explode(deltas))
+        .withColumn("dy", F.explode(deltas))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            F.col("id").alias("a_id"),
+            F.col("lon_fp").alias("a_lon"),
+            F.col("lat_fp").alias("a_lat"),
+        )
+    )
+    build = p.select(
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("id").alias("b_id"),
+        F.col("lon_fp").alias("b_lon"),
+        F.col("lat_fp").alias("b_lat"),
+    )
+    d2 = (F.col("a_lon") - F.col("b_lon")) * (
+        F.col("a_lon") - F.col("b_lon")
+    ) + (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat"))
+    return (
+        probe.join(build, ["jx", "jy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= F.lit(int(r_fp) * int(r_fp)))
+        .select("a_id", "b_id", "d2")
+    )

@@ -571,3 +571,56 @@ def query_cells_df(
         for cid in range(start, end + 1)
     ]
     return spark.createDataFrame(rows, "cell_zoom int, cell_id long")
+
+
+def cell_count_pyramid(
+    points: DataFrame,
+    max_zoom: int,
+    min_zoom: int = 0,
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Multi-zoom density pyramid: per-cell point counts at every zoom
+    in ``[min_zoom, max_zoom]`` — the aggregation analogue of the
+    reference's XYGridTree multi-level pyramid (XYGridTree.java:19-276,
+    levels 0..MAXZOOM), used for heatmaps and the kNN histogram bound.
+
+    Cells here are the plain integer grid ``cx = (lon_fp + 180e7) div
+    (360e7 >> z)`` (same for ``cy`` with the 90/180 span): because the
+    per-zoom widths are exact halvings, ``cx_z == cx_max >> (max_zoom -
+    z)`` — so the points are shuffled ONCE (groupBy at the deepest
+    zoom), and every coarser level is a rollup of the previous level's
+    (already tiny, <= #nonempty-cells rows) count table, never of the
+    raw points.  At 10^12 points that is one data-sized shuffle plus
+    ``max_zoom - min_zoom`` cell-table-sized ones.
+
+    Returns ``(zoom, cx, cy, n)`` — all long, integer-exact.
+    """
+    cell_fp = 3_600_000_000 >> max_zoom
+    base = (
+        points.select(
+            F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+            F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    levels = [base.select(F.lit(max_zoom).cast("long").alias("zoom"), "cx", "cy", "n")]
+    cur = base
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.select(
+                F.shiftrightunsigned("cx", 1).alias("cx"),
+                F.shiftrightunsigned("cy", 1).alias("cy"),
+                "n",
+            )
+            .groupBy("cx", "cy")
+            .agg(F.sum("n").alias("n"))
+        )
+        levels.append(
+            cur.select(F.lit(z).cast("long").alias("zoom"), "cx", "cy", "n")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -771,3 +771,104 @@ def test_bm25_probe_scores_fixture(spark):
     assert set(got) == {1, 2}
     assert got[1] == (2, contrib(2, 2, 4) + contrib(1, 1, 4))
     assert got[2] == (1, contrib(1, 2, 3))
+
+
+def test_dwithin_join_fixture(spark):
+    """Pairs within r found exactly once across cell borders; boundary
+    d2 == r^2 kept; mirror de-duplicated by a_id < b_id."""
+    from oshdb_spark.operators.knn import dwithin_join
+
+    # zoom 8 -> cell width 14_062_500 fp; place points straddling the
+    # cell border at lon = 0 (cx jumps at lon_fp = 0 exactly)
+    pts = spark.createDataFrame(
+        [
+            (1, -1_000_000, 0),          # just west of the border
+            (2, 1_000_000, 0),           # just east: cross-cell pair with 1
+            (3, 5_000_000, 0),           # 4e6 east of 2 -> within r of 1,2
+            (4, 11_000_000, 0),          # exactly r=12e6 from 1: boundary
+            (5, 500_000_000, 0),         # far away: no pairs
+            (6, -1_000_000, 3_000_000),  # 3e6 north of 1
+        ],
+        "event_id long, lon_fp long, lat_fp long",
+    )
+    r = 12_000_000
+    got = {
+        (x["a_id"], x["b_id"]): x["d2"]
+        for x in dwithin_join(pts, r, zoom=8).collect()
+    }
+    assert got == {
+        (1, 2): 4 * 10**12,
+        (1, 3): 36 * 10**12,
+        (2, 3): 16 * 10**12,
+        (1, 4): 144 * 10**12,   # exactly r^2 -> kept (<=)
+        (2, 4): 100 * 10**12,
+        (3, 4): 36 * 10**12,
+        (1, 6): 9 * 10**12,
+        (2, 6): 13 * 10**12,
+        (3, 6): 45 * 10**12,
+        # (4, 6) excluded: d2 = 153e12 > r^2 = 144e12
+    }
+
+
+def test_sessionize_fixture(spark):
+    """Gap > threshold opens a session; equal-ts ties share a session."""
+    from oshdb_spark.operators.aggregations import session_stats, sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, 100),
+            (2, 10, 150),    # gap 50 <= 100: same session
+            (3, 10, 300),    # gap 150 > 100: new session
+            (4, 10, 300),    # tie: gap 0, same session
+            (5, 10, 401),    # gap 101 > 100: new session
+            (6, 20, 7),      # second user: own numbering
+        ],
+        "event_id long, user_id long, ts_us long",
+    )
+    sids = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap_us=100).collect()
+    }
+    assert sids == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 1}
+    stats = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_ts"], r["end_ts"], r["duration_us"]
+        )
+        for r in session_stats(ev, gap_us=100).collect()
+    }
+    assert stats == {
+        (10, 1): (2, 100, 150, 50),
+        (10, 2): (2, 300, 300, 0),
+        (10, 3): (1, 401, 401, 0),
+        (20, 1): (1, 7, 7, 0),
+    }
+
+
+def test_cell_count_pyramid_fixture(spark):
+    """Rollup equals independent per-zoom recomputation; totals conserved."""
+    from oshdb_spark.operators.tiling import cell_count_pyramid
+
+    pts = spark.createDataFrame(
+        [
+            (1, -1_800_000_000, -900_000_000),  # cell (0,0) at every zoom
+            (2, 1_799_000_000, 899_000_000),    # far corner
+            (3, 1_799_000_000, 899_000_000),    # same cell as 2
+            (4, -1_000, -1_000),                # just west/south of center
+            (5, 1_000, 1_000),                  # just east/north: splits at z>=1
+        ],
+        "event_id long, lon_fp long, lat_fp long",
+    )
+    rows = cell_count_pyramid(pts, max_zoom=2, min_zoom=0).collect()
+    got = {(r["zoom"], r["cx"], r["cy"]): r["n"] for r in rows}
+    assert got == {
+        # zoom 0: one 360x180 cell holds everything
+        (0, 0, 0): 5,
+        # zoom 1 (180-deg cells; all lats land in cy 0): {1,4} | {5,2,3}
+        (1, 0, 0): 2,
+        (1, 1, 0): 3,
+        # zoom 2 (90-deg cells)
+        (2, 0, 0): 1,   # point 1
+        (2, 1, 0): 1,   # point 4
+        (2, 2, 1): 1,   # point 5
+        (2, 3, 1): 2,   # points 2, 3
+    }

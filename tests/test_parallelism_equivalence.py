@@ -49,6 +49,11 @@ QUERY_NAMES = [
     "deterministic_sample",  # md5-threshold sampling (repartition-stable)
     "knn_points",  # ring-expansion kNN ids + per-pair distances
     "way_member_resolution",  # member-resolution as-of join
+    # dwithin_pairs is oracle-gated at sf0.01; at this file's sf0.001 the
+    # synthetic lattice has no pairs within 1 degree (empty proves nothing)
+    "session_stats",  # gap sessionization window chain
+    "cell_count_pyramid",  # one-shuffle multi-zoom rollup
+    "topk_cell_contributors",  # per-cell window rank, integer tie-break
 ]
 
 _WORKER = r"""

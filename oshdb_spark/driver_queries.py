@@ -3266,3 +3266,44 @@ def q_topk_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
+
+
+_GEO_DWITHIN_R_M = 60_000.0
+_TO_RAD_FP = 3.141592653589793 / 180.0 / 1e7
+# prefilter bands for the oracle's inequality join (conservative covers)
+_GD_DLAT_FP = int(_GEO_DWITHIN_R_M / 110_500 * 1e7) + 1
+_GD_DLON_FP = int(_GEO_DWITHIN_R_M / (110_500 * 0.066) * 1e7) + 1
+
+_GEO_DWITHIN_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)})
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       CAST(ROUND(2 * 6371000 * ASIN(SQRT(
+             SIN((b.lat_fp - a.lat_fp) * {_TO_RAD_FP!r} / 2)
+           * SIN((b.lat_fp - a.lat_fp) * {_TO_RAD_FP!r} / 2)
+           + COS(a.lat_fp * {_TO_RAD_FP!r}) * COS(b.lat_fp * {_TO_RAD_FP!r})
+           * SIN((b.lon_fp - a.lon_fp) * {_TO_RAD_FP!r} / 2)
+           * SIN((b.lon_fp - a.lon_fp) * {_TO_RAD_FP!r} / 2)
+       )), 6) AS DECIMAL(18,6)) AS dist_m
+FROM g a JOIN g b ON a.event_id < b.event_id
+  AND b.lat_fp BETWEEN a.lat_fp - {_GD_DLAT_FP} AND a.lat_fp + {_GD_DLAT_FP}
+  AND b.lon_fp BETWEEN a.lon_fp - {_GD_DLON_FP} AND a.lon_fp + {_GD_DLON_FP}
+WHERE CAST(ROUND(2 * 6371000 * ASIN(SQRT(
+             SIN((b.lat_fp - a.lat_fp) * {_TO_RAD_FP!r} / 2)
+           * SIN((b.lat_fp - a.lat_fp) * {_TO_RAD_FP!r} / 2)
+           + COS(a.lat_fp * {_TO_RAD_FP!r}) * COS(b.lat_fp * {_TO_RAD_FP!r})
+           * SIN((b.lon_fp - a.lon_fp) * {_TO_RAD_FP!r} / 2)
+           * SIN((b.lon_fp - a.lon_fp) * {_TO_RAD_FP!r} / 2)
+       )), 6) AS DECIMAL(18,6)) <= {_GEO_DWITHIN_R_M!r}
+"""
+
+
+@_q("dwithin_geodesic_pairs", _GEO_DWITHIN_ORACLE)
+def q_dwithin_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (haversine) 60 km distance-band self-join with a
+    latitude-aware per-row longitude ring; the distance is rounded to
+    6 decimal meters on BOTH engines before the threshold compare so
+    libm 1-ulp differences cannot flip pair membership."""
+    from oshdb_spark.operators.knn import dwithin_join_geodesic
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return dwithin_join_geodesic(g, _GEO_DWITHIN_R_M, zoom=8)

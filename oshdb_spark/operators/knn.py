@@ -157,7 +157,7 @@ def dwithin_join(
     Shape: bucket every point into an integer grid of width
     ``cell_fp = 3_600_000_000 >> zoom``; the PROBE side explodes each
     point to its ``(2*ring+1)^2`` neighbor cells
-    (``ring = ceil(r_fp / cell_fp)``, a plan-time constant — pick zoom
+    (``ring = r_fp // cell_fp + 1``, a plan-time constant — pick zoom
     so cell width ~ r and the factor stays 9), the BUILD side keeps the
     home cell only, and one hash equi-join on ``(jx, jy)`` + the exact
     long-arithmetic predicate ``dlon^2 + dlat^2 <= r_fp^2`` refines.
@@ -172,7 +172,9 @@ def dwithin_join(
     any engine; d2 (long) is safe to hash-compare.
     """
     cell_fp = 3_600_000_000 >> zoom
-    ring = -(-int(r_fp) // cell_fp)
+    # floor+1, not ceil: two floor-buckets of points D apart can
+    # differ by floor(D/c)+1 when D is an exact multiple of c
+    ring = int(r_fp) // cell_fp + 1
     p = points.select(
         F.col(id_col).alias("id"),
         "lon_fp",
@@ -208,4 +210,103 @@ def dwithin_join(
         .withColumn("d2", d2)
         .where(F.col("d2") <= F.lit(int(r_fp) * int(r_fp)))
         .select("a_id", "b_id", "d2")
+    )
+
+
+def dwithin_join_geodesic(
+    points: DataFrame,
+    r_m: float,
+    zoom: int = 8,
+    id_col: str = "event_id",
+    max_abs_lat_deg: float = 85.0,
+) -> DataFrame:
+    """Geodesic distance-band self-join: every unordered point pair
+    within ``r_m`` meters of great-circle (haversine, R_mean sphere —
+    the same sphere Geo.lengthOf uses, geometry/geo.py:25) — the
+    latitude-aware sibling of :func:`dwithin_join`.
+
+    The planar variant's constant ring is wrong on a sphere: a fixed
+    meter radius spans more LONGITUDE degrees at high latitude
+    (1/cos(lat)).  Here the probe side's x-ring is a PER-ROW column —
+    ``explode(sequence(-rx, rx))`` with
+    ``rx = ceil(r_lon_deg(lat) / cell_deg)`` computed from each point's
+    own latitude, conservatively widened by the worst-case latitude
+    shift of a within-r partner (so the cover proof holds: a pair
+    within r_m always shares a (jx, jy) key).  The y-ring stays
+    constant (meridian degrees are ~constant).  Explode factor is
+    (2*rx+1) * (2*ry+1) per point — ~9 at the equator, growing toward
+    |lat| = ``max_abs_lat_deg`` where rx is capped (points beyond the
+    cap would need a polar-cell scheme; the synthetic corpus tops out
+    at 85).
+
+    Determinism contract: the candidate cover is integer arithmetic;
+    the haversine refine is a pure double function of the four
+    fixed-point ints, ROUNDED to 6 decimal meters on both engines
+    before the threshold compare, so a 1-ulp libm difference cannot
+    flip membership (the 9dp-round discipline of the oracle rules).
+    Returns (a_id, b_id, dist_m DECIMAL(18,6)).
+    """
+    import math
+
+    cell_fp = 3_600_000_000 >> zoom
+    cell_deg = cell_fp / 1e7
+    # worst-case latitude displacement of a within-r partner, in degrees
+    dlat_max_deg = r_m / 110_567.0
+    ry = int(math.ceil(dlat_max_deg * 1e7)) // cell_fp + 1
+    # cap for rx at the highest supported latitude
+    worst_cos = math.cos(math.radians(min(89.9, max_abs_lat_deg + dlat_max_deg)))
+    rx_cap = int(r_m / (110_500.0 * worst_cos) / cell_deg) + 2
+
+    p = points.select(
+        F.col(id_col).alias("id"),
+        "lon_fp",
+        "lat_fp",
+        F.expr(f"(lon_fp + {_OSM_180}) DIV {cell_fp}").alias("cx"),
+        F.expr(f"(lat_fp + {_OSM_90}) DIV {cell_fp}").alias("cy"),
+    )
+    # per-row x-ring: widen own latitude by the partner's max shift
+    abs_lat = F.abs(F.col("lat_fp")) / F.lit(1e7) + F.lit(dlat_max_deg)
+    cos_lat = F.cos(F.radians(F.least(abs_lat, F.lit(89.9))))
+    rx = F.least(
+        F.floor(F.lit(r_m) / (F.lit(110_500.0) * cos_lat) / F.lit(cell_deg))
+        + F.lit(1),
+        F.lit(rx_cap),
+    ).cast("int")
+    dy = F.array(*[F.lit(d) for d in range(-ry, ry + 1)])
+    probe = (
+        p.withColumn("dx", F.explode(F.sequence(-rx, rx)))
+        .withColumn("dy", F.explode(dy))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            F.col("id").alias("a_id"),
+            F.col("lon_fp").alias("a_lon"),
+            F.col("lat_fp").alias("a_lat"),
+        )
+    )
+    build = p.select(
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("id").alias("b_id"),
+        F.col("lon_fp").alias("b_lon"),
+        F.col("lat_fp").alias("b_lat"),
+    )
+    to_rad = 3.141592653589793 / 180.0 / 1e7
+    la1 = F.col("a_lat") * F.lit(to_rad)
+    la2 = F.col("b_lat") * F.lit(to_rad)
+    dla = (F.col("b_lat") - F.col("a_lat")) * F.lit(to_rad)
+    dlo = (F.col("b_lon") - F.col("a_lon")) * F.lit(to_rad)
+    h = F.sin(dla / 2) * F.sin(dla / 2) + F.cos(la1) * F.cos(la2) * F.sin(
+        dlo / 2
+    ) * F.sin(dlo / 2)
+    dist = (
+        F.lit(2.0 * 6_371_000.0) * F.asin(F.sqrt(h))
+    )
+    dist6 = F.round(dist, 6).cast("decimal(18,6)")
+    return (
+        probe.join(build, ["jx", "jy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist_m", dist6)
+        .where(F.col("dist_m") <= F.lit(float(r_m)))
+        .select("a_id", "b_id", "dist_m")
     )

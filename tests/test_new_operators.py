@@ -872,3 +872,48 @@ def test_cell_count_pyramid_fixture(spark):
         (2, 2, 1): 1,   # point 5
         (2, 3, 1): 2,   # points 2, 3
     }
+
+
+def test_dwithin_geodesic_fixture(spark):
+    """High-latitude pair that a constant planar ring would miss is
+    found by the latitude-aware ring; the 60 km threshold splits two
+    near-equator pairs 111 m apart in span."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oshdb_spark.operators.knn import dwithin_join_geodesic
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 800_000_000),           # lat 80
+            (2, 30_000_000, 800_000_000),  # 3 deg east at lat 80: ~57.9 km
+            (3, 0, 0),
+            (4, 5_390_000, 0),             # 0.539 deg ~ 59.94 km: in
+            (5, 5_400_000, 0),             # 0.540 deg ~ 60.05 km from 3: out
+        ],
+        "event_id long, lon_fp long, lat_fp long",
+    )
+
+    def hav(a, b):
+        to_rad = 3.141592653589793 / 180.0 / 1e7
+        la1, la2 = a[2] * to_rad, b[2] * to_rad
+        dla, dlo = (b[2] - a[2]) * to_rad, (b[1] - a[1]) * to_rad
+        h = (
+            math.sin(dla / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin(dlo / 2) ** 2
+        )
+        v = 2 * 6_371_000.0 * math.asin(math.sqrt(h))
+        return Decimal(repr(v)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    P = {1: (1, 0, 800_000_000), 2: (2, 30_000_000, 800_000_000),
+         3: (3, 0, 0), 4: (4, 5_390_000, 0), 5: (5, 5_400_000, 0)}
+    got = {
+        (r["a_id"], r["b_id"]): r["dist_m"]
+        for r in dwithin_join_geodesic(pts, 60_000.0, zoom=8).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4), (4, 5)}
+    for (a, b), d in got.items():
+        assert d == hav(P[a], P[b]), (a, b)
+    assert float(got[(1, 2)]) < 58_000  # lat-80 pair is genuinely ~57.9 km

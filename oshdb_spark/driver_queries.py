@@ -3307,3 +3307,113 @@ def q_dwithin_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return dwithin_join_geodesic(g, _GEO_DWITHIN_R_M, zoom=8)
+
+
+_TRACK_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+s AS (
+  SELECT user_id, lon_fp, lat_fp,
+         LAG(lon_fp) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS plon,
+         LAG(lat_fp) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS plat
+  FROM g
+)
+SELECT user_id,
+       COUNT(*) AS n_steps,
+       CAST(SUM(CAST(ROUND(2 * 6371000 * ASIN(LEAST(SQRT(
+             SIN((lat_fp - plat) * {_TO_RAD_FP!r} / 2)
+           * SIN((lat_fp - plat) * {_TO_RAD_FP!r} / 2)
+           + COS(plat * {_TO_RAD_FP!r}) * COS(lat_fp * {_TO_RAD_FP!r})
+           * SIN((lon_fp - plon) * {_TO_RAD_FP!r} / 2)
+           * SIN((lon_fp - plon) * {_TO_RAD_FP!r} / 2)
+       ), 1.0)), 3) AS DECIMAL(18,3))) AS DECIMAL(38,3)) AS track_m
+FROM s WHERE plon IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@_q("track_length_geodesic", _TRACK_ORACLE)
+def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geodesic trajectory length: lag window over (ts,
+    event_id), haversine step rounded to mm and DECIMAL-summed — exact
+    under any partition order (the movement analogue of Geo.lengthOf)."""
+    from oshdb_spark.operators.aggregations import track_length_geodesic
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return track_length_geodesic(g)
+
+
+_GI_ZOOM = 6
+_GI_CELL = 3_600_000_000 >> _GI_ZOOM
+
+_GI_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+c AS (
+  SELECT (lon_fp + 1800000000) // {_GI_CELL} AS cx,
+         (lat_fp + 900000000) // {_GI_CELL} AS cy,
+         COUNT(*) AS x
+  FROM g GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sx2,
+         CAST(COUNT(*) AS DOUBLE) AS nn
+  FROM c
+),
+r AS (
+  SELECT a.cx, a.cy, a.x,
+         CAST(SUM(b.x) AS BIGINT) AS s_i, COUNT(*) AS n_i
+  FROM c a JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  GROUP BY 1, 2, 3
+)
+SELECT cx, cy, x, s_i, n_i,
+       CAST(ROUND((s_i - (sx / nn) * n_i)
+            / (SQRT(sx2 / nn - (sx / nn) * (sx / nn))
+               * SQRT((nn * n_i - n_i * n_i) / (nn - 1.0))), 9)
+            AS DECIMAL(28,9)) AS gi_z
+FROM r CROSS JOIN m
+"""
+
+
+@_q("gi_star_hotspots", _GI_ORACLE)
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per occupied zoom-6 cell (3x3
+    queen weights incl. self): points shuffle once into cell counts,
+    the 9-key neighbor roll-up and the 1-row moments broadcast operate
+    on the cell table only; z derives from integer moments through
+    IEEE-exact ops so 9dp-rounding hash-compares exactly."""
+    from oshdb_spark.operators.tiling import gi_star_hotspots
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return gi_star_hotspots(g, _GI_ZOOM)
+
+
+_OD_ZOOM = 6
+_OD_CELL = 3_600_000_000 >> _OD_ZOOM
+
+_OD_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+s AS (
+  SELECT (lon_fp + 1800000000) // {_OD_CELL} AS tcx,
+         (lat_fp + 900000000) // {_OD_CELL} AS tcy,
+         LAG((lon_fp + 1800000000) // {_OD_CELL})
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS fcx,
+         LAG((lat_fp + 900000000) // {_OD_CELL})
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS fcy
+  FROM g
+)
+SELECT fcx, fcy, tcx, tcy, COUNT(*) AS n_steps
+FROM s WHERE fcx IS NOT NULL
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@_q("od_flow_matrix", _OD_ORACLE)
+def q_od_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flows between zoom-6 cells over consecutive
+    per-user steps — integer-exact movement analytics (window + one
+    map-side-combinable count)."""
+    from oshdb_spark.operators.aggregations import od_flow_matrix
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return od_flow_matrix(g, _OD_ZOOM)

@@ -309,3 +309,95 @@ def session_stats(
         F.max(ts_col).alias("end_ts"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration_us"),
     )
+
+
+def track_length_geodesic(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Per-key geodesic track length: order each key's points by
+    ``(ts, order)``, sum the haversine distance of consecutive steps —
+    the trajectory analogue of Geo.lengthOf (geometry/geo.py:25, same
+    R_mean sphere), and the movement-analytics sibling of
+    :func:`session_stats`.
+
+    One shuffle (the window partition); the step distance is a pure
+    double function of four fixed-point ints, rounded to 3 decimal
+    meters (mm) per step and DECIMAL-summed so the result is exact
+    under any partition order and any libm 1-ulp drift (mm granularity
+    dominates the worst-case asin error amplification near-antipodal
+    steps can reach).  Keys with a single point have no step and are
+    absent.  Returns ``(key, n_steps:long, track_m:decimal(38,3))``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    p = events.select(key_col, ts_col, order_col, lon_col, lat_col)
+    p = p.withColumn("_plon", F.lag(lon_col).over(w)).withColumn(
+        "_plat", F.lag(lat_col).over(w)
+    )
+    to_rad = 3.141592653589793 / 180.0 / 1e7
+    la1 = F.col("_plat") * F.lit(to_rad)
+    la2 = F.col(lat_col) * F.lit(to_rad)
+    dla = (F.col(lat_col) - F.col("_plat")) * F.lit(to_rad)
+    dlo = (F.col(lon_col) - F.col("_plon")) * F.lit(to_rad)
+    h = F.sin(dla / 2) * F.sin(dla / 2) + F.cos(la1) * F.cos(la2) * F.sin(
+        dlo / 2
+    ) * F.sin(dlo / 2)
+    # clamp sqrt(h) at 1.0: float error can push h a ulp past 1 for
+    # antipodal steps and asin would go NaN (same clamp in the oracle)
+    step = F.lit(2.0 * 6_371_000.0) * F.asin(F.least(F.sqrt(h), F.lit(1.0)))
+    step_mm = F.round(step, 3).cast("decimal(18,3)")
+    return (
+        p.where(F.col("_plon").isNotNull())
+        .select(key_col, step_mm.alias("_step"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum("_step").cast("decimal(38,3)").alias("track_m"),
+        )
+    )
+
+
+def od_flow_matrix(
+    events: DataFrame,
+    zoom: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Origin-destination flow matrix: for every consecutive per-key
+    step (same (ts, order) window as :func:`track_length_geodesic`),
+    count transitions between zoom-``zoom`` grid cells — the classic
+    movement-analytics aggregate over the engine's cell lattice.
+
+    Two shuffles total (the per-key window, then the map-side-
+    combinable (from, to) count), both integer-exact; self-loops
+    (step stays in its cell) are kept — they carry dwell information.
+    Returns ``(fcx, fcy, tcx, tcy, n_steps)``, all long.
+    """
+    from pyspark.sql import Window
+
+    cell_fp = 3_600_000_000 >> zoom
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    p = events.select(
+        key_col,
+        ts_col,
+        order_col,
+        F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("tcx"),
+        F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("tcy"),
+    )
+    p = p.withColumn("fcx", F.lag("tcx").over(w)).withColumn(
+        "fcy", F.lag("tcy").over(w)
+    )
+    return (
+        p.where(F.col("fcx").isNotNull())
+        .groupBy("fcx", "fcy", "tcx", "tcy")
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+    )

@@ -624,3 +624,84 @@ def cell_count_pyramid(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def gi_star_hotspots(
+    points: DataFrame,
+    zoom: int,
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per occupied grid cell (Ord &
+    Getis 1995, binary 3x3 queen weights incl. self, study region =
+    the occupied cells) — the local-statistics layer OSHDB users build
+    downstream of aggregateByGeometry heatmaps.
+
+    Scale shape: the points shuffle ONCE (the per-cell count groupBy,
+    map-side combinable); everything after operates on the cell table
+    — each occupied cell explodes to its 9 neighbor keys and
+    equi-joins back (cell-table-sized shuffle), and the global moments
+    (N, sum x, sum x^2) are a 1-row broadcast.  Raw points are never
+    re-shuffled, mirroring :func:`cell_count_pyramid`.
+
+    Determinism: x/S_i/n_i are exact longs; mean and sd derive from
+    the integer moments through IEEE-exact ops (+,-,*,/,sqrt — no
+    libm), so the z-score is bit-identical across engines given the
+    same expression shape; rounded to 9dp into decimal(28,9) for the
+    hash gate.  Precondition: >= 2 occupied cells with unequal counts
+    and every cell's neighborhood smaller than the region (else the
+    Gi* denominator is 0).
+
+    Returns ``(cx, cy, x, s_i, n_i, gi_z)``.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    counts = (
+        points.select(
+            F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+            F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    contrib = (
+        counts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            "x",
+        )
+        .groupBy("jx", "jy")
+        .agg(
+            F.sum("x").alias("s_i"),
+            F.count(F.lit(1)).alias("n_i"),
+        )
+    )
+    moments = counts.agg(
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.count(F.lit(1)).cast("double").alias("nn"),
+    )
+    j = (
+        counts.join(
+            contrib,
+            (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
+        )
+        .crossJoin(F.broadcast(moments))
+    )
+    mean = F.col("sx") / F.col("nn")
+    sd = F.sqrt(F.col("sx2") / F.col("nn") - mean * mean)
+    den = sd * F.sqrt(
+        (F.col("nn") * F.col("n_i") - F.col("n_i") * F.col("n_i"))
+        / (F.col("nn") - F.lit(1.0))
+    )
+    z = (F.col("s_i") - mean * F.col("n_i")) / den
+    return j.select(
+        "cx",
+        "cy",
+        "x",
+        "s_i",
+        "n_i",
+        F.round(z, 9).cast("decimal(28,9)").alias("gi_z"),
+    )

@@ -917,3 +917,147 @@ def test_dwithin_geodesic_fixture(spark):
     for (a, b), d in got.items():
         assert d == hav(P[a], P[b]), (a, b)
     assert float(got[(1, 2)]) < 58_000  # lat-80 pair is genuinely ~57.9 km
+
+
+def test_track_length_geodesic_fixture(spark):
+    """Two 3-point tracks with hand-derived haversine sums; ordering is
+    by (ts, event_id) — the duplicate-ts pair must break the tie on
+    event_id; a single-point user has no step and is absent."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oshdb_spark.operators.aggregations import track_length_geodesic
+
+    rows = [
+        # user 1: equator eastward walk, duplicate ts on the last two
+        (1, 10, 100, 0, 0),
+        (2, 10, 200, 10_000_000, 0),
+        (3, 10, 200, 30_000_000, 0),   # same ts as event 2: order by id
+        # user 2: meridian hop
+        (4, 20, 100, 0, 0),
+        (5, 20, 150, 0, 20_000_000),
+        # user 3: single point -> no steps
+        (6, 30, 100, 50_000_000, 50_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long"
+    )
+
+    def step(a, b):
+        tr = 3.141592653589793 / 180.0 / 1e7
+        la1, la2 = a[1] * tr, b[1] * tr
+        dla, dlo = (b[1] - a[1]) * tr, (b[0] - a[0]) * tr
+        h = (
+            math.sin(dla / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin(dlo / 2) ** 2
+        )
+        v = 2 * 6_371_000.0 * math.asin(min(math.sqrt(h), 1.0))
+        return Decimal(repr(v)).quantize(
+            Decimal("0.001"), rounding=ROUND_HALF_UP
+        )
+
+    got = {
+        r["user_id"]: (r["n_steps"], r["track_m"])
+        for r in track_length_geodesic(df).collect()
+    }
+    p = {e: (lon, lat) for e, _, _, lon, lat in rows}
+    assert set(got) == {10, 20}
+    assert got[10] == (2, step(p[1], p[2]) + step(p[2], p[3]))
+    assert got[20] == (1, step(p[4], p[5]))
+    # sanity: 1 equator degree ~ 111.19 km
+    assert 111_000 < float(step(p[1], p[2])) < 111_400
+
+
+def test_gi_star_hotspots_fixture(spark):
+    """5-cell fixture: expected z-scores recomputed in plain Python
+    from the Ord & Getis 1995 formula (binary 3x3 weights incl. self,
+    occupied-cell study region)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oshdb_spark.operators.tiling import gi_star_hotspots
+
+    zoom = 6
+    cell = 3_600_000_000 >> zoom
+    # occupied cells (cx, cy) -> point count
+    # NOTE: counts chosen so no neighborhood sum equals mean*n_i — the
+    # first draft (5,3,1,2,4) was accidentally degenerate (every z == 0)
+    cells = {(10, 10): 6, (11, 10): 4, (10, 11): 1, (20, 20): 1, (21, 21): 2}
+    rows = []
+    eid = 0
+    for (cx, cy), n in cells.items():
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, cx * cell - 1_800_000_000 + 7, cy * cell - 900_000_000 + 7)
+            )
+    df = spark.createDataFrame(rows, "event_id long, lon_fp long, lat_fp long")
+
+    xs = list(cells.values())
+    nn = float(len(xs))
+    mean = sum(xs) / nn
+    sd = math.sqrt(sum(v * v for v in xs) / nn - mean * mean)
+
+    def expect(c):
+        nbrs = [
+            v
+            for (ox, oy), v in cells.items()
+            if abs(ox - c[0]) <= 1 and abs(oy - c[1]) <= 1
+        ]
+        s_i, n_i = sum(nbrs), len(nbrs)
+        z = (s_i - mean * n_i) / (
+            sd * math.sqrt((nn * n_i - n_i * n_i) / (nn - 1.0))
+        )
+        return (
+            s_i,
+            n_i,
+            Decimal(repr(z)).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP
+            ),
+        )
+
+    got = {
+        (r["cx"], r["cy"]): (r["s_i"], r["n_i"], r["gi_z"])
+        for r in gi_star_hotspots(df, zoom).collect()
+    }
+    assert set(got) == set(cells)
+    for c in cells:
+        assert got[c] == expect(c), c
+    # the dense pair is hotter than the isolated singleton
+    assert got[(10, 10)][2] > got[(20, 20)][2]
+
+
+def test_od_flow_matrix_fixture(spark):
+    """Hand-checked transitions incl. a self-loop and a duplicate-ts
+    tie broken by event_id; first point per user contributes no flow."""
+    from oshdb_spark.operators.aggregations import od_flow_matrix
+
+    zoom = 6
+    cell = 3_600_000_000 >> zoom
+
+    def pt(cx, cy):
+        return (cx * cell - 1_800_000_000 + 5, cy * cell - 900_000_000 + 5)
+
+    rows = [
+        # user 1: cell A -> A (self-loop) -> B
+        (1, 10, 100, *pt(4, 4)),
+        (2, 10, 200, *pt(4, 4)),
+        (3, 10, 200, *pt(5, 4)),   # ts tie with event 2 -> ordered after it
+        # user 2: B -> A
+        (4, 20, 100, *pt(5, 4)),
+        (5, 20, 150, *pt(4, 4)),
+        # user 3: single point, no flow
+        (6, 30, 100, *pt(9, 9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long"
+    )
+    got = {
+        (r["fcx"], r["fcy"], r["tcx"], r["tcy"]): r["n_steps"]
+        for r in od_flow_matrix(df, zoom).collect()
+    }
+    assert got == {
+        (4, 4, 4, 4): 1,   # user 1 self-loop
+        (4, 4, 5, 4): 1,   # user 1 A->B
+        (5, 4, 4, 4): 1,   # user 2 B->A
+    }

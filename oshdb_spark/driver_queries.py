@@ -3417,3 +3417,103 @@ def q_od_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return od_flow_matrix(g, _OD_ZOOM)
+
+
+# ---------------------------------------------------------------------------
+# 23. spatial statistics: IDW surface generation + global Moran's I
+# ---------------------------------------------------------------------------
+
+_IDW_ZOOM = 7
+_IDW_CELL = 3_600_000_000 >> _IDW_ZOOM
+_IDW_HALF = _IDW_CELL // 2
+
+_IDW_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+p AS (
+  SELECT lon_fp, lat_fp, val,
+         (lon_fp + 1800000000) // {_IDW_CELL} AS cx,
+         (lat_fp + 900000000) // {_IDW_CELL} AS cy
+  FROM g
+),
+occ AS (SELECT DISTINCT cx, cy FROM p),
+t AS (
+  SELECT p.cx + dx.d AS jx, p.cy + dy.d AS jy,
+         lon_fp - ((p.cx + dx.d) * {_IDW_CELL} + {_IDW_HALF - 1_800_000_000}) AS ddx,
+         lat_fp - ((p.cy + dy.d) * {_IDW_CELL} + {_IDW_HALF - 900_000_000}) AS ddy,
+         val
+  FROM p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
+w AS (
+  SELECT jx, jy, CAST(ddx * ddx + ddy * ddy AS DOUBLE) AS d2, val
+  FROM t WHERE ddx * ddx + ddy * ddy > 0
+)
+SELECT jx AS cx, jy AS cy, COUNT(*) AS n_pts,
+       CAST(SUM(CAST(ROUND(1e12 / d2, 9) AS DECIMAL(28,9)))
+            AS DECIMAL(38,9)) AS w_sum,
+       CAST(SUM(CAST(ROUND(1e12 / d2 * val, 9) AS DECIMAL(28,9)))
+            AS DECIMAL(38,9)) AS wv_sum
+FROM w JOIN occ ON occ.cx = w.jx AND occ.cy = w.jy
+GROUP BY 1, 2
+"""
+
+
+@_q("idw_interpolation", _IDW_ORACLE)
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shepard power-2 IDW of the point attribute onto occupied zoom-7
+    cell centers with a 3x3 cell-bucketed neighborhood: one map-side-
+    combinable shuffle of per-point weight partials; the weight math is
+    exact-integer d2 (< 2^53) through correctly-rounded IEEE ops, 9dp-
+    rounded and DECIMAL-summed for the hash gate (vector->raster
+    surface generation; raster_zonal_weighted is the reverse half)."""
+    from oshdb_spark.operators.zonal import idw_grid_interpolation
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return idw_grid_interpolation(g, _IDW_ZOOM)
+
+
+_MORAN_ZOOM = 6
+_MORAN_CELL = 3_600_000_000 >> _MORAN_ZOOM
+
+_MORAN_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+c AS (
+  SELECT (lon_fp + 1800000000) // {_MORAN_CELL} AS cx,
+         (lat_fp + 900000000) // {_MORAN_CELL} AS cy,
+         COUNT(*) AS x
+  FROM g GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sx2,
+         CAST(COUNT(*) AS DOUBLE) AS nn_d,
+         COUNT(*) AS nn
+  FROM c
+),
+r AS (
+  SELECT a.cx, a.cy, a.x,
+         CAST(SUM(b.x) AS BIGINT) AS s_i, COUNT(*) AS n_i
+  FROM c a JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                   AND NOT (b.cx = a.cx AND b.cy = a.cy)
+  GROUP BY 1, 2, 3
+)
+SELECT nn,
+       CAST(SUM(n_i) AS BIGINT) AS w_conn,
+       CAST(SUM(CAST(ROUND((x - sx / nn_d) * (s_i - n_i * (sx / nn_d)), 9)
+                     AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS cross_sum,
+       CAST(ROUND(sx2 - sx * sx / nn_d, 9) AS DECIMAL(28,9)) AS ssq
+FROM r CROSS JOIN m
+GROUP BY nn, sx, sx2, nn_d
+"""
+
+
+@_q("moran_i_components", _MORAN_ORACLE)
+def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I components (queen weights excluding self) over
+    zoom-6 cell counts — the global autocorrelation companion to
+    gi_star_hotspots, same one-shuffle cell-table plan; single row of
+    exact longs + 9dp-rounded DECIMAL cross/ssq terms."""
+    from oshdb_spark.operators.tiling import moran_i_global
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return moran_i_global(g, _MORAN_ZOOM)

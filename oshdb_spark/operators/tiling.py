@@ -705,3 +705,86 @@ def gi_star_hotspots(
         "n_i",
         F.round(z, 9).cast("decimal(28,9)").alias("gi_z"),
     )
+
+
+def moran_i_global(
+    points: DataFrame,
+    zoom: int,
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Global Moran's I spatial-autocorrelation components over per-cell
+    point counts (Moran 1950; binary 3x3 queen weights EXCLUDING self,
+    study region = the occupied cells) — the global companion to the local
+    gi_star_hotspots statistic.
+
+    Plan shape: identical to gi_star_hotspots — points shuffle ONCE into
+    cell counts; the 8-key neighbor roll-up and the single-row moments are
+    cell-table-sized; the output is ONE row.
+
+    Determinism: the per-cell cross term (x_i - m)(S_i - n_i m) is a fixed
+    dag of IEEE-exact ops over exact integers and the correctly-rounded
+    mean m = sx/nn, rounded to 9dp and DECIMAL-summed so partition order
+    cannot move it; nn/w_conn are exact longs and ssq = sx2 - sx^2/nn is
+    single-row arithmetic.  Moran's I itself is
+    ``nn * cross_sum / (w_conn * ssq)`` — left to the caller as the exact
+    component quadruple because cross-engine DECIMAL/DECIMAL division
+    semantics are not part of the hash-gate contract.
+
+    Returns one row ``(nn, w_conn, cross_sum, ssq)``.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    counts = (
+        points.select(
+            F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+            F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    contrib = (
+        counts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            "x",
+        )
+        .groupBy("jx", "jy")
+        .agg(F.sum("x").alias("s_i"), F.count(F.lit(1)).alias("n_i"))
+    )
+    moments = counts.agg(
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.count(F.lit(1)).cast("double").alias("nn_d"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    j = counts.join(
+        contrib,
+        (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
+    ).crossJoin(F.broadcast(moments))
+    m = F.col("sx") / F.col("nn_d")
+    term = (F.col("x") - m) * (F.col("s_i") - F.col("n_i") * m)
+    per_cell = j.select(
+        "nn",
+        "sx",
+        "sx2",
+        "nn_d",
+        F.col("n_i"),
+        F.round(term, 9).cast("decimal(28,9)").alias("t"),
+    )
+    return per_cell.groupBy("nn", "sx", "sx2", "nn_d").agg(
+        F.sum("n_i").alias("w_conn"),
+        F.sum("t").cast("decimal(38,9)").alias("cross_sum"),
+    ).select(
+        "nn",
+        "w_conn",
+        "cross_sum",
+        F.round(
+            F.col("sx2") - F.col("sx") * F.col("sx") / F.col("nn_d"), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("ssq"),
+    )

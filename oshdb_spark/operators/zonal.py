@@ -349,3 +349,103 @@ def raster_zonal_aggregate(
     joined = raster.join(F.broadcast(cdf), cell_col)
     per_zone = joined.groupBy("zone_key").agg(*aggs)
     return F.broadcast(zdf).join(per_zone, "zone_key", "left")
+
+
+def idw_grid_interpolation(
+    points: DataFrame,
+    zoom: int,
+    value_col: str = "val",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Inverse-distance-weighted (Shepard 1968, power 2) interpolation of a
+    scattered point attribute onto the centers of the OCCUPIED grid cells at
+    ``zoom`` — the vector->raster surface-generation half of zonal statistics
+    (raster_zonal_aggregate is the raster->vector half).  The search
+    neighborhood is the 3x3 queen ring of the target cell, the standard
+    cell-bucketed cutoff that keeps IDW a local operator.
+
+    Plan shape: each point explodes to its 9 neighbor target keys and the
+    ENTIRE operator is one scan + one map-side-combinable groupBy(target
+    cell) — target-cell occupancy rides the same shuffle as the weight
+    partials via the point's own-cell (is_self) flag, so there is no
+    second pass over the points, no distinct, and no join.  No Python, no
+    per-row UDF — pure Column arithmetic at 100-TB shape.
+
+    Determinism (the hash-gate contract): dx/dy/d2 are exact BIGINT
+    (|dx| <= 1.5*cell < 2^26 at zoom >= 7, so d2 < 2^53 is exact in DOUBLE),
+    w = 1e12/d2 and w*val are single correctly-rounded IEEE ops, and each
+    per-point term is rounded to 9dp and summed as DECIMAL so partition
+    order cannot move the result.  Points exactly on a cell center (d2 = 0)
+    are excluded from that one cell's neighborhood (the standard IDW
+    singularity guard; with snap-to-sample semantics the caller handles
+    coincident points upstream).
+
+    Returns ``(cx, cy, n_pts, w_sum, wv_sum)``; the interpolated value is
+    wv_sum/w_sum (left as the exact DECIMAL pair so the quotient's float
+    semantics stay a caller choice).
+    """
+    if zoom < 7:
+        raise ValueError("zoom >= 7 required for exact-integer d2 (< 2^53)")
+    cell_fp = 3_600_000_000 >> zoom
+    half = cell_fp // 2
+    cells = points.select(
+        F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+        F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        F.col(lon_col).alias("lon_fp"),
+        F.col(lat_col).alias("lat_fp"),
+        F.col(value_col).cast("long").alias("val"),
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    contrib = (
+        cells.withColumn("dx9", F.explode(off))
+        .withColumn("dy9", F.explode(off))
+        .select(
+            (F.col("cx") + F.col("dx9")).alias("jx"),
+            (F.col("cy") + F.col("dy9")).alias("jy"),
+            ((F.col("dx9") == 0) & (F.col("dy9") == 0)).alias("is_self"),
+            "lon_fp",
+            "lat_fp",
+            "val",
+        )
+        .withColumn(
+            "ddx",
+            F.col("lon_fp") - (F.col("jx") * F.lit(cell_fp) + F.lit(half - 1_800_000_000)),
+        )
+        .withColumn(
+            "ddy",
+            F.col("lat_fp") - (F.col("jy") * F.lit(cell_fp) + F.lit(half - 900_000_000)),
+        )
+        .withColumn("d2", F.col("ddx") * F.col("ddx") + F.col("ddy") * F.col("ddy"))
+    )
+    # occupancy of the TARGET cell rides the same shuffle as the weight
+    # partials (is_self marks the contribution a point makes to its own
+    # cell key), so the whole operator is one scan + one map-side-
+    # combinable aggregation — no second pass, no distinct, no join.
+    live = F.col("d2") > 0
+    w = F.lit(1e12) / F.col("d2").cast("double")
+    return (
+        contrib.groupBy("jx", "jy")
+        .agg(
+            F.sum(F.when(live, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_pts"),
+            F.sum(F.when(live, F.round(w, 9).cast("decimal(28,9)")))
+            .cast("decimal(38,9)")
+            .alias("w_sum"),
+            F.sum(
+                F.when(live, F.round(w * F.col("val"), 9).cast("decimal(28,9)"))
+            )
+            .cast("decimal(38,9)")
+            .alias("wv_sum"),
+            F.max(F.col("is_self")).alias("occupied"),
+        )
+        .filter(F.col("occupied") & (F.col("n_pts") > 0))
+        .select(
+            F.col("jx").alias("cx"),
+            F.col("jy").alias("cy"),
+            "n_pts",
+            "w_sum",
+            "wv_sum",
+        )
+    )

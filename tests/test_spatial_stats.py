@@ -1,0 +1,150 @@
+"""Unit tests for the spatial-statistics layer: IDW surface generation
+(zonal.idw_grid_interpolation) and global Moran's I components
+(tiling.moran_i_global), each checked against an independent numpy
+brute-force reference on small random fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oshdb_spark.operators.tiling import moran_i_global
+from oshdb_spark.operators.zonal import idw_grid_interpolation
+
+ZOOM = 7
+CELL = 3_600_000_000 >> ZOOM
+HALF = CELL // 2
+
+
+def _pts(n, seed):
+    rs = np.random.RandomState(seed)
+    lon = rs.randint(-1_700_000, 1_700_000, n) * 1000
+    lat = rs.randint(-800_000, 800_000, n) * 1000
+    val = rs.randint(0, 100, n)
+    return [(int(a), int(b), int(v)) for a, b, v in zip(lon, lat, val)]
+
+
+def _brute_idw(pts):
+    """All-pairs reference: for every occupied cell center, IDW over the
+    points in its 3x3 ring (excluding exact-center hits)."""
+    occ = sorted({((p[0] + 1_800_000_000) // CELL, (p[1] + 900_000_000) // CELL) for p in pts})
+    out = {}
+    for cx, cy in occ:
+        clon = cx * CELL + HALF - 1_800_000_000
+        clat = cy * CELL + HALF - 900_000_000
+        n = 0
+        wsum = 0.0
+        wv = 0.0
+        for lon, lat, val in pts:
+            px = (lon + 1_800_000_000) // CELL
+            py = (lat + 900_000_000) // CELL
+            if abs(px - cx) > 1 or abs(py - cy) > 1:
+                continue
+            d2 = float((lon - clon) ** 2 + (lat - clat) ** 2)
+            if d2 == 0:
+                continue
+            w = 1e12 / d2
+            n += 1
+            wsum += round(w, 9)
+            wv += round(w * val, 9)
+        out[(cx, cy)] = (n, wsum, wv)
+    return out
+
+
+def test_idw_matches_bruteforce(spark):
+    pts = _pts(400, seed=11)
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long, val long")
+    got = {
+        (r.cx, r.cy): (r.n_pts, float(r.w_sum), float(r.wv_sum))
+        for r in idw_grid_interpolation(df, ZOOM).collect()
+    }
+    want = _brute_idw(pts)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-6)
+
+
+def test_idw_rejects_small_zoom(spark):
+    df = spark.createDataFrame([(0, 0, 1)], "lon_fp long, lat_fp long, val long")
+    with pytest.raises(ValueError):
+        idw_grid_interpolation(df, 6)
+
+
+def test_idw_center_singularity_excluded(spark):
+    # one point exactly on its own cell center: contributes to its 8
+    # neighbor cells but is excluded from its own cell's neighborhood,
+    # leaving that occupied cell with zero contributors -> no output row.
+    lon = 0 * CELL + HALF - 1_800_000_000
+    lat = 0 * CELL + HALF - 900_000_000
+    df = spark.createDataFrame(
+        [(lon, lat, 5)], "lon_fp long, lat_fp long, val long"
+    )
+    assert idw_grid_interpolation(df, ZOOM).count() == 0
+
+
+def _brute_moran(pts, zoom):
+    cell = 3_600_000_000 >> zoom
+    from collections import Counter
+
+    counts = Counter(
+        ((p[0] + 1_800_000_000) // cell, (p[1] + 900_000_000) // cell) for p in pts
+    )
+    keys = sorted(counts)
+    nn = len(keys)
+    xs = np.array([counts[k] for k in keys], dtype=float)
+    m = xs.sum() / nn
+    w_conn = 0
+    cross = 0.0
+    for i, (cx, cy) in enumerate(keys):
+        s_i = 0
+        n_i = 0
+        for j, (ox, oy) in enumerate(keys):
+            if i == j or abs(ox - cx) > 1 or abs(oy - cy) > 1:
+                continue
+            s_i += counts[(ox, oy)]
+            n_i += 1
+        if n_i == 0:
+            continue
+        w_conn += n_i
+        cross += round((xs[i] - m) * (s_i - n_i * m), 9)
+    ssq = round(float((xs * xs).sum()) - float(xs.sum()) ** 2 / nn, 9)
+    return nn, w_conn, cross, ssq
+
+
+def test_moran_matches_bruteforce(spark):
+    pts = _pts(300, seed=23)
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long, val long")
+    row = moran_i_global(df, 6).collect()
+    assert len(row) == 1
+    r = row[0]
+    nn, w_conn, cross, ssq = _brute_moran(pts, 6)
+    assert r.nn == nn
+    assert r.w_conn == w_conn
+    assert float(r.cross_sum) == pytest.approx(cross, abs=1e-6)
+    assert float(r.ssq) == pytest.approx(ssq, abs=1e-6)
+
+
+def test_moran_clustered_is_positive(spark):
+    # strongly clustered counts -> positive autocorrelation: I > 0,
+    # i.e. cross_sum > 0 (all components share sign denominators).
+    rs = np.random.RandomState(7)
+    cell = 3_600_000_000 >> 6
+    pts = []
+    for blk in range(4):
+        bx = (10 + blk * 20) * cell - 1_800_000_000
+        by = (10 + blk * 10) * cell - 900_000_000
+        dense = 200 if blk < 2 else 5
+        for _ in range(dense):
+            pts.append(
+                (
+                    int(bx + rs.randint(0, 2 * cell)),
+                    int(by + rs.randint(0, 2 * cell)),
+                    1,
+                )
+            )
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long, val long")
+    r = moran_i_global(df, 6).collect()[0]
+    assert float(r.cross_sum) > 0
+    assert float(r.ssq) > 0

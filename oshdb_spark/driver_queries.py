@@ -3517,3 +3517,103 @@ def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return moran_i_global(g, _MORAN_ZOOM)
+
+
+_COVER_CASES = [
+    # (bid, minlon, minlat, maxlon, maxlat) in 1e-7 fixed-point; exercises
+    # the normal path, out-of-bounds garbage, anti-meridian split, the
+    # +180 border snap, the empty minlat>maxlat box, and all-bounds OOB.
+    (1, -100_000_000, 300_000_000, 400_000_000, 700_000_000),
+    (2, -100_000_000, 300_000_000, 400_000_000, 950_000_000),
+    (3, 1_700_000_000, -100_000_000, -1_700_000_000, 100_000_000),
+    (4, 1_750_000_000, 0, 1_800_000_000, 50_000_000),
+    (5, 0, 100, 100, 50),
+    (6, -1_900_000_000, -950_000_000, 1_900_000_000, 950_000_000),
+]
+
+_COVER_VALUES = ",\n         ".join(
+    f"({b}, {a}, {c}, {d}, {e})" for b, a, c, d, e in _COVER_CASES
+)
+
+_COVER_ORACLE = f"""
+WITH boxes0(bid, minlon0, minlat0, maxlon0, maxlat0) AS (
+  VALUES {_COVER_VALUES}
+),
+boxes AS (
+  SELECT CAST(bid AS BIGINT) AS bid,
+         CAST(minlon0 AS BIGINT) AS minlon0, CAST(minlat0 AS BIGINT) AS minlat0,
+         CAST(maxlon0 AS BIGINT) AS maxlon0, CAST(maxlat0 AS BIGINT) AS maxlat0
+  FROM boxes0
+),
+valid AS (SELECT * FROM boxes WHERE minlat0 <= maxlat0),
+norm AS (
+  SELECT bid,
+    (minlon0 < -1800000000 OR minlon0 > 1800000000
+     OR minlat0 < -900000000 OR minlat0 > 900000000
+     OR maxlon0 > 1800000000 OR maxlon0 < -1800000000
+     OR maxlat0 > 900000000 OR maxlat0 < -900000000) AS garbage,
+    CASE WHEN minlon0 < -1800000000 OR minlon0 > 1800000000 THEN -1800000000 ELSE minlon0 END AS minlon1,
+    CASE WHEN minlat0 < -900000000 OR minlat0 > 900000000 THEN -900000000 ELSE minlat0 END AS minlat1,
+    CASE WHEN maxlon0 > 1800000000 OR maxlon0 < -1800000000 THEN 1800000000 ELSE maxlon0 END AS maxlon1,
+    CASE WHEN maxlat0 > 900000000 OR maxlat0 < -900000000 THEN 900000000 ELSE maxlat0 END AS maxlat1
+  FROM valid
+),
+adj AS (
+  SELECT bid, garbage,
+    CASE WHEN minlon1 = 1800000000 THEN 1799999999 ELSE minlon1 END AS minlon,
+    CASE WHEN maxlon1 = 1800000000 THEN 1799999999 ELSE maxlon1 END AS maxlon,
+    CASE WHEN minlat1 = 900000000 THEN 899999999 ELSE minlat1 END AS minlat,
+    CASE WHEN maxlat1 = 900000000 THEN 899999999 ELSE maxlat1 END AS maxlat
+  FROM norm
+),
+seg AS (
+  SELECT bid, minlon AS slon, CAST(1799999999 AS BIGINT) AS elon, minlat, maxlat
+  FROM adj WHERE minlon > maxlon
+  UNION ALL
+  SELECT bid, CASE WHEN minlon > maxlon THEN -1800000000 ELSE minlon END AS slon,
+         maxlon AS elon, minlat, maxlat FROM adj
+),
+zs AS (SELECT CAST(z AS BIGINT) AS zoom, 3600000000.0 / POWER(2.0, z) AS w,
+              CAST(POWER(2.0, z) AS BIGINT) AS zp
+       FROM generate_series(0, 14) t(z)),
+cols AS (
+  SELECT bid, zoom, zp,
+    CAST(FLOOR((slon + 1800000000) / w) AS BIGINT) AS colmin0,
+    CAST(FLOOR((elon + 1800000000) / w) AS BIGINT) AS colmax,
+    CAST(FLOOR((minlat + 900000000) / w) AS BIGINT) AS rowmin0,
+    CAST(FLOOR((maxlat + 900000000) / w) AS BIGINT) AS rowmax
+  FROM seg CROSS JOIN zs
+),
+enl AS (
+  SELECT bid, zoom, zp,
+    CASE WHEN colmin0 > 0 THEN colmin0 - 1 ELSE colmin0 END AS colmin, colmax,
+    CASE WHEN rowmin0 > 0 THEN rowmin0 - 1 ELSE rowmin0 END AS rowmin, rowmax
+  FROM cols
+),
+ranges AS (
+  SELECT bid, zoom, rr * zp + colmin AS range_start, rr * zp + colmax AS range_end
+  FROM enl, LATERAL unnest(generate_series(rowmin, rowmax)) AS t(rr)
+  UNION
+  SELECT bid, zoom, CAST(-1 AS BIGINT) AS range_start, CAST(-1 AS BIGINT) AS range_end
+  FROM norm CROSS JOIN zs WHERE garbage
+)
+SELECT DISTINCT bid, zoom, range_start, range_end FROM ranges
+"""
+
+
+@_q("cell_cover_ranges", _COVER_ORACLE)
+def q_cover_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk XYGridTree.bbox2CellIdRanges (XYGridTree.java:246-274): the
+    reference's query-planning range decomposition — normalization,
+    garbage range, anti-meridian split, border snap, enlarge rule — as a
+    distributed Column-only plan over a bbox case table, independently
+    re-derived in SQL by the oracle; tests/test_bbox_cover.py holds the
+    third witness (the Python XYGridTree port, itself gated by the
+    reference's XYGridTest/XYGridTreeTest vectors)."""
+    from oshdb_spark.operators.tiling import bbox_cover_ranges
+
+    df = spark.createDataFrame(
+        _COVER_CASES,
+        "bid long, minlon long, minlat long, maxlon long, maxlat long",
+    )
+    return bbox_cover_ranges(df, maxzoom=14, enlarge=True)

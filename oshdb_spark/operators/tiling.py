@@ -788,3 +788,130 @@ def moran_i_global(
         .cast("decimal(28,9)")
         .alias("ssq"),
     )
+
+
+def bbox_cover_ranges(
+    boxes: DataFrame,
+    maxzoom: int = 14,
+    enlarge: bool = True,
+    id_col: str = "bid",
+) -> DataFrame:
+    """Bulk XYGridTree.bbox2CellIdRanges (XYGridTree.java:246-274,
+    XYGrid.java:316-400): decompose a TABLE of query bboxes into per-zoom
+    contiguous cell-id ranges — normalization + garbage (-1,-1) range for
+    out-of-bounds coords, +/-180 and +/-90 border snap, anti-meridian
+    split, and the enlarge-one-cell-south-west insert-rule cover — as a
+    single distributed Column-only plan.
+
+    Where the reference computes one bbox's cover on the driver at query-
+    plan time, this operator vectorizes the same bit-exact math over
+    millions of bboxes (bulk spatial-query planning, range-index
+    precomputation): explode factors are bounded (2 segments x zooms x
+    row span), arithmetic is exact BIGINT plus the reference's own
+    double cell_width division (360/2^z*1e7 is exactly representable, so
+    the FLOOR-of-quotient is deterministic IEEE on every engine), and the
+    only shuffle is the final set-semantics distinct.
+
+    Input: (id_col, minlon, minlat, maxlon, maxlat) in 1e-7 fixed-point.
+    Returns (id_col, zoom, range_start, range_end); bboxes with
+    minlat > maxlat produce no rows (XYGrid.java:320-322).
+    """
+    L, L9 = 1_800_000_000, 900_000_000
+    b = boxes.filter(F.col("minlat") <= F.col("maxlat"))
+    oob = lambda c, lim: (F.col(c) < -lim) | (F.col(c) > lim)  # noqa: E731
+    norm = b.select(
+        F.col(id_col).cast("long").alias("bid"),
+        (
+            oob("minlon", L) | oob("maxlon", L) | oob("minlat", L9) | oob("maxlat", L9)
+        ).alias("garbage"),
+        F.when(oob("minlon", L), F.lit(-L)).otherwise(F.col("minlon")).alias("lo_lon"),
+        F.when(oob("maxlon", L), F.lit(L)).otherwise(F.col("maxlon")).alias("hi_lon"),
+        F.when(oob("minlat", L9), F.lit(-L9)).otherwise(F.col("minlat")).alias("lo_lat"),
+        F.when(oob("maxlat", L9), F.lit(L9)).otherwise(F.col("maxlat")).alias("hi_lat"),
+    ).select(
+        "bid",
+        "garbage",
+        F.when(F.col("lo_lon") == L, F.lit(L - 1)).otherwise(F.col("lo_lon")).alias("minlon"),
+        F.when(F.col("hi_lon") == L, F.lit(L - 1)).otherwise(F.col("hi_lon")).alias("maxlon"),
+        F.when(F.col("lo_lat") == L9, F.lit(L9 - 1)).otherwise(F.col("lo_lat")).alias("minlat"),
+        F.when(F.col("hi_lat") == L9, F.lit(L9 - 1)).otherwise(F.col("hi_lat")).alias("maxlat"),
+    )
+    # anti-meridian split (XYGrid.java:369-374): 1 or 2 (slon, elon) segments
+    seg = (
+        norm.withColumn(
+            "seg",
+            F.when(
+                F.col("minlon") > F.col("maxlon"),
+                F.array(
+                    F.struct(F.col("minlon").alias("slon"), F.lit(L - 1).cast("long").alias("elon")),
+                    F.struct(F.lit(-L).cast("long").alias("slon"), F.col("maxlon").alias("elon")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("minlon").alias("slon"), F.col("maxlon").alias("elon"))
+                )
+            ),
+        )
+        .select("bid", "minlat", "maxlat", F.explode("seg").alias("s"))
+        .select("bid", "minlat", "maxlat", F.col("s.slon"), F.col("s.elon"))
+    )
+    zoomed = seg.withColumn(
+        "zoom0", F.explode(F.sequence(F.lit(0), F.lit(maxzoom)))
+    ).withColumn("zoom", F.col("zoom0").cast("long")).withColumn(
+        "w", F.lit(3_600_000_000.0) / F.pow(F.lit(2.0), F.col("zoom"))
+    ).withColumn(
+        "zp", F.pow(F.lit(2.0), F.col("zoom")).cast("long")
+    )
+    cols = zoomed.select(
+        "bid",
+        "zoom",
+        "zp",
+        F.floor((F.col("slon") + L) / F.col("w")).alias("colmin0"),
+        F.floor((F.col("elon") + L) / F.col("w")).alias("colmax"),
+        F.floor((F.col("minlat") + L9) / F.col("w")).alias("rowmin0"),
+        F.floor((F.col("maxlat") + L9) / F.col("w")).alias("rowmax"),
+    )
+    if enlarge:
+        cols = cols.select(
+            "bid",
+            "zoom",
+            "zp",
+            F.when(F.col("colmin0") > 0, F.col("colmin0") - 1)
+            .otherwise(F.col("colmin0"))
+            .alias("colmin"),
+            "colmax",
+            F.when(F.col("rowmin0") > 0, F.col("rowmin0") - 1)
+            .otherwise(F.col("rowmin0"))
+            .alias("rowmin"),
+            "rowmax",
+        )
+    else:
+        cols = cols.withColumnRenamed("colmin0", "colmin").withColumnRenamed(
+            "rowmin0", "rowmin"
+        )
+    ranges = cols.select(
+        "bid",
+        "zoom",
+        "zp",
+        "colmin",
+        "colmax",
+        F.explode(F.sequence(F.col("rowmin"), F.col("rowmax"))).alias("rr"),
+    ).select(
+        "bid",
+        "zoom",
+        (F.col("rr") * F.col("zp") + F.col("colmin")).alias("range_start"),
+        (F.col("rr") * F.col("zp") + F.col("colmax")).alias("range_end"),
+    )
+    garbage = (
+        norm.filter("garbage")
+        .select("bid")
+        .withColumn("zoom0", F.explode(F.sequence(F.lit(0), F.lit(maxzoom))))
+        .withColumn("zoom", F.col("zoom0").cast("long"))
+        .select(
+            "bid",
+            "zoom",
+            F.lit(-1).cast("long").alias("range_start"),
+            F.lit(-1).cast("long").alias("range_end"),
+        )
+    )
+    return ranges.unionByName(garbage).distinct()

@@ -3617,3 +3617,105 @@ def q_cover_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bid long, minlon long, minlat long, maxlon long, maxlat long",
     )
     return bbox_cover_ranges(df, maxzoom=14, enlarge=True)
+
+
+# ---------------------------------------------------------------------------
+# 24. roundness metric filter (GeometryFilterRoundness, Geo.java:327-346)
+# gated through the fluent chain: band filter + per-way rank.  Rank compare
+# (the way_polygon_area idiom) is immune to last-ulp libm drift while still
+# pinning both formulas (spherical-excess area AND reduced-latitude length):
+# the cut constant sits mid-gap between rank 100/101 (gap 4.8e-4, ~1e11 ulp).
+# ---------------------------------------------------------------------------
+
+_RND_LO = 0.7847915103610389
+
+_SPHERE_FACT_SQL = "POWER(1.0 - 1.0 / 298.257223563, 1.5)"
+_RLAT = lambda i: f"ATAN({_SPHERE_FACT_SQL} * TAN(RADIANS(ys[{i}])))"  # noqa: E731
+
+_WPA_LEN_TERM = f"""
+    LIST_SUM([
+        SQRT(POWER((RADIANS(xs[i + 1]) - RADIANS(xs[i]))
+                   * COS(({_RLAT('i + 1')} + {_RLAT('i')}) / 2), 2)
+             + POWER({_RLAT('i + 1')} - {_RLAT('i')}, 2))
+        FOR i IN GENERATE_SERIES(1, 4)]) * 6371000.0 AS blen
+"""
+
+_RND_ORACLE = f"""{_WPA_AREA_CTE.replace(") AS area", ") AS area,").replace(
+    "  FROM ring)", _WPA_LEN_TERM + "  FROM ring)")}
+SELECT w AS way_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY 4 * PI() * area / (blen * blen) DESC, w) AS BIGINT)
+         AS roundness_rank
+FROM a
+WHERE 4 * PI() * area / (blen * blen) >= {_RND_LO!r}
+"""
+
+
+@_q("metric_filter_roundness", _RND_ORACLE)
+def q_metric_roundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polsby-Popper roundness (Geo.java:327-346) through the fluent
+    metric-filter path: the DSL band filter triggers the lazy Arrow
+    metrics attachment (GeometryFilterRoundness analog), the oracle
+    re-derives 4*pi*area/perimeter^2 from the reference's spherical-
+    excess area and reduced-latitude length formulas in SQL, and the
+    gate compares the surviving set + per-way roundness ranks."""
+    from oshdb_spark.api import OSHDB, SnapshotView
+
+    db = OSHDB(spark, _wpa_entities(spark))
+    out = (
+        SnapshotView.on(db)
+        .timestamps([200])
+        .filter(f"geometry:polygon and geometry.roundness:({_RND_LO!r}..1)")
+        .dataframe()
+    )
+    return out.select(
+        F.col("id").alias("way_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("g_roundness").desc(), "id"))
+        .cast("long")
+        .alias("roundness_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. compass-bearing histogram (Geo.bearingOf, Geo.java:342-352) — the
+# street-orientation analysis layer; integer-exact per-(cell, bin) counts
+# ---------------------------------------------------------------------------
+
+_BRG_ZOOM = 6
+_BRG_CELL = 3_600_000_000 >> _BRG_ZOOM
+_BRG_BINS = 16
+_BRG_2PI = 2 * 3.141592653589793
+_BRG_W = _BRG_2PI / _BRG_BINS
+
+_BRG_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_SEGMENT_EXPRS)}),
+b AS (
+  SELECT ((ax + bx + 3600000000) // 2) // {_BRG_CELL} AS cx,
+         ((ay + by + 1800000000) // 2) // {_BRG_CELL} AS cy,
+         (ATAN2(SIN(bx * {_TO_RAD_FP!r} - ax * {_TO_RAD_FP!r})
+                * COS(by * {_TO_RAD_FP!r}),
+                COS(ay * {_TO_RAD_FP!r}) * SIN(by * {_TO_RAD_FP!r})
+                - SIN(ay * {_TO_RAD_FP!r}) * COS(by * {_TO_RAD_FP!r})
+                  * COS(bx * {_TO_RAD_FP!r} - ax * {_TO_RAD_FP!r}))
+          + {_BRG_2PI!r}) % {_BRG_2PI!r} AS bearing
+  FROM g
+)
+SELECT cx, cy,
+       CAST(FLOOR(bearing / {_BRG_W!r}) AS BIGINT) AS bin,
+       COUNT(*) AS n_segments
+FROM b GROUP BY 1, 2, 3
+"""
+
+
+@_q("bearing_histogram", _BRG_ORACLE)
+def q_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell 16-bin compass histogram of segment bearings
+    (Geo.bearingOf forward azimuth, Geo.java:342-352): the bearing dag
+    is identical correctly-rounded libm text on both engines, the
+    midpoint cell and counts are integer-exact, and the only shuffle is
+    the map-side-combinable (cell, bin) count."""
+    from oshdb_spark.operators.aggregations import bearing_histogram
+
+    g = _derive(spark, sf_dir, GEO_SEGMENT_EXPRS)
+    return bearing_histogram(g, _BRG_ZOOM, _BRG_BINS)

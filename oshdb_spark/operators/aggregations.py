@@ -401,3 +401,57 @@ def od_flow_matrix(
         .groupBy("fcx", "fcy", "tcx", "tcy")
         .agg(F.count(F.lit(1)).alias("n_steps"))
     )
+
+
+def bearing_histogram(
+    segments: DataFrame,
+    zoom: int,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Per-cell compass-bearing histogram over line segments — the
+    street-orientation / grid-order analysis built on Geo.bearingOf
+    (Geo.java:342-352: great-circle forward azimuth via
+    atan2(sin dlon * cos lat2, cos lat1 sin lat2 - sin lat1 cos lat2 cos
+    dlon), normalized to [0, 2pi)).
+
+    Input: (ax, ay, bx, by) 1e-7 fixed-point segment endpoints.
+    Each segment lands in the zoom cell of its midpoint and the compass
+    bin floor(bearing / (2pi/n_bins)); output is the integer-exact
+    (cx, cy, bin, n_segments) table — one map-side-combinable shuffle,
+    no Python, no UDF.
+
+    Determinism: the bearing expression is a fixed dag of correctly-
+    rounded libm ops over exact inputs; bins are only ulp-sensitive for
+    bearings within ~1e-13 rad of a bin edge, and the exactly-on-edge
+    constructions (due-north: sin(0)=0, atan2(+-0, +x) = +-0) are
+    IEEE-exact identically on every engine.  Zero-length segments get
+    bearing atan2(0, 0) = 0 (bin 0), matching the reference's behavior
+    for degenerate input.
+    """
+    pi = 3.141592653589793
+    to_rad = pi / 180.0 / 1e7  # fixed-point 1e-7 degrees -> radians
+    cell_fp = 3_600_000_000 >> zoom
+    x1 = F.col("ax") * F.lit(to_rad)
+    y1 = F.col("ay") * F.lit(to_rad)
+    x2 = F.col("bx") * F.lit(to_rad)
+    y2 = F.col("by") * F.lit(to_rad)
+    yy = F.sin(x2 - x1) * F.cos(y2)
+    xx = F.cos(y1) * F.sin(y2) - F.sin(y1) * F.cos(y2) * F.cos(x2 - x1)
+    bearing = (F.atan2(yy, xx) + F.lit(2 * pi)) % F.lit(2 * pi)
+    return (
+        segments.select(
+            # shift BEFORE halving so the dividend stays non-negative
+            # (DIV truncates toward zero, the oracle's // floors --
+            # identical only for non-negative operands); endpoint coords
+            # are multiples of 1000 so the halving is exact
+            F.expr(
+                f"((ax + bx + 3600000000) DIV 2) DIV {cell_fp}"
+            ).alias("cx"),
+            F.expr(
+                f"((ay + by + 1800000000) DIV 2) DIV {cell_fp}"
+            ).alias("cy"),
+            F.floor(bearing / F.lit(2 * pi / n_bins)).alias("bin"),
+        )
+        .groupBy("cx", "cy", "bin")
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+    )

@@ -148,3 +148,70 @@ def test_moran_clustered_is_positive(spark):
     r = moran_i_global(df, 6).collect()[0]
     assert float(r.cross_sum) > 0
     assert float(r.ssq) > 0
+
+
+# ---------------------------------------------------------------------------
+# bearing histogram (Geo.bearingOf)
+# ---------------------------------------------------------------------------
+
+def _brute_bearing_hist(segs, zoom, n_bins=16):
+    import math
+    from collections import Counter
+
+    cell = 3_600_000_000 >> zoom
+    tr = math.pi / 180.0 / 1e7
+    out = Counter()
+    for ax, ay, bx, by in segs:
+        cx = ((ax + bx + 3_600_000_000) // 2) // cell
+        cy = ((ay + by + 1_800_000_000) // 2) // cell
+        x1, y1, x2, y2 = ax * tr, ay * tr, bx * tr, by * tr
+        yy = math.sin(x2 - x1) * math.cos(y2)
+        xx = math.cos(y1) * math.sin(y2) - math.sin(y1) * math.cos(y2) * math.cos(
+            x2 - x1
+        )
+        b = math.fmod(math.atan2(yy, xx) + 2 * math.pi, 2 * math.pi)
+        out[(cx, cy, int(b // (2 * math.pi / n_bins)))] += 1
+    return dict(out)
+
+
+def test_bearing_histogram_matches_bruteforce(spark):
+    from oshdb_spark.operators.aggregations import bearing_histogram
+
+    rs = np.random.RandomState(5)
+    segs = []
+    for _ in range(500):
+        ax = int(rs.randint(-1_700_000, 1_700_000)) * 1000
+        ay = int(rs.randint(-800_000, 800_000)) * 1000
+        segs.append(
+            (
+                ax,
+                ay,
+                ax + int(rs.randint(-400, 400)) * 1000,
+                ay + int(rs.randint(-400, 400)) * 1000,
+            )
+        )
+    # axis-aligned + degenerate exact cases: due north/south/east/west, zero
+    segs += [
+        (0, 0, 0, 1_000_000),       # due north: bearing exactly 0 (bin 0)
+        (0, 1_000_000, 0, 0),       # due south: bearing exactly pi (bin 8)
+        (0, 0, 1_000_000, 0),       # due east
+        (1_000_000, 0, 0, 0),       # due west
+        (5_000, 5_000, 5_000, 5_000),  # zero-length: atan2(0,0)=0 (bin 0)
+    ]
+    df = spark.createDataFrame(segs, "ax long, ay long, bx long, by long")
+    got = {
+        (r.cx, r.cy, r.bin): r.n_segments
+        for r in bearing_histogram(df, 6).collect()
+    }
+    assert got == _brute_bearing_hist(segs, 6)
+
+
+def test_bearing_exact_cardinals(spark):
+    from oshdb_spark.operators.aggregations import bearing_histogram
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 1_000_000), (0, 1_000_000, 0, 0)],
+        "ax long, ay long, bx long, by long",
+    )
+    rows = {r.bin: r.n_segments for r in bearing_histogram(df, 6).collect()}
+    assert rows == {0: 1, 8: 1}

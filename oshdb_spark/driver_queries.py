@@ -3719,3 +3719,85 @@ def q_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_SEGMENT_EXPRS)
     return bearing_histogram(g, _BRG_ZOOM, _BRG_BINS)
+
+
+# ---------------------------------------------------------------------------
+# 26. per-cell skew/salting plan + trajectory resampling
+# ---------------------------------------------------------------------------
+
+_SKEW_ZOOM = 6
+_SKEW_CELL = 3_600_000_000 >> _SKEW_ZOOM
+_SKEW_TARGET = 40
+_SKEW_MAX = 16
+_SKEW_HOT = 4
+
+_SKEW_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+c AS (
+  SELECT (lon_fp + 1800000000) // {_SKEW_CELL} AS cx,
+         (lat_fp + 900000000) // {_SKEW_CELL} AS cy,
+         COUNT(*) AS n_rows
+  FROM g GROUP BY 1, 2
+),
+m AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c)
+SELECT cx, cy, n_rows,
+       (n_rows * nkeys > {_SKEW_HOT} * total) AS is_hot,
+       LEAST(CAST({_SKEW_MAX} AS BIGINT),
+             (n_rows + {_SKEW_TARGET - 1}) // {_SKEW_TARGET}) AS salt_factor
+FROM c CROSS JOIN m
+"""
+
+
+@_q("cell_skew_profile", _SKEW_ORACLE)
+def q_cell_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell salting plan (the distributed generalization of
+    plans/skew.pick_salts): row count, integer cross-multiplied
+    heavy-hitter flag, and the per-key salt factor for the salted
+    cell join — the inspectable form of the north rule's explicit
+    dense-urban-cell skew handling; one count shuffle + 1-row
+    broadcast, all integer-exact."""
+    from oshdb_spark.plans.skew import skew_profile
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    cells = g.select(
+        F.expr(f"(lon_fp + 1800000000) DIV {_SKEW_CELL}").alias("cx"),
+        F.expr(f"(lat_fp + 900000000) DIV {_SKEW_CELL}").alias("cy"),
+    )
+    return skew_profile(
+        cells,
+        ["cx", "cy"],
+        target_rows_per_task=_SKEW_TARGET,
+        max_salts=_SKEW_MAX,
+        hot_multiplier=_SKEW_HOT,
+    )
+
+
+_RSMP_N = 4
+
+_RSMP_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+s AS (
+  SELECT user_id, lon_fp, lat_fp,
+         LAG(lon_fp) OVER w AS plon,
+         LAG(lat_fp) OVER w AS plat,
+         CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS seg
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, seg, CAST(k AS BIGINT) AS k,
+       plon + (lon_fp - plon) * (k / {float(_RSMP_N)!r}) AS rlon,
+       plat + (lat_fp - plat) * (k / {float(_RSMP_N)!r}) AS rlat
+FROM s, LATERAL unnest(generate_series(1, {_RSMP_N - 1})) t(k)
+WHERE plon IS NOT NULL
+"""
+
+
+@_q("track_resample", _RSMP_ORACLE)
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory densification: the 3 equally-spaced intermediate
+    points of every consecutive per-user step, by exact dyadic linear
+    interpolation (integer deltas < 2^53 times k/4 — bit-identical
+    doubles on every engine); one lag window + bounded explode."""
+    from oshdb_spark.operators.aggregations import resample_track
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return resample_track(g, _RSMP_N)

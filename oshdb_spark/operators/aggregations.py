@@ -455,3 +455,59 @@ def bearing_histogram(
         .groupBy("cx", "cy", "bin")
         .agg(F.count(F.lit(1)).alias("n_segments"))
     )
+
+
+def resample_track(
+    points: DataFrame,
+    n_subdiv: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Trajectory densification: emit the n_subdiv-1 equally-spaced
+    intermediate points of every consecutive per-user step (linear
+    interpolation in coordinate space) — the resampling stage upstream
+    of map matching / stay-point detection.
+
+    Plan shape: one lag window (the only shuffle) + a bounded
+    explode(sequence) — no Python, no UDF.
+
+    Determinism: with n_subdiv a power of two the interpolated
+    coordinate plon + (lon - plon) * (k/n) is EXACT double arithmetic
+    (the delta is an integer < 2^53, k/n is a dyadic rational), so the
+    output hashes identically on every engine and partition order.
+
+    Returns (user, seg, k, rlon, rlat): seg numbers the step within the
+    user's track (1-based, ordered by (ts, order_col)), k in
+    [1, n_subdiv-1] the subdivision index.
+    """
+    if n_subdiv & (n_subdiv - 1):
+        raise ValueError("n_subdiv must be a power of two for exact doubles")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user").orderBy("__ts", "__ord")
+    stepped = (
+        points.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("__ts"),
+            F.col(order_col).alias("__ord"),
+            F.col(lon_col).alias("lon"),
+            F.col(lat_col).alias("lat"),
+        )
+        .withColumn("plon", F.lag("lon").over(w))
+        .withColumn("plat", F.lag("lat").over(w))
+        .withColumn("seg", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("plon").isNotNull())
+    )
+    frac = F.col("k") / F.lit(float(n_subdiv))
+    return stepped.withColumn(
+        "k0", F.explode(F.sequence(F.lit(1), F.lit(n_subdiv - 1)))
+    ).withColumn("k", F.col("k0").cast("long")).select(
+        F.col("user").alias(user_col),
+        "seg",
+        "k",
+        (F.col("plon") + (F.col("lon") - F.col("plon")) * frac).alias("rlon"),
+        (F.col("plat") + (F.col("lat") - F.col("plat")) * frac).alias("rlat"),
+    )

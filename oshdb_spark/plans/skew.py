@@ -97,3 +97,50 @@ def pick_salts(
     if top is None:
         return 1
     return max(1, min(max_salts, -(-int(top) // target_rows_per_task)))
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int = 5_000_000,
+    max_salts: int = 64,
+    hot_multiplier: int = 4,
+) -> DataFrame:
+    """Per-key salting PLAN: the distributed generalization of
+    ``pick_salts`` — for every key, its row count, a heavy-hitter flag,
+    and the salt factor a salted join should use for it (the north
+    rule's "explicit salted-key skew handling for dense urban cells",
+    made inspectable as a table instead of one global scalar).
+
+    Plan shape: ONE map-side-combinable count aggregate over the keys,
+    then a 1-row moments broadcast — at any scale the profile is
+    cell-table-sized, raw rows shuffle once as pre-aggregated partials.
+
+    Determinism: everything is integer arithmetic — the hot flag
+    compares cnt * n_keys > hot_multiplier * total (the integer
+    cross-multiplied form of cnt > hot_multiplier * mean, no double
+    division), and salt_factor is the integer ceiling
+    min(max_salts, (cnt + target - 1) DIV target).
+
+    Returns (key_cols..., n_rows, is_hot, salt_factor).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    moments = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    t = int(target_rows_per_task)
+    return (
+        counts.crossJoin(F.broadcast(moments))
+        .select(
+            *key_cols,
+            "n_rows",
+            (
+                F.col("n_rows") * F.col("__nkeys")
+                > F.lit(int(hot_multiplier)) * F.col("__total")
+            ).alias("is_hot"),
+            F.least(
+                F.lit(int(max_salts)).cast("long"),
+                F.expr(f"(n_rows + {t - 1}) DIV {t}"),
+            ).alias("salt_factor"),
+        )
+    )

@@ -215,3 +215,57 @@ def test_bearing_exact_cardinals(spark):
     )
     rows = {r.bin: r.n_segments for r in bearing_histogram(df, 6).collect()}
     assert rows == {0: 1, 8: 1}
+
+
+# ---------------------------------------------------------------------------
+# skew profile + track resampling
+# ---------------------------------------------------------------------------
+
+def test_skew_profile_plan_and_values(spark):
+    from oshdb_spark.plans.skew import skew_profile
+
+    rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    prof = {r.k: r for r in skew_profile(
+        df, ["k"], target_rows_per_task=10, max_salts=4, hot_multiplier=2
+    ).collect()}
+    # hot: 90 rows, 4 keys, total 100 -> 90*4 > 2*100 True; salt ceil(90/10)=9 -> cap 4
+    assert prof["hot"].n_rows == 90 and prof["hot"].is_hot
+    assert prof["hot"].salt_factor == 4
+    assert not prof["a"].is_hot and prof["a"].salt_factor == 1
+    assert prof["b"].salt_factor == 1 and prof["c"].salt_factor == 1
+
+
+def test_resample_track_exact_interpolation(spark):
+    from oshdb_spark.operators.aggregations import resample_track
+
+    rows = [
+        (1, 100, 1, 0, 0),
+        (1, 200, 2, 4_000_000, 8_000_000),
+        (1, 300, 3, 8_000_000, 0),
+        (2, 100, 4, -1_000_000, -2_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, lon_fp long, lat_fp long"
+    )
+    got = {
+        (r.user_id, r.seg, r.k): (r.rlon, r.rlat)
+        for r in resample_track(df, 4).collect()
+    }
+    # user 1 has 2 steps x 3 subdivisions; user 2 has no step
+    assert len(got) == 6
+    assert got[(1, 1, 1)] == (1_000_000.0, 2_000_000.0)
+    assert got[(1, 1, 2)] == (2_000_000.0, 4_000_000.0)
+    assert got[(1, 1, 3)] == (3_000_000.0, 6_000_000.0)
+    assert got[(1, 2, 2)] == (6_000_000.0, 4_000_000.0)
+
+
+def test_resample_track_rejects_non_power_of_two(spark):
+    from oshdb_spark.operators.aggregations import resample_track
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 0, 0)],
+        "user_id long, ts_us long, event_id long, lon_fp long, lat_fp long",
+    )
+    with pytest.raises(ValueError):
+        resample_track(df, 3)

@@ -3801,3 +3801,64 @@ def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return resample_track(g, _RSMP_N)
+
+
+# ---------------------------------------------------------------------------
+# 27. per-cell Mann-Kendall trend (emerging hot spots, integer-exact)
+# ---------------------------------------------------------------------------
+
+_MK_ZOOM = 6
+_MK_CELL = 3_600_000_000 >> _MK_ZOOM
+_MK_T0 = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00Z (events' range start)
+_MK_PERIOD = 4 * 86_400 * 1_000_000  # 4-day bins
+_MK_N = 8
+_MK_FULL = _MK_N * (_MK_N - 1) * (2 * _MK_N + 5)
+
+_MK_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+c AS (
+  SELECT cx, cy, p, COUNT(*) AS x FROM (
+    SELECT (lon_fp + 1800000000) // {_MK_CELL} AS cx,
+           (lat_fp + 900000000) // {_MK_CELL} AS cy,
+           (ts_us - {_MK_T0}) // {_MK_PERIOD} AS p
+    FROM g)
+  WHERE p >= 0 AND p < {_MK_N}
+  GROUP BY 1, 2, 3
+),
+cells AS (SELECT DISTINCT cx, cy FROM c),
+z AS (
+  SELECT cells.cx, cells.cy, pp.p, COALESCE(c.x, 0) AS x
+  FROM cells
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_MK_N - 1})) AS p) pp
+  LEFT JOIN c ON c.cx = cells.cx AND c.cy = cells.cy AND c.p = pp.p
+),
+s AS (
+  SELECT a.cx, a.cy,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM z a JOIN z b ON b.cx = a.cx AND b.cy = a.cy AND b.p > a.p
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT cx, cy,
+         CAST({_MK_FULL} - SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS var18
+  FROM (SELECT cx, cy, x, COUNT(*) AS t FROM z GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT s.cx, s.cy, s_stat, var18
+FROM s JOIN t ON t.cx = s.cx AND t.cy = s.cy
+"""
+
+
+@_q("mann_kendall_trend", _MK_ORACLE)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Mann-Kendall S + tie-corrected 18*Var(S) over 8 four-day
+    count bins (the space-time "emerging hot spot" statistic): points
+    shuffle once into (cell, period) counts; the zerofilled series
+    pivot, the O(n^2) sign-pair walk, and the tie correction are pure
+    Column array algebra inside one row per cell — every output an
+    exact integer, no doubles in the gate."""
+    from oshdb_spark.operators.tiling import mann_kendall_cells
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return mann_kendall_cells(g, _MK_ZOOM, _MK_T0, _MK_PERIOD, _MK_N)

@@ -269,3 +269,52 @@ def test_resample_track_rejects_non_power_of_two(spark):
     )
     with pytest.raises(ValueError):
         resample_track(df, 3)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall per-cell trend
+# ---------------------------------------------------------------------------
+
+def _brute_mk(series):
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(series).values())
+    return s, n * (n - 1) * (2 * n + 5) - ties
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    from oshdb_spark.operators.tiling import mann_kendall_cells
+
+    cell = 3_600_000_000 >> 6
+    # cell A: rising counts 1,2,3,4 in periods 0..3 (4..7 zero)
+    # cell B: flat 2,2 in periods 1,2 (others zero)
+    rows = []
+    for p, cnt in enumerate([1, 2, 3, 4]):
+        for _ in range(cnt):
+            rows.append((10 * cell + 5, 20 * cell + 5, 1000 + p * 100))
+    for p in (1, 2):
+        for _ in range(2):
+            rows.append((50 * cell + 5, 60 * cell + 5, 1000 + p * 100))
+    df = spark.createDataFrame(rows, "lon_fp long, lat_fp long, ts_us long")
+    got = {
+        (r.cx, r.cy): (r.s_stat, r.var18)
+        for r in mann_kendall_cells(
+            df.selectExpr(
+                "lon_fp - 1800000000 AS lon_fp",
+                "lat_fp - 900000000 AS lat_fp",
+                "ts_us",
+            ),
+            6, t0_us=1000, period_us=100, n_periods=8,
+        ).collect()
+    }
+    assert got[(10, 20)] == _brute_mk([1, 2, 3, 4, 0, 0, 0, 0])
+    assert got[(50, 60)] == _brute_mk([0, 2, 2, 0, 0, 0, 0, 0])
+    # the spike-then-quiet series declines overall: 6 rising pairs inside
+    # the spike, 16 falling pairs against the trailing zeros -> S = -10
+    assert got[(10, 20)][0] == -10

@@ -1791,6 +1791,45 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits_portable(docs)
 
 
+_SIMHASH_NEARDUP_ORACLE = """
+WITH t AS (SELECT doc_id, md5(UNNEST(STRING_SPLIT(text, ' '))) AS h FROM documents),
+b AS (SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, 59)) AS bit FROM t),
+v AS (SELECT doc_id, bit,
+        CASE WHEN ((STRPOS('0123456789abcdef', substr(h, bit // 4 + 1, 1)) - 1)
+                   >> (3 - bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM b),
+s AS (SELECT doc_id, bit, SUM(vote) AS v FROM v GROUP BY doc_id, bit),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sig
+        FROM s GROUP BY doc_id),
+e AS (SELECT doc_id, sig, UNNEST(GENERATE_SERIES(0, 3)) AS band_idx FROM sig),
+bands AS (SELECT doc_id, sig, band_idx,
+                 (sig >> (15 * band_idx)) & 32767 AS band_val
+          FROM e),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM p
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@_q("simhash_neardup_pairs", _SIMHASH_NEARDUP_ORACLE)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via the 4-band pigeonhole join
+    (Manku WWW'07) — recall-lossless, exact popcount verify, all Catalyst
+    bit arithmetic.  Complements lsh_candidate_pairs (probabilistic
+    recall) with the deterministic small-distance dedup pass a crawl
+    pipeline runs first."""
+    from oshdb_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(docs, max_hamming=3, n_bits=60, n_bands=4)
+
+
 def _mh_duck(salt: int, shingle: int = 7) -> str:
     k = shingle
     return (

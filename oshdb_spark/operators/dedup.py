@@ -231,6 +231,114 @@ def simhash_bits_portable(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_key_cap: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance ``max_hamming``
+    via the multi-band pigeonhole join (Manku, Jain & Das Sarma, WWW'07
+    "Detecting Near-Duplicates for Web Crawling" §3).
+
+    Split each ``n_bits`` signature into ``n_bands`` contiguous bands.
+    Two signatures within Hamming distance d < n_bands differ in at most
+    d bands, so at least one band is bit-identical — an equi-join on
+    (band_idx, band_value) therefore finds EVERY such pair (no recall
+    loss, unlike MinHash LSH), and the exact popcount of the XOR then
+    filters candidates to true near-dups.  All of it is Catalyst bit
+    arithmetic (shiftleft/shiftrightunsigned/bit_count) over whole-stage
+    codegen; the only shuffles are the two signature groupBys and the
+    band hash join.
+
+    100-TB posture: band values of DISTINCT contents are uniformly
+    distributed (they are hash-majority bits), so the equi-join is
+    skew-free except for duplicate-heavy corpora, where every copy of a
+    boilerplate cluster lands on identical band keys.  ``hot_key_cap``
+    diverts members of band keys hotter than the cap to exact-SIGNATURE
+    star pairs (min-id representative per signature, hamming 0) — the
+    same recall contract as ``lsh_candidate_pairs``: capped output is a
+    subset; near-dup (1..d bit) pairs whose every shared band is hot are
+    dropped, exact-duplicate connectivity is preserved star-shaped.
+
+    Requires ``max_hamming < n_bands`` for the completeness guarantee
+    (asserted).  Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    width = n_bits // n_bands
+    bits = simhash_bits_portable(docs, text_col, id_col, n_bits)
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("sgn") == 1, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+    bands = sig.select(
+        F.col("doc_id").alias("id"),
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftrightunsigned(sig, CAST({width} * band_idx AS INT))"
+            f" & CAST({(1 << width) - 1} AS BIGINT)"
+        ),
+    )
+    star = None
+    if hot_key_cap is not None:
+        counts = bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        hot = counts.filter(F.col("__n") > int(hot_key_cap)).select(
+            "band_idx", "band_val"
+        )
+        hot_sigs = (
+            bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_semi")
+            .select("id", "sig")
+            .distinct()
+        )
+        bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+        reps = hot_sigs.groupBy("sig").agg(F.min("id").alias("id_a"))
+        star = (
+            hot_sigs.join(F.broadcast(reps), "sig")
+            .filter(F.col("id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("__sa"),
+            F.col("b.sig").alias("__sb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(__sa ^ __sb) AS INT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star).distinct()
+    return pairs
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per doc, fully distributed (no UDF).
 

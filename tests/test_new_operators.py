@@ -170,6 +170,61 @@ def test_token_jaccard(spark, docs_df):
     assert (3, 4) not in got
 
 
+def test_simhash_neardup_pairs_recall_and_verify(spark, docs_df):
+    from oshdb_spark.operators.dedup import (
+        simhash_bits_portable,
+        simhash_neardup_pairs,
+    )
+
+    # brute-force truth: portable signatures + popcount over all pairs
+    bits = simhash_bits_portable(docs_df).collect()
+    sigs: dict[int, int] = {}
+    for r in bits:
+        if r["sgn"] == 1:
+            sigs[r["doc_id"]] = sigs.get(r["doc_id"], 0) | (1 << r["bit"])
+        else:
+            sigs.setdefault(r["doc_id"], 0)
+    ids = sorted(sigs)
+    truth = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs_df, max_hamming=3).collect()
+    }
+    # pigeonhole completeness: EVERY hamming<=3 pair is found (1,2) exact
+    assert got == truth
+    assert (1, 2, 0) in got
+
+
+def test_simhash_neardup_hot_key_cap(spark):
+    boiler = "subscribe to our newsletter for updates terms conditions apply"
+    rows = [(i, boiler) for i in range(3_000)]
+    rows += [
+        (20_000, "the quick brown fox jumps over the lazy dog again today"),
+        (20_001, "the quick brown fox jumps over the lazy dog again tonight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    from oshdb_spark.operators.dedup import simhash_neardup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            docs, max_hamming=3, hot_key_cap=100
+        ).collect()
+    }
+    # boilerplate cluster reduced to star pairs at hamming 0
+    cluster = {p for p in got if p[0] < 3_000 and p[1] < 3_000}
+    assert cluster == {(0, i) for i in range(1, 3_000)}
+    assert all(got[p] == 0 for p in cluster)
+    # cold-key near-dup still found with its exact distance if <=3;
+    # no cross pairs between cluster and distinct docs are fabricated
+    assert not any(a < 3_000 <= b for a, b in got)
+
+
 def test_simhash_near_vs_far(spark, docs_df):
     fp = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
     assert fp[1] == fp[2]  # identical text -> identical fingerprint

@@ -3901,3 +3901,150 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return mann_kendall_cells(g, _MK_ZOOM, _MK_T0, _MK_PERIOD, _MK_N)
+
+
+# ---------------------------------------------------------------------------
+# 31. clustering: grid-bucketed DBSCAN + deterministic Lloyd k-means
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 25_000  # 2.5e-3 deg fixed-point
+_DBSCAN_MINPTS = 4
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE
+g AS ({{g}}),
+p AS (SELECT event_id AS id, lon_fp AS x, lat_fp AS y,
+             (lon_fp + 1800000000) // {_DBSCAN_EPS} AS cx,
+             (lat_fp + 900000000) // {_DBSCAN_EPS} AS cy FROM g),
+pr AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM p a JOIN p b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.id != b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_DBSCAN_EPS}::BIGINT * {_DBSCAN_EPS}
+),
+n AS (SELECT id_a AS id, COUNT(*) AS n_nbrs FROM pr GROUP BY 1),
+core AS (SELECT id FROM n WHERE n_nbrs + 1 >= {_DBSCAN_MINPTS}),
+ce AS (
+  SELECT pr.id_a AS u, pr.id_b AS v
+  FROM pr
+  JOIN core ca ON ca.id = pr.id_a
+  JOIN core cb ON cb.id = pr.id_b
+),
+reach(node, label) AS (
+  SELECT u, u FROM ce GROUP BY u
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN ce e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+corelbl AS (
+  SELECT core.id, COALESCE(comp.component, core.id) AS cluster_id
+  FROM core LEFT JOIN comp ON comp.node = core.id
+),
+borderlbl AS (
+  SELECT pr.id_a AS id, MIN(cl.cluster_id) AS cluster_id
+  FROM pr JOIN corelbl cl ON cl.id = pr.id_b
+  WHERE pr.id_a NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT p.id AS event_id,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+FROM p
+LEFT JOIN corelbl c ON c.id = p.id
+LEFT JOIN borderlbl b ON b.id = p.id
+""".format(g=_duck_derive(GEO_LOCAL_EXPRS))
+
+
+@_q("dbscan_clusters", _DBSCAN_ORACLE)
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al., KDD'96) over the locally-clustered point
+    set: eps-grid equi-join for neighbor pairs (no all-pairs), one
+    map-side-combinable neighbor count, alternating-star connected
+    components over core-core edges, deterministic min-id border
+    assignment.  Every output value is an exact integer/string under
+    the hash gate."""
+    from oshdb_spark.operators.clustering import dbscan
+
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS)
+    out = dbscan(
+        g.select("event_id", "lon_fp", "lat_fp"),
+        eps=_DBSCAN_EPS,
+        min_pts=_DBSCAN_MINPTS,
+        id_col="event_id",
+        x_col="lon_fp",
+        y_col="lat_fp",
+    )
+    return out.select(F.col("id").alias("event_id"), "role", "cluster_id")
+
+
+_KMEANS_K = 10
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations mirroring operators/clustering.kmeans_lloyd:
+    exact BIGINT distances over 1e-6-quantized components, centroid update
+    floor(sum/count + 0.5), argmin ties to the smaller cluster id."""
+    parts = [
+        "x AS (SELECT vec_id AS id, list_transform(embedding,"
+        " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xi"
+        " FROM embeddings)",
+        "xd AS (SELECT id, generate_subscripts(xi, 1) - 1 AS dim,"
+        " UNNEST(xi) AS val FROM x)",
+        f"init AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster"
+        f" FROM (SELECT id FROM x ORDER BY id LIMIT {k}))",
+        "c0 AS (SELECT init.cluster, xd.dim, xd.val AS cv"
+        " FROM init JOIN xd USING (id))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT xd.id, c.cluster,"
+            f" CAST(SUM((xd.val - c.cv) * (xd.val - c.cv)) AS BIGINT) AS d2"
+            f" FROM xd JOIN c{i - 1} c ON c.dim = xd.dim GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT id, cluster FROM (SELECT id, cluster,"
+            f" ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn"
+            f" FROM d{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT a.cluster, xd.dim,"
+            f" CAST(FLOOR(CAST(SUM(xd.val) AS DOUBLE) / COUNT(*) + 0.5)"
+            f" AS BIGINT) AS cv"
+            f" FROM a{i} a JOIN xd USING (id) GROUP BY 1, 2)"
+        )
+    parts.append(
+        f"dfin AS (SELECT xd.id, c.cluster,"
+        f" CAST(SUM((xd.val - c.cv) * (xd.val - c.cv)) AS BIGINT) AS d2"
+        f" FROM xd JOIN c{iters} c ON c.dim = xd.dim GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist_sq
+FROM (SELECT id, cluster, d2,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+      FROM dfin) WHERE rn = 1
+"""
+    )
+
+
+@_q("kmeans_embedding_clusters", _kmeans_oracle_sql(_KMEANS_K, _KMEANS_ITERS))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table — the
+    SemDeDup-style semantic-clustering front end (cluster embeddings,
+    then compare only within clusters).  Assignment is map-only against
+    driver-collected literal centroids; the update is one map-side-
+    combinable groupBy (cluster, dim).  1e-6 quantization makes every
+    distance exact BIGINT and the centroid update a single IEEE divide,
+    so assignments hash-match DuckDB bit-for-bit."""
+    from oshdb_spark.operators.clustering import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITERS)

@@ -3986,10 +3986,12 @@ _KMEANS_K = 10
 _KMEANS_ITERS = 3
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
-    """Unrolled Lloyd iterations mirroring operators/clustering.kmeans_lloyd:
-    exact BIGINT distances over 1e-6-quantized components, centroid update
-    floor(sum/count + 0.5), argmin ties to the smaller cluster id."""
+def _kmeans_cte_parts(k: int, iters: int) -> list[str]:
+    """Shared unrolled-Lloyd CTE chain mirroring
+    operators/clustering.kmeans_lloyd: exact BIGINT distances over
+    1e-6-quantized components, centroid update floor(sum/count + 0.5),
+    argmin ties to the smaller cluster id.  Ends with `dfin`, the
+    distance table against the final centroids."""
     parts = [
         "x AS (SELECT vec_id AS id, list_transform(embedding,"
         " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xi"
@@ -4023,14 +4025,48 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
         f" CAST(SUM((xd.val - c.cv) * (xd.val - c.cv)) AS BIGINT) AS d2"
         f" FROM xd JOIN c{iters} c ON c.dim = xd.dim GROUP BY 1, 2)"
     )
+    parts.append(
+        "afin AS (SELECT id, cluster, d2 FROM (SELECT id, cluster, d2,"
+        " ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn"
+        " FROM dfin) WHERE rn = 1)"
+    )
+    return parts
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_cte_parts(k, iters))
+        + """
+SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist_sq
+FROM afin
+"""
+    )
+
+
+def _semdedup_oracle_sql(k: int, iters: int, num: int, den: int) -> str:
+    """SemDeDup pruning on top of the final k-means assignment: a vector
+    is pruned when a smaller-id vector in its cluster clears the exact
+    integer cosine test den*dot^2 >= num*|a|^2*|b|^2 (dot > 0)."""
+    parts = _kmeans_cte_parts(k, iters)
+    parts.append("nrm AS (SELECT id, SUM(val * val) AS n2 FROM xd GROUP BY 1)")
+    parts.append(
+        "pruned AS (SELECT DISTINCT bb.id FROM afin aa JOIN afin bb"
+        " ON bb.cluster = aa.cluster AND aa.id < bb.id"
+        " JOIN (SELECT a.id AS ia, b.id AS ib, SUM(a.val * b.val) AS dot"
+        "       FROM xd a JOIN xd b ON a.dim = b.dim AND a.id < b.id"
+        "       GROUP BY 1, 2) p ON p.ia = aa.id AND p.ib = bb.id"
+        " JOIN nrm na ON na.id = aa.id JOIN nrm nb ON nb.id = bb.id"
+        f" WHERE p.dot > 0 AND {den}::HUGEINT * p.dot * p.dot"
+        f" >= {num}::HUGEINT * na.n2 * nb.n2)"
+    )
     return (
         "WITH "
         + ",\n".join(parts)
         + """
-SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist_sq
-FROM (SELECT id, cluster, d2,
-      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
-      FROM dfin) WHERE rn = 1
+SELECT a.id AS vec_id, CAST(a.cluster AS INT) AS cluster,
+       p.id IS NULL AS is_kept
+FROM afin a LEFT JOIN pruned p ON p.id = a.id
 """
     )
 
@@ -4048,3 +4084,31 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITERS)
+
+
+_SEMDEDUP_NUM, _SEMDEDUP_DEN = 1225, 10_000  # tau^2 = 0.35^2 exactly
+
+
+@_q(
+    "semdedup_prune",
+    _semdedup_oracle_sql(_KMEANS_K, _KMEANS_ITERS, _SEMDEDUP_NUM, _SEMDEDUP_DEN),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023) end to end: k-means clusters, then prune
+    vectors whose cluster holds a smaller-id vector with cosine > tau.
+    The pairwise stage is confined within clusters (one equi-join on the
+    cluster id — cost sum(|cluster|^2), never n^2) and the threshold
+    test is exact integer arithmetic (DECIMAL(38,0) / HUGEINT), so the
+    keep flags hash-match bit-for-bit.  tau = 0.35 is calibrated to the
+    synthetic embeddings (max pairwise cosine 0.51); production corpora
+    use 0.9+ with the identical plan."""
+    from oshdb_spark.operators.clustering import semdedup_within_cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_within_cluster(
+        emb,
+        k=_KMEANS_K,
+        n_iter=_KMEANS_ITERS,
+        tau_sq_num=_SEMDEDUP_NUM,
+        tau_sq_den=_SEMDEDUP_DEN,
+    )

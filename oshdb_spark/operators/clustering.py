@@ -264,3 +264,83 @@ def kmeans_lloyd(
     return _assign(quantized, centroids).select(
         F.col("id").alias(id_col), "cluster", "dist_sq"
     )
+
+
+def semdedup_within_cluster(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    tau_sq_num: int = 1225,
+    tau_sq_den: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): prune semantic near-duplicates
+    WITHIN k-means clusters — (id, cluster, is_kept).
+
+    A vector is pruned when some smaller-id vector in its cluster has
+    cosine similarity above tau (keep-first-occurrence, the same
+    deterministic survivorship rule as chunk dedup; the paper keeps a
+    per-group representative, which is order-dependent — min-id is the
+    engine-reproducible variant, pruning a superset of the sequential
+    greedy).  tau enters as the exact rational tau^2 = num/den so the
+    threshold test is pure integer arithmetic on the 1e-6-quantized
+    vectors — ``den * dot^2 >= num * |a|^2 * |b|^2 AND dot > 0`` — in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): bit-reproducible, no
+    sqrt, no doubles anywhere.
+
+    100-TB posture: the pairwise stage is confined within clusters (the
+    point of SemDeDup — k is chosen so clusters are small; cost is
+    sum(|cluster|^2), not n^2), as one equi-join on the cluster id; the
+    norms are a map-side projection.  A runaway cluster is one hot join
+    key — the same diversion contract as `lsh_capped_pairs` applies if
+    a corpus needs it.
+    """
+    assign = kmeans_lloyd(emb, k, n_iter, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "cluster"
+    )
+    q = quantize_vectors(emb, id_col, vec_col)
+    v = q.join(assign, "id").withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("xi", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.xi"), F.col("b.xi"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(int(tau_sq_den)).cast(dec)
+                * F.col("dot").cast(dec)
+                * F.col("dot").cast(dec)
+                >= F.lit(int(tau_sq_num)).cast(dec)
+                * F.col("a.n2").cast(dec)
+                * F.col("b.n2").cast(dec)
+            )
+        )
+    )
+    pruned = pairs.select(F.col("b.id").alias("id")).distinct()
+    return (
+        v.select("id", "cluster")
+        .join(pruned.withColumn("__p", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__p"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -213,3 +213,46 @@ class TestKmeans:
         row = quantize_vectors(df).collect()[0]
         # floor(-500000.0 + 0.5) = -500000 (half-up rounds toward +inf)
         assert list(row.xi) == [123457, -500000, 0]
+
+
+class TestSemDeDup:
+    def test_near_dup_pruned_within_cluster(self, spark):
+        from oshdb_spark.operators.clustering import semdedup_within_cluster
+
+        lo = [
+            [1.0, 0.0, 0.0],          # id 0 (kept: smallest in its dup set)
+            [0.999, 0.001, 0.0],      # id 1 ~ id 0 -> pruned
+            [0.0, 1.0, 0.0],          # id 2: same cluster, orthogonal -> kept
+        ]
+        hi = [
+            [-1.0, -1.0, -1.0],       # id 3 kept
+            [-0.998, -1.0, -1.0],     # id 4 ~ id 3 -> pruned
+            [-1.0, -0.9, -1.0],       # id 5 ~ id 3 too (cos ~ .998) -> pruned
+        ]
+        df = _emb_df(spark, lo + hi)
+        # tau^2 = 0.9025 (tau = .95)
+        rows = semdedup_within_cluster(
+            df, k=2, n_iter=2, tau_sq_num=9025, tau_sq_den=10_000
+        ).collect()
+        got = {r.vec_id: (r.cluster, r.is_kept) for r in rows}
+        assert got[0] == (0, True)
+        assert got[1] == (0, False)
+        assert got[2] == (0, True)
+        assert got[3] == (1, True)
+        assert got[4] == (1, False)
+        assert got[5] == (1, False)
+
+    def test_cross_cluster_dups_not_pruned(self, spark):
+        from oshdb_spark.operators.clustering import semdedup_within_cluster
+
+        # cosine-identical but L2-distant vectors seeded as the two
+        # initial centroids: k-means (an L2 method) keeps them in
+        # different clusters, so neither is pruned — SemDeDup only
+        # compares within clusters by design
+        df = _emb_df(spark, [[1.0, 0.01], [100.0, 1.0]])
+        rows = semdedup_within_cluster(
+            df, k=2, n_iter=1, tau_sq_num=9025, tau_sq_den=10_000
+        ).collect()
+        got = {r.vec_id: (r.cluster, r.is_kept) for r in rows}
+        assert got[0][1] and got[1][1]
+        assert got[0][0] != got[1][0]

@@ -4112,3 +4112,58 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau_sq_num=_SEMDEDUP_NUM,
         tau_sq_den=_SEMDEDUP_DEN,
     )
+
+
+# ---------------------------------------------------------------------------
+# 32. trajectory stop detection (gaps-and-islands stay points)
+# ---------------------------------------------------------------------------
+
+_STOP_EPS = 600_000  # 6e-2 deg fixed-point step threshold
+_STOP_MINPTS = 4
+
+_STOP_ORACLE = f"""
+WITH g AS ({{g}}),
+s AS (
+  SELECT user_id, ts_us, event_id, lon_fp AS x, lat_fp AS y,
+         LAG(lon_fp) OVER w AS px, LAG(lat_fp) OVER w AS py
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+b AS (
+  SELECT *, CASE WHEN px IS NULL
+                 OR (x - px) * (x - px) + (y - py) * (y - py)
+                    > {_STOP_EPS}::BIGINT * {_STOP_EPS}
+            THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+seg AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sg
+  FROM b
+),
+agg AS (
+  SELECT user_id, sg, COUNT(*) AS n_points,
+         MIN(ts_us) AS start_ts, MAX(ts_us) AS end_ts,
+         SUM(x) AS sum_x, SUM(y) AS sum_y
+  FROM seg GROUP BY 1, 2
+  HAVING COUNT(*) >= {_STOP_MINPTS}
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_ts, sg)
+            - 1 AS INT) AS stop_seq,
+       n_points, start_ts, end_ts,
+       end_ts - start_ts AS duration_us,
+       CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y
+FROM agg
+""".format(g=_duck_derive(GEO_LOCAL_EXPRS + ["{TS_US} AS ts_us"]))
+
+
+@_q("stop_detection", _STOP_ORACLE)
+def q_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stop/stay-point detection (step-distance variant of
+    Li 2008): lag window -> exact integer step distance -> running-sum
+    segment id -> per-segment dwell filter.  ONE shuffle; all outputs
+    exact integers (centroid as sum_x/sum_y + n — no engine divides)."""
+    from oshdb_spark.operators.aggregations import stop_detection
+
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS + ["{TS_US} AS ts_us"])
+    return stop_detection(g, eps=_STOP_EPS, min_points=_STOP_MINPTS)

@@ -511,3 +511,87 @@ def resample_track(
         (F.col("plon") + (F.col("lon") - F.col("plon")) * frac).alias("rlon"),
         (F.col("plat") + (F.col("lat") - F.col("plat")) * frac).alias("rlat"),
     )
+
+
+def stop_detection(
+    events: DataFrame,
+    eps: int,
+    min_points: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    x_col: str = "lon_fp",
+    y_col: str = "lat_fp",
+) -> DataFrame:
+    """Trajectory stop (stay-point) detection via gaps-and-islands:
+    maximal runs of consecutive per-key steps each shorter than ``eps``,
+    kept when the run has >= ``min_points`` points.
+
+    The classic stay-point scan (Li et al. 2008) advances a sequential
+    anchor, which resists parallel/SQL expression; this is the
+    step-distance variant used for stop detection in movement analytics
+    (consecutive-step threshold + minimum dwell), and it is pure window
+    algebra: lag -> exact integer step distance^2 -> break flag ->
+    running-sum segment id -> one map-side-combinable per-segment agg.
+    ONE shuffle (the per-key window); every output is an exact integer
+    (centroid reported as sum_x/sum_y + n so no engine divides).
+
+    Returns (key, stop_seq:int, n_points, start_ts, end_ts,
+    duration_us, sum_x, sum_y) — stop_seq numbers a key's kept stops in
+    time order (dense, 0-based).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    p = events.select(
+        key_col,
+        ts_col,
+        order_col,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    p = (
+        p.withColumn("_px", F.lag("_x").over(w))
+        .withColumn("_py", F.lag("_y").over(w))
+        .withColumn(
+            "_break",
+            F.when(
+                F.col("_px").isNull()
+                | (
+                    (F.col("_x") - F.col("_px")) * (F.col("_x") - F.col("_px"))
+                    + (F.col("_y") - F.col("_py"))
+                    * (F.col("_y") - F.col("_py"))
+                    > F.lit(int(eps) * int(eps)).cast("long")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_seg",
+            F.sum("_break").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    segs = (
+        p.groupBy(key_col, "_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.sum("_x").alias("sum_x"),
+            F.sum("_y").alias("sum_y"),
+        )
+        .filter(F.col("n_points") >= int(min_points))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("start_ts", "_seg")
+    return segs.select(
+        key_col,
+        (F.row_number().over(w2) - 1).alias("stop_seq"),
+        "n_points",
+        "start_ts",
+        "end_ts",
+        (F.col("end_ts") - F.col("start_ts")).alias("duration_us"),
+        "sum_x",
+        "sum_y",
+    )

@@ -1116,3 +1116,38 @@ def test_od_flow_matrix_fixture(spark):
         (4, 4, 5, 4): 1,   # user 1 A->B
         (5, 4, 4, 4): 1,   # user 2 B->A
     }
+
+
+def test_stop_detection_fixture(spark):
+    """Runs of short steps become stops; long steps break; dwell filter."""
+    from oshdb_spark.operators.aggregations import stop_detection
+
+    ev = spark.createDataFrame(
+        [
+            # user 10: 3 tight points (stop), jump, 3 tight points (stop),
+            # jump, 2 tight points (below min_points -> dropped)
+            (1, 10, 100, 0, 0),
+            (2, 10, 200, 5, 0),
+            (3, 10, 300, 5, 5),
+            (4, 10, 400, 1000, 1000),   # step > eps: break
+            (5, 10, 500, 1005, 1000),
+            (6, 10, 600, 1005, 995),
+            (7, 10, 700, 5000, 5000),   # break
+            (8, 10, 800, 5001, 5000),
+            # user 20: all far apart -> nothing
+            (9, 20, 50, 0, 0),
+            (10, 20, 60, 10_000, 0),
+        ],
+        "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long",
+    )
+    rows = stop_detection(ev, eps=10, min_points=3).collect()
+    got = {
+        (r.user_id, r.stop_seq): (
+            r.n_points, r.start_ts, r.end_ts, r.duration_us, r.sum_x, r.sum_y
+        )
+        for r in rows
+    }
+    assert got == {
+        (10, 0): (3, 100, 300, 200, 10, 5),
+        (10, 1): (3, 400, 600, 200, 3010, 2995),
+    }

@@ -4167,3 +4167,85 @@ def q_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS + ["{TS_US} AS ts_us"])
     return stop_detection(g, eps=_STOP_EPS, min_points=_STOP_MINPTS)
+
+
+# ---------------------------------------------------------------------------
+# 33. areal interpolation (dasymetric zone-to-zone value transfer)
+# ---------------------------------------------------------------------------
+
+_AI_ZOOM = 5
+_AI_CELL = 3_600_000_000 >> _AI_ZOOM
+
+_AI_ORACLE = f"""
+WITH g AS ({{g}}),
+srcz AS (
+  SELECT user_id AS src_id,
+         MIN(lon_fp) AS sminx, MIN(lat_fp) AS sminy,
+         MAX(lon_fp) AS smaxx, MAX(lat_fp) AS smaxy,
+         COUNT(*) AS v
+  FROM g GROUP BY 1
+),
+tgtz AS (
+  SELECT DISTINCT (lon_fp + 1800000000) // {_AI_CELL} AS ccx,
+                  (lat_fp + 900000000) // {_AI_CELL} AS ccy
+  FROM g
+),
+tgt AS (
+  SELECT ccy * 1000 + ccx AS tgt_id,
+         ccx * {_AI_CELL} - 1800000000 AS tminx,
+         ccy * {_AI_CELL} - 900000000 AS tminy,
+         (ccx + 1) * {_AI_CELL} - 1800000001 AS tmaxx,
+         (ccy + 1) * {_AI_CELL} - 900000001 AS tmaxy
+  FROM tgtz
+),
+pairs AS (
+  SELECT tgt_id,
+         LEAST(smaxx, tmaxx) + 1 - GREATEST(sminx, tminx) AS iw,
+         LEAST(smaxy, tmaxy) + 1 - GREATEST(sminy, tminy) AS ih,
+         (smaxx + 1 - sminx) * (smaxy + 1 - sminy) AS sa,
+         v
+  FROM srcz JOIN tgt
+    ON smaxx >= tminx AND sminx <= tmaxx
+   AND smaxy >= tminy AND sminy <= tmaxy
+)
+SELECT tgt_id, COUNT(*) AS n_src,
+       CAST(SUM(iw * ih) AS BIGINT) AS inter_area,
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * CAST(iw * ih AS DOUBLE)
+                           / CAST(sa AS DOUBLE), 9) AS DECIMAL(28,9)))
+            AS DECIMAL(38,9)) AS transfer
+FROM pairs WHERE iw > 0 AND ih > 0
+GROUP BY 1
+""".format(g=_duck_derive(GEO_LOCAL_EXPRS))
+
+
+@_q("areal_interpolation", _AI_ORACLE)
+def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dasymetric areal interpolation: per-user activity boxes (value =
+    event count) redistributed onto occupied zoom-5 grid cells by exact
+    half-open-integer intersection area.  Candidate pairs via the
+    cover-cell equi-join (explode factor bounded by box/cell ratio — no
+    all-pairs); duplicate pair discoveries collapse via the canonical
+    SW-corner-cell filter, not a distinct; the transfer term is
+    9dp-rounded + DECIMAL-summed (partition-order-free)."""
+    from oshdb_spark.operators.zonal import areal_interpolation
+
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS)
+    srcz = g.groupBy(F.col("user_id").alias("src_id")).agg(
+        F.min("lon_fp").alias("minx"),
+        F.min("lat_fp").alias("miny"),
+        F.max("lon_fp").alias("maxx"),
+        F.max("lat_fp").alias("maxy"),
+        F.count(F.lit(1)).alias("value"),
+    )
+    cells = g.selectExpr(
+        f"CAST((lon_fp + 1800000000) DIV {_AI_CELL} AS BIGINT) AS ccx",
+        f"CAST((lat_fp + 900000000) DIV {_AI_CELL} AS BIGINT) AS ccy",
+    ).distinct()
+    tgt = cells.select(
+        (F.col("ccy") * 1000 + F.col("ccx")).alias("tgt_id"),
+        (F.col("ccx") * _AI_CELL - 1_800_000_000).alias("minx"),
+        (F.col("ccy") * _AI_CELL - 900_000_000).alias("miny"),
+        ((F.col("ccx") + 1) * _AI_CELL - 1_800_000_001).alias("maxx"),
+        ((F.col("ccy") + 1) * _AI_CELL - 900_000_001).alias("maxy"),
+    )
+    return areal_interpolation(srcz, tgt, zoom=_AI_ZOOM)

@@ -449,3 +449,139 @@ def idw_grid_interpolation(
             "wv_sum",
         )
     )
+
+
+def areal_interpolation(
+    src: DataFrame,
+    tgt: DataFrame,
+    zoom: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """Axis-aligned areal interpolation (dasymetric value transfer):
+    redistribute each source rectangle's value onto target rectangles
+    proportionally to exact intersection area.
+
+    Rectangles are HALF-OPEN integer pixel boxes ``[minx, maxx+1) x
+    [miny, maxy+1)`` in fixed-point coordinates, so a degenerate
+    (point) source is a 1x1 box and every area/intersection is exact
+    BIGINT — no epsilon anywhere.  The per-pair transfer term
+    ``value * inter_area / src_area`` is one double division rounded to
+    9dp and DECIMAL(28,9)-summed, so the result is exact under any
+    partition order (the standard oracle-determinism contract).
+
+    Candidate pairs come from a cover-cell equi-join at ``zoom``: each
+    source box explodes to the grid cells it covers, targets likewise,
+    and (src, tgt) pairs sharing a cell are checked exactly; duplicate
+    discoveries (a pair can share several cells) collapse via the
+    canonical "cell = the pair's top-left shared cell" filter instead
+    of a distinct — zero extra shuffle.
+
+    100-TB posture: no all-pairs — the join is an equi-join on cell id
+    with explode factor bounded by box size / cell size; a mega-box
+    (continental source zone) is the same hot-key shape the salting
+    plan handles.  One shuffle for the join, one map-side-combinable
+    groupBy for the transfer sum.
+
+    src: (src_id, minx, miny, maxx, maxy, value).  tgt: (tgt_id, minx,
+    miny, maxx, maxy).  Output: (tgt_id, n_src, inter_area, transfer).
+    """
+    w = (360 * 10**7) >> zoom
+
+    def cover(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "_cx0", F.expr(f"CAST((minx + 1800000000) DIV {w} AS BIGINT)")
+            )
+            .withColumn(
+                "_cx1", F.expr(f"CAST((maxx + 1800000000) DIV {w} AS BIGINT)")
+            )
+            .withColumn(
+                "_cy0", F.expr(f"CAST((miny + 900000000) DIV {w} AS BIGINT)")
+            )
+            .withColumn(
+                "_cy1", F.expr(f"CAST((maxy + 900000000) DIV {w} AS BIGINT)")
+            )
+            .withColumn(
+                "ccx", F.explode(F.expr("sequence(_cx0, _cx1)"))
+            )
+            .withColumn(
+                "ccy", F.explode(F.expr("sequence(_cy0, _cy1)"))
+            )
+            .drop("_cx0", "_cx1", "_cy0", "_cy1")
+        )
+
+    s = cover(
+        src.select(
+            "src_id",
+            F.col("minx").cast("long").alias("minx"),
+            F.col("miny").cast("long").alias("miny"),
+            F.col("maxx").cast("long").alias("maxx"),
+            F.col("maxy").cast("long").alias("maxy"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+    ).select(
+        "src_id",
+        F.col("minx").alias("sminx"),
+        F.col("miny").alias("sminy"),
+        F.col("maxx").alias("smaxx"),
+        F.col("maxy").alias("smaxy"),
+        "_v",
+        "ccx",
+        "ccy",
+    )
+    t = cover(
+        tgt.select(
+            "tgt_id",
+            F.col("minx").cast("long").alias("minx"),
+            F.col("miny").cast("long").alias("miny"),
+            F.col("maxx").cast("long").alias("maxx"),
+            F.col("maxy").cast("long").alias("maxy"),
+        )
+    ).select(
+        "tgt_id",
+        F.col("minx").alias("tminx"),
+        F.col("miny").alias("tminy"),
+        F.col("maxx").alias("tmaxx"),
+        F.col("maxy").alias("tmaxy"),
+        "ccx",
+        "ccy",
+    )
+    iw = F.least("smaxx", "tmaxx") + 1 - F.greatest("sminx", "tminx")
+    ih = F.least("smaxy", "tmaxy") + 1 - F.greatest("sminy", "tminy")
+    # canonical shared cell = the intersection's south-west corner cell:
+    # keeps exactly ONE copy of each intersecting pair without a distinct
+    pairs = (
+        s.join(t, ["ccx", "ccy"])
+        .filter((iw > 0) & (ih > 0))
+        .filter(
+            (
+                F.col("ccx")
+                == F.expr(
+                    f"CAST((GREATEST(sminx, tminx) + 1800000000) DIV {w} AS BIGINT)"
+                )
+            )
+            & (
+                F.col("ccy")
+                == F.expr(
+                    f"CAST((GREATEST(sminy, tminy) + 900000000) DIV {w} AS BIGINT)"
+                )
+            )
+        )
+        .withColumn("ia", iw * ih)
+        .withColumn(
+            "sa",
+            (F.col("smaxx") + 1 - F.col("sminx"))
+            * (F.col("smaxy") + 1 - F.col("sminy")),
+        )
+    )
+    term = F.round(
+        F.col("_v").cast("double")
+        * F.col("ia").cast("double")
+        / F.col("sa").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    return pairs.groupBy("tgt_id").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("ia").alias("inter_area"),
+        F.sum(term).alias("transfer"),
+    )

@@ -1151,3 +1151,41 @@ def test_stop_detection_fixture(spark):
         (10, 0): (3, 100, 300, 200, 10, 5),
         (10, 1): (3, 400, 600, 200, 3010, 2995),
     }
+
+
+def test_areal_interpolation_fixture(spark):
+    """Exact half-open-integer intersection areas; proportional transfer;
+    degenerate (point) source is a 1x1 box; no duplicate pair discovery
+    even when a pair shares several cover cells."""
+    from decimal import Decimal
+
+    from oshdb_spark.operators.zonal import areal_interpolation
+
+    # zoom such that cell width is small vs the boxes => multi-cell cover
+    src = spark.createDataFrame(
+        [
+            # box A: 10x10 = 100 px at origin, value 100
+            (1, 0, 0, 9, 9, 100),
+            # box B: point source (1x1), value 7
+            (2, 5, 5, 5, 5, 7),
+        ],
+        "src_id long, minx long, miny long, maxx long, maxy long, value long",
+    )
+    tgt = spark.createDataFrame(
+        [
+            # left half of A: [0,5) x [0,10) = 5x10 = 50 px
+            (10, 0, 0, 4, 9),
+            # right half incl. B's pixel: [5,10) x [0,10)
+            (20, 5, 0, 9, 9),
+            # disjoint
+            (30, 100, 100, 109, 109),
+        ],
+        "tgt_id long, minx long, miny long, maxx long, maxy long",
+    )
+    # zoom 29: cell width 3.6e9 >> 29 = 6 -- boxes span multiple cells
+    rows = areal_interpolation(src, tgt, zoom=29).collect()
+    got = {r.tgt_id: (r.n_src, r.inter_area, r.transfer) for r in rows}
+    assert got == {
+        10: (1, 50, Decimal("50.000000000")),
+        20: (2, 51, Decimal("57.000000000")),
+    }

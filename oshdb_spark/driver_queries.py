@@ -64,6 +64,21 @@ GEO_LOCAL_EXPRS = [
     " + ((event_id * 31) % 100) * ((user_id % 11) + 1) * 3000 AS lat_fp",
 ]
 
+# zigzag tracks for the segment-intersection join: per-user box as in
+# GEO_LOCAL, but LCG-mixed in-box offsets so consecutive per-user steps
+# jitter across the whole box at EVERY scale factor (the plain modular
+# offsets above degenerate to 2-point bounces when event_id strides by
+# the user count, e.g. at sf0.01) — pure positive-integer arithmetic, so
+# Spark % == DuckDB %
+GEO_SEG_EXPRS = [
+    "event_id",
+    "user_id",
+    "(user_id % 360) * 10000000 - 1800000000"
+    " + (event_id * 1103515245 + 12345) % 3900000 AS lon_fp",
+    "((user_id * 7) % 170) * 10000000 - 850000000"
+    " + (event_id * 69069 + 1) % 3000000 AS lat_fp",
+]
+
 # versioned node entities: entity id = user_id, mostly-stable position with
 # occasional jumps (geometry changes), rotating tag value, periodic deletes
 GEO_VERSION_EXPRS = [
@@ -3379,6 +3394,260 @@ def q_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
     return track_length_geodesic(g)
+
+
+_HAUS_ZOOM = 4
+_HAUS_CELL = 3_600_000_000 >> _HAUS_ZOOM
+_HAUS_K = 32
+
+_HAUS_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_LOCAL_EXPRS)}),
+p0 AS (
+  SELECT user_id AS k,
+         CAST(lon_fp AS BIGINT) + 1800000000 AS x,
+         CAST(lat_fp AS BIGINT) + 900000000 AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS pi
+  FROM g
+),
+p AS (SELECT k, pi, x, y FROM p0 WHERE pi <= {_HAUS_K}),
+cent AS (
+  SELECT k, COUNT(*) AS n,
+         (SUM(x) // COUNT(*)) // {_HAUS_CELL} AS cx,
+         (SUM(y) // COUNT(*)) // {_HAUS_CELL} AS cy
+  FROM p GROUP BY k
+),
+pairs AS (
+  SELECT a.k AS a_k, b.k AS b_k, a.n AS n_a, b.n AS n_b
+  FROM cent a JOIN cent b ON a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
+),
+cr AS (
+  SELECT pr.a_k, pr.b_k, pr.n_a, pr.n_b, pa.pi AS ai, pb.pi AS bi,
+         LEAST(ABS(pa.x - pb.x), 3600000000 - ABS(pa.x - pb.x))
+           * LEAST(ABS(pa.x - pb.x), 3600000000 - ABS(pa.x - pb.x))
+           + (pa.y - pb.y) * (pa.y - pb.y) AS sqd
+  FROM pairs pr
+  JOIN p pa ON pa.k = pr.a_k
+  JOIN p pb ON pb.k = pr.b_k
+),
+dab AS (
+  SELECT a_k, b_k, n_a, n_b, MAX(m) AS h_ab FROM (
+    SELECT a_k, b_k, n_a, n_b, ai, MIN(sqd) AS m
+    FROM cr GROUP BY a_k, b_k, n_a, n_b, ai
+  ) GROUP BY a_k, b_k, n_a, n_b
+),
+dba AS (
+  SELECT a_k, b_k, MAX(m) AS h_ba FROM (
+    SELECT a_k, b_k, bi, MIN(sqd) AS m FROM cr GROUP BY a_k, b_k, bi
+  ) GROUP BY a_k, b_k
+)
+SELECT dab.a_k, dab.b_k, dab.n_a, dab.n_b,
+       CAST(GREATEST(dab.h_ab, dba.h_ba) AS BIGINT) AS hausdorff_sq
+FROM dab JOIN dba ON dab.a_k = dba.a_k AND dab.b_k = dba.b_k
+"""
+
+
+@_q("trajectory_hausdorff", _HAUS_ORACLE)
+def q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity self-join: discrete Hausdorff distance
+    between per-user tracks (decimated to their first 32 points),
+    candidate pairs from zoom-4 centroid-cell buckets, squared planar
+    fp distance with dateline wrap — all int64 Column algebra, so the
+    result is bit-stable and fully hash-gated."""
+    from oshdb_spark.operators.aggregations import trajectory_hausdorff_join
+
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS)
+    return trajectory_hausdorff_join(
+        g,
+        bucket_zoom=_HAUS_ZOOM,
+        max_points=_HAUS_K,
+        ts_col="event_id",
+        order_col="event_id",
+    ).select(
+        "a_k",
+        "b_k",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("hausdorff_sq").cast("long").alias("hausdorff_sq"),
+    )
+
+
+_SEGX_ZOOM = 9
+_SEGX_CELL = 3_600_000_000 >> _SEGX_ZOOM
+
+_SEGX_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_SEG_EXPRS)}),
+seg0 AS (
+  SELECT event_id AS id,
+         LAG(lon_fp) OVER (PARTITION BY user_id ORDER BY event_id) AS plon,
+         LAG(lat_fp) OVER (PARTITION BY user_id ORDER BY event_id) AS plat,
+         lon_fp, lat_fp
+  FROM g
+),
+s AS (
+  SELECT id,
+         CAST(plon AS BIGINT) + 1800000000 AS x1,
+         CAST(plat AS BIGINT) + 900000000 AS y1,
+         CAST(lon_fp AS BIGINT) + 1800000000 AS x2,
+         CAST(lat_fp AS BIGINT) + 900000000 AS y2
+  FROM seg0 WHERE plon IS NOT NULL
+),
+cov AS (
+  SELECT id, x1, y1, x2, y2, cx,
+         UNNEST(generate_series(LEAST(y1, y2) // {_SEGX_CELL},
+                                GREATEST(y1, y2) // {_SEGX_CELL})) AS cy
+  FROM (
+    SELECT id, x1, y1, x2, y2,
+           UNNEST(generate_series(LEAST(x1, x2) // {_SEGX_CELL},
+                                  GREATEST(x1, x2) // {_SEGX_CELL})) AS cx
+    FROM s
+  )
+),
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         (CAST(a.x2 AS HUGEINT) - a.x1) * (CAST(b.y1 AS HUGEINT) - a.y1)
+           - (CAST(a.y2 AS HUGEINT) - a.y1) * (CAST(b.x1 AS HUGEINT) - a.x1) AS o1,
+         (CAST(a.x2 AS HUGEINT) - a.x1) * (CAST(b.y2 AS HUGEINT) - a.y1)
+           - (CAST(a.y2 AS HUGEINT) - a.y1) * (CAST(b.x2 AS HUGEINT) - a.x1) AS o2,
+         (CAST(b.x2 AS HUGEINT) - b.x1) * (CAST(a.y1 AS HUGEINT) - b.y1)
+           - (CAST(b.y2 AS HUGEINT) - b.y1) * (CAST(a.x1 AS HUGEINT) - b.x1) AS o3,
+         (CAST(b.x2 AS HUGEINT) - b.x1) * (CAST(a.y2 AS HUGEINT) - b.y1)
+           - (CAST(b.y2 AS HUGEINT) - b.y1) * (CAST(a.x2 AS HUGEINT) - b.x1) AS o4
+  FROM cov a JOIN cov b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+)
+SELECT DISTINCT a_id, b_id
+FROM cand
+WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+  AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+"""
+
+
+_SNAP_ORACLE = f"""
+WITH gp AS ({_duck_derive(GEO_LOCAL_EXPRS)}),
+gs AS ({_duck_derive(GEO_SEG_EXPRS)}),
+seg0 AS (
+  SELECT event_id AS id,
+         LAG(lon_fp) OVER (PARTITION BY user_id ORDER BY event_id) AS plon,
+         LAG(lat_fp) OVER (PARTITION BY user_id ORDER BY event_id) AS plat,
+         lon_fp, lat_fp
+  FROM gs
+),
+s AS (
+  SELECT id,
+         CAST(plon AS BIGINT) + 1800000000 AS x1,
+         CAST(plat AS BIGINT) + 900000000 AS y1,
+         CAST(lon_fp AS BIGINT) + 1800000000 AS x2,
+         CAST(lat_fp AS BIGINT) + 900000000 AS y2
+  FROM seg0 WHERE plon IS NOT NULL
+),
+cov AS (
+  SELECT id, x1, y1, x2, y2, cx,
+         UNNEST(generate_series(LEAST(y1, y2) // {_SEGX_CELL},
+                                GREATEST(y1, y2) // {_SEGX_CELL})) AS cy
+  FROM (
+    SELECT id, x1, y1, x2, y2,
+           UNNEST(generate_series(LEAST(x1, x2) // {_SEGX_CELL},
+                                  GREATEST(x1, x2) // {_SEGX_CELL})) AS cx
+    FROM s
+  )
+),
+pr AS (
+  SELECT event_id AS pid,
+         CAST(lon_fp AS BIGINT) + 1800000000 AS px,
+         CAST(lat_fp AS BIGINT) + 900000000 AS py
+  FROM gp
+),
+pc AS (
+  SELECT pid, px, py, cx, (py // {_SEGX_CELL}) + dy AS cy
+  FROM (
+    SELECT pid, px, py, (px // {_SEGX_CELL}) + dx AS cx
+    FROM (SELECT pid, px, py, UNNEST([-1, 0, 1]) AS dx FROM pr)
+  ), (SELECT UNNEST([-1, 0, 1]) AS dy)
+),
+cand AS (
+  SELECT pc.pid, cov.id AS sid,
+    (CAST(pc.px AS HUGEINT) - cov.x1) * (CAST(cov.x2 AS HUGEINT) - cov.x1)
+      + (CAST(pc.py AS HUGEINT) - cov.y1) * (CAST(cov.y2 AS HUGEINT) - cov.y1) AS dot,
+    (CAST(cov.x2 AS HUGEINT) - cov.x1) * (CAST(cov.x2 AS HUGEINT) - cov.x1)
+      + (CAST(cov.y2 AS HUGEINT) - cov.y1) * (CAST(cov.y2 AS HUGEINT) - cov.y1) AS len2,
+    (CAST(pc.px AS HUGEINT) - cov.x1) * (CAST(pc.px AS HUGEINT) - cov.x1)
+      + (CAST(pc.py AS HUGEINT) - cov.y1) * (CAST(pc.py AS HUGEINT) - cov.y1) AS da,
+    (CAST(pc.px AS HUGEINT) - cov.x2) * (CAST(pc.px AS HUGEINT) - cov.x2)
+      + (CAST(pc.py AS HUGEINT) - cov.y2) * (CAST(pc.py AS HUGEINT) - cov.y2) AS db,
+    ((CAST(cov.x2 AS HUGEINT) - cov.x1) * (CAST(pc.py AS HUGEINT) - cov.y1)
+      - (CAST(cov.y2 AS HUGEINT) - cov.y1) * (CAST(pc.px AS HUGEINT) - cov.x1))
+    * ((CAST(cov.x2 AS HUGEINT) - cov.x1) * (CAST(pc.py AS HUGEINT) - cov.y1)
+      - (CAST(cov.y2 AS HUGEINT) - cov.y1) * (CAST(pc.px AS HUGEINT) - cov.x1)) AS crosssq
+  FROM pc JOIN cov ON pc.cx = cov.cx AND pc.cy = cov.cy
+),
+d AS (
+  SELECT pid, sid,
+         CAST(CASE WHEN len2 = 0 OR dot <= 0 THEN da
+                   WHEN dot >= len2 THEN db
+                   ELSE crosssq // len2 END AS BIGINT) AS d2
+  FROM cand
+),
+m AS (SELECT pid, MIN(d2) AS d2 FROM d GROUP BY pid)
+SELECT d.pid AS point_id, MIN(d.sid) AS seg_id, m.d2
+FROM d JOIN m ON d.pid = m.pid AND d.d2 = m.d2
+GROUP BY d.pid, m.d2
+"""
+
+
+@_q("nearest_segment_snap", _SNAP_ORACLE)
+def q_nearest_segment_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-segment snap (map matching): every locally-clustered
+    point snaps to the closest zigzag-track segment found through its
+    3x3 neighbor-cell window; exact decimal(38,0)/HUGEINT point-to-
+    segment distance with integral-div floor, min-(d2, seg_id) pick —
+    bit-stable across engines, hash-gated."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.operators.knn import nearest_segment_snap
+
+    pts = _derive(spark, sf_dir, GEO_LOCAL_EXPRS)
+    g = _derive(spark, sf_dir, GEO_SEG_EXPRS)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    segs = (
+        g.select(
+            F.col("event_id").alias("seg_id"),
+            "user_id",
+            F.col("lon_fp").alias("bx"),
+            F.col("lat_fp").alias("by"),
+            F.lag("lon_fp").over(w).alias("ax"),
+            F.lag("lat_fp").over(w).alias("ay"),
+        )
+        .where(F.col("ax").isNotNull())
+        .drop("user_id")
+    )
+    return nearest_segment_snap(pts, segs, zoom=_SEGX_ZOOM, ring=1)
+
+
+@_q("segment_intersection", _SEGX_ORACLE)
+def q_segment_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proper segment-segment intersection self-join (trajectory
+    self-crossing detection): per-user consecutive steps become
+    segments, each covers its bbox's zoom-9 cells, cell equi-join +
+    decimal(38,0) CCW orientation predicate — integer-exact in both
+    engines, hash-gated end to end."""
+    from pyspark.sql import Window
+
+    from oshdb_spark.operators.knn import segment_intersection_join
+
+    g = _derive(spark, sf_dir, GEO_SEG_EXPRS)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    segs = (
+        g.select(
+            F.col("event_id").alias("seg_id"),
+            "user_id",
+            F.col("lon_fp").alias("bx"),
+            F.col("lat_fp").alias("by"),
+            F.lag("lon_fp").over(w).alias("ax"),
+            F.lag("lat_fp").over(w).alias("ay"),
+        )
+        .where(F.col("ax").isNotNull())
+        .drop("user_id")
+    )
+    return segment_intersection_join(segs, zoom=_SEGX_ZOOM)
 
 
 _GI_ZOOM = 6

@@ -595,3 +595,123 @@ def stop_detection(
         "sum_x",
         "sum_y",
     )
+
+
+def trajectory_hausdorff_join(
+    events: DataFrame,
+    bucket_zoom: int = 6,
+    max_points: int = 32,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Trajectory-similarity self-join: discrete Hausdorff distance
+    between per-key tracks, integer-exact, with cell-bucketed candidate
+    generation — the movement-analytics sibling of
+    :func:`track_length_geodesic` and the trajectory analogue of the
+    engine's DWithin joins (operators/knn.py:145).
+
+    Pipeline (all JVM-side Column algebra, no UDF):
+
+      1. decimate each key's track to its first ``max_points`` points by
+         ``(ts, order)`` (a deterministic sketch; bounds the per-pair
+         cross at ``max_points**2`` rows);
+      2. candidate pairs = keys whose *centroid* falls in the same
+         zoom-``bucket_zoom`` grid cell (floor-divided integer mean over
+         non-negative offset coords, so Spark ``DIV`` == DuckDB ``//``);
+         a coarser/finer zoom trades recall vs pair count, exactly like
+         the LSH band policy in operators/dedup.py;
+      3. one (pair x points_a x points_b) equi-join cross per candidate
+         pair; squared planar fp distance with dateline-wrapped
+         longitude (``least(|dx|, 3.6e9 - |dx|)``) so the bigint square
+         cannot overflow anywhere on the globe;
+      4. directed distances d(a->b) = max over a-points of the min over
+         b-points (and symmetrically), Hausdorff = greatest of the two.
+
+    Everything is int64 arithmetic -> bit-stable under any partition
+    order and engine (the driver hash gate covers it).  Scale posture:
+    pair count is bounded by the per-bucket key count (dense buckets can
+    be salted or capped exactly like lsh_capped_pairs); the cross is
+    bounded by construction; the two directed aggregations are map-side
+    combinable.  Returns ``(a_key, b_key, n_a, n_b,
+    hausdorff_sq:bigint)``.
+    """
+    from pyspark.sql import Window
+
+    cell_fp = 3_600_000_000 >> bucket_zoom
+    order_cols = [ts_col] + ([order_col] if order_col != ts_col else [])
+    w = Window.partitionBy("k").orderBy(*order_cols)
+    pts = (
+        events.select(
+            F.col(key_col).alias("k"),
+            (F.col(lon_col).cast("long") + F.lit(1_800_000_000)).alias("x"),
+            (F.col(lat_col).cast("long") + F.lit(900_000_000)).alias("y"),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("pi", F.row_number().over(w))
+        .where(F.col("pi") <= int(max_points))
+        .select("k", "pi", "x", "y")
+    )
+    cent = pts.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"(sum(x) DIV count(1)) DIV {cell_fp}").alias("cx"),
+        F.expr(f"(sum(y) DIV count(1)) DIV {cell_fp}").alias("cy"),
+    )
+    a = cent.select(
+        F.col("k").alias("a_k"), F.col("n").alias("n_a"), "cx", "cy"
+    )
+    b = cent.select(
+        F.col("k").alias("b_k"), F.col("n").alias("n_b"), "cx", "cy"
+    )
+    pairs = a.join(b, ["cx", "cy"]).where(F.col("a_k") < F.col("b_k")).select(
+        "a_k", "b_k", "n_a", "n_b"
+    )
+    pa = pts.select(
+        F.col("k").alias("a_k"),
+        F.col("pi").alias("ai"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    pb = pts.select(
+        F.col("k").alias("b_k"),
+        F.col("pi").alias("bi"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    dl = F.abs(F.col("ax") - F.col("bx"))
+    dx = F.least(dl, F.lit(3_600_000_000) - dl)
+    dy = F.col("ay") - F.col("by")
+    cross = (
+        pairs.join(pa, "a_k")
+        .join(pb, "b_k")
+        .select(
+            "a_k",
+            "b_k",
+            "n_a",
+            "n_b",
+            "ai",
+            "bi",
+            (dx * dx + dy * dy).alias("sqd"),
+        )
+    )
+    d_ab = (
+        cross.groupBy("a_k", "b_k", "n_a", "n_b", "ai")
+        .agg(F.min("sqd").alias("m"))
+        .groupBy("a_k", "b_k", "n_a", "n_b")
+        .agg(F.max("m").alias("h_ab"))
+    )
+    d_ba = (
+        cross.groupBy("a_k", "b_k", "bi")
+        .agg(F.min("sqd").alias("m"))
+        .groupBy("a_k", "b_k")
+        .agg(F.max("m").alias("h_ba"))
+    )
+    return d_ab.join(d_ba, ["a_k", "b_k"]).select(
+        "a_k",
+        "b_k",
+        "n_a",
+        "n_b",
+        F.greatest("h_ab", "h_ba").alias("hausdorff_sq"),
+    )

@@ -310,3 +310,243 @@ def dwithin_join_geodesic(
         .where(F.col("dist_m") <= F.lit(float(r_m)))
         .select("a_id", "b_id", "dist_m")
     )
+
+
+def segment_intersection_join(
+    segments: DataFrame,
+    zoom: int = 9,
+    id_col: str = "seg_id",
+    ax_col: str = "ax",
+    ay_col: str = "ay",
+    bx_col: str = "bx",
+    by_col: str = "by",
+) -> DataFrame:
+    """Exact segment-segment PROPER-intersection self-join (the
+    "crosses" predicate: the two open segments share exactly one
+    interior point) — trajectory self-crossing / street-crossing
+    detection, the line-line sibling of :func:`dwithin_join` and the
+    engine's point-in-polygon joins.
+
+    Plan (no UDF anywhere):
+
+      1. each segment lands in EVERY zoom-``zoom`` cell its bbox covers
+         (``explode(sequence(x0, x1)) x explode(sequence(y0, y1))`` —
+         the XYGrid insert rule generalized to full bbox cover, cf.
+         operators/tiling.py cell_cover_ranges);
+      2. candidate pairs = cell equi-join with ``a_id < b_id``, distinct
+         (a pair sharing several cells is tested once);
+      3. the exact CCW orientation predicate (CLRS 33.1): AB crosses CD
+         iff C and D strictly straddle line AB *and* A and B strictly
+         straddle line CD.  Cross products run in decimal(38,0), so the
+         test is integer-exact for the full +-1.8e9 fixed-point domain
+         (int64 would overflow: the two 19-digit product terms can
+         differ by ~1.3e19).  Collinear overlaps and shared endpoints
+         (e.g. consecutive track segments) are by definition NOT proper
+         crossings and are excluded.
+
+    Scale posture: the bbox cover bounds the per-segment fan-out
+    (short segments -> 1-4 cells); dense cells are the same skew
+    surface as every cell join here (salt or cap as in plans/skew.py);
+    the orientation test is pure Column algebra inside one
+    whole-stage-codegen span.  Returns distinct ``(a_id, b_id)``.
+    """
+    cell = 3_600_000_000 >> zoom
+    s = segments.select(
+        F.col(id_col).alias("id"),
+        (F.col(ax_col).cast("long") + F.lit(_OSM_180)).alias("x1"),
+        (F.col(ay_col).cast("long") + F.lit(_OSM_90)).alias("y1"),
+        (F.col(bx_col).cast("long") + F.lit(_OSM_180)).alias("x2"),
+        (F.col(by_col).cast("long") + F.lit(_OSM_90)).alias("y2"),
+    )
+    cov = s.select(
+        "id",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        F.explode(
+            F.expr(
+                f"sequence(least(x1, x2) DIV {cell},"
+                f" greatest(x1, x2) DIV {cell})"
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(
+                f"sequence(least(y1, y2) DIV {cell},"
+                f" greatest(y1, y2) DIV {cell})"
+            )
+        ).alias("cy"),
+    )
+    a = cov.select(
+        F.col("id").alias("a_id"),
+        F.col("x1").alias("ax1"),
+        F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"),
+        F.col("y2").alias("ay2"),
+        "cx",
+        "cy",
+    )
+    b = cov.select(
+        F.col("id").alias("b_id"),
+        F.col("x1").alias("bx1"),
+        F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"),
+        F.col("y2").alias("by2"),
+        "cx",
+        "cy",
+    )
+
+    def _d(c: str) -> F.Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    def orient(px, py, qx, qy, rx, ry) -> F.Column:
+        return (_d(qx) - _d(px)) * (_d(ry) - _d(py)) - (
+            _d(qy) - _d(py)
+        ) * (_d(rx) - _d(px))
+
+    o1 = orient("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    o2 = orient("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    o3 = orient("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    o4 = orient("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    zero = F.lit(0).cast("decimal(38,0)")
+    straddle = (
+        ((o1 > zero) & (o2 < zero) | (o1 < zero) & (o2 > zero))
+        & ((o3 > zero) & (o4 < zero) | (o3 < zero) & (o4 > zero))
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(straddle)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def nearest_segment_snap(
+    points: DataFrame,
+    segments: DataFrame,
+    zoom: int = 9,
+    ring: int = 1,
+    point_id_col: str = "event_id",
+    seg_id_col: str = "seg_id",
+) -> DataFrame:
+    """Nearest-segment snap (the map-matching primitive): for every
+    point, the closest segment among those whose bbox-cover cell lies in
+    the point's (2*ring+1)^2 neighbor-cell window, with the EXACT
+    point-to-segment distance and a deterministic min-seg-id tie-break.
+
+    The squared distance is integer-exact end to end:
+
+      * ``dot = AP.AB``, ``len2 = |AB|^2`` and the endpoint sqdists in
+        decimal(38,0) (two fp diffs can reach 3.6e9 each, whose int64
+        product would silently wrap);
+      * interior projection distance = ``floor(cross^2 / len2)`` with
+        ``cross^2`` in decimal(38,0) (<= 4.2e37, fits) and the floor
+        taken by integral ``div`` — DuckDB's HUGEINT ``//`` computes the
+        identical value, so the snap choice and the reported ``d2`` are
+        bit-stable across engines;
+      * endpoint cases (``dot <= 0`` / ``dot >= len2`` / degenerate
+        zero-length segment) fall back to plain int64 point sqdist.
+
+    Candidate recall contract: a segment is found iff one of its cover
+    cells is within ``ring`` cells of the point's cell — with the
+    default ``ring=1`` that guarantees every segment within one cell
+    width of the point is considered (the 3x3 getNeighbours window,
+    XYGrid.java:409-423); points with no candidate in the window are
+    absent from the output.  Scale: candidates = local density x ring
+    area, never |points| x |segments|; the min-reduce is map-side
+    combinable.  Returns ``(point_id, seg_id, d2:long)``.
+    """
+    cell = 3_600_000_000 >> zoom
+    pt = points.select(
+        F.col(point_id_col).alias("pid"),
+        (F.col("lon_fp").cast("long") + F.lit(_OSM_180)).alias("px"),
+        (F.col("lat_fp").cast("long") + F.lit(_OSM_90)).alias("py"),
+    )
+    deltas = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
+    pt = (
+        pt.withColumn("_dx", F.explode(deltas))
+        .withColumn("_dy", F.explode(deltas))
+        .select(
+            "pid",
+            "px",
+            "py",
+            (F.expr(f"px DIV {cell}") + F.col("_dx")).alias("cx"),
+            (F.expr(f"py DIV {cell}") + F.col("_dy")).alias("cy"),
+        )
+    )
+    sg = segments.select(
+        F.col(seg_id_col).alias("sid"),
+        (F.col("ax").cast("long") + F.lit(_OSM_180)).alias("x1"),
+        (F.col("ay").cast("long") + F.lit(_OSM_90)).alias("y1"),
+        (F.col("bx").cast("long") + F.lit(_OSM_180)).alias("x2"),
+        (F.col("by").cast("long") + F.lit(_OSM_90)).alias("y2"),
+    )
+    cov = sg.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"sequence(least(x1, x2) DIV {cell},"
+                f" greatest(x1, x2) DIV {cell})"
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(
+                f"sequence(least(y1, y2) DIV {cell},"
+                f" greatest(y1, y2) DIV {cell})"
+            )
+        ).alias("cy"),
+    )
+    j = pt.join(cov, ["cx", "cy"])
+    dec = "decimal(38,0)"
+
+    def _d(c: str) -> F.Column:
+        # all quadratic forms in decimal(38,0): two fp diffs can reach
+        # 3.6e9 each, whose int64 product would silently wrap
+        return F.col(c).cast(dec)
+
+    dot = (_d("px") - _d("x1")) * (_d("x2") - _d("x1")) + (
+        _d("py") - _d("y1")
+    ) * (_d("y2") - _d("y1"))
+    len2 = (_d("x2") - _d("x1")) * (_d("x2") - _d("x1")) + (
+        _d("y2") - _d("y1")
+    ) * (_d("y2") - _d("y1"))
+    da = (_d("px") - _d("x1")) * (_d("px") - _d("x1")) + (
+        _d("py") - _d("y1")
+    ) * (_d("py") - _d("y1"))
+    db = (_d("px") - _d("x2")) * (_d("px") - _d("x2")) + (
+        _d("py") - _d("y2")
+    ) * (_d("py") - _d("y2"))
+    cross = (_d("x2") - _d("x1")) * (_d("py") - _d("y1")) - (
+        _d("y2") - _d("y1")
+    ) * (_d("px") - _d("x1"))
+    j = (
+        j.withColumn("_dot", dot)
+        .withColumn("_len2", len2)
+        .withColumn("_crosssq", (cross * cross).cast(dec))
+        .withColumn("_da", da)
+        .withColumn("_db", db)
+    )
+    zero = F.lit(0).cast(dec)
+    d2 = (
+        F.when((F.col("_len2") == zero) | (F.col("_dot") <= zero), F.col("_da"))
+        .when(F.col("_dot") >= F.col("_len2"), F.col("_db"))
+        .otherwise(F.expr("_crosssq DIV _len2"))
+        .cast("long")
+    )
+    # a point sees a multi-cell segment once per shared window cell:
+    # the min-struct reduce collapses duplicates for free
+    return (
+        j.select("pid", F.struct(d2.alias("d2"), F.col("sid")).alias("_c"))
+        .groupBy("pid")
+        .agg(F.min("_c").alias("_m"))
+        .select(
+            F.col("pid").alias("point_id"),
+            F.col("_m.sid").alias("seg_id"),
+            F.col("_m.d2").alias("d2"),
+        )
+    )

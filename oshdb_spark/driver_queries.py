@@ -3779,6 +3779,50 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idw_grid_interpolation(g, _IDW_ZOOM)
 
 
+_KDE_ZOOM = 7
+_KDE_CELL = 3_600_000_000 >> _KDE_ZOOM
+_KDE_HALF = _KDE_CELL // 2
+_KDE_H = 3 * _KDE_CELL // 2  # ring stays 1: ceil((2h - c) / 2c) == 1
+_KDE_H2 = _KDE_H * _KDE_H
+
+_KDE_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_POINT_EXPRS)}),
+p AS (
+  SELECT CAST(lon_fp AS BIGINT) AS lon_fp, CAST(lat_fp AS BIGINT) AS lat_fp,
+         (lon_fp + 1800000000) // {_KDE_CELL} AS cx,
+         (lat_fp + 900000000) // {_KDE_CELL} AS cy
+  FROM g
+),
+t AS (
+  SELECT p.cx + dx.d AS jx, p.cy + dy.d AS jy,
+         (dx.d = 0 AND dy.d = 0) AS is_self,
+         lon_fp - ((p.cx + dx.d) * {_KDE_CELL} + {_KDE_HALF - 1_800_000_000}) AS ddx,
+         lat_fp - ((p.cy + dy.d) * {_KDE_CELL} + {_KDE_HALF - 900_000_000}) AS ddy
+  FROM p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+)
+SELECT jx AS cx, jy AS cy,
+       CAST(SUM(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_pts,
+       CAST(SUM(CAST(GREATEST({_KDE_H2} - (ddx * ddx + ddy * ddy), 0)
+                     AS HUGEINT)) AS DECIMAL(38,0)) AS kde_h2
+FROM t
+GROUP BY 1, 2
+HAVING MAX(is_self)
+"""
+
+
+@_q("kde_density", _KDE_ORACLE)
+def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov kernel density surface onto occupied zoom-7 cell
+    centers (bandwidth 1.5 cells, ring-1 window): the INTEGER-EXACT
+    heat-map sibling of idw_interpolation — per-point term
+    max(h^2 - d^2, 0) is pure int64, DECIMAL(38,0)-summed, so the
+    surface hash-gates with zero float risk."""
+    from oshdb_spark.operators.zonal import kde_density_surface
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return kde_density_surface(g, _KDE_ZOOM, _KDE_H)
+
+
 _MORAN_ZOOM = 6
 _MORAN_CELL = 3_600_000_000 >> _MORAN_ZOOM
 

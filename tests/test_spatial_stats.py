@@ -318,3 +318,63 @@ def test_mann_kendall_matches_bruteforce(spark):
     # the spike-then-quiet series declines overall: 6 rising pairs inside
     # the spike, 16 falling pairs against the trailing zeros -> S = -10
     assert got[(10, 20)][0] == -10
+
+
+# ---------------------------------------------------------------------------
+# kde_density_surface
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.zonal import kde_density_surface  # noqa: E402
+
+
+def _brute_kde(pts, h, ring=1):
+    h2 = h * h
+    occ = sorted(
+        {((p[0] + 1_800_000_000) // CELL, (p[1] + 900_000_000) // CELL) for p in pts}
+    )
+    out = {}
+    for cx, cy in occ:
+        clon = cx * CELL + HALF - 1_800_000_000
+        clat = cy * CELL + HALF - 900_000_000
+        n = 0
+        s = 0
+        for lon, lat, _v in pts:
+            px = (lon + 1_800_000_000) // CELL
+            py = (lat + 900_000_000) // CELL
+            if px == cx and py == cy:
+                n += 1
+            if abs(px - cx) <= ring and abs(py - cy) <= ring:
+                d2 = (lon - clon) ** 2 + (lat - clat) ** 2
+                s += max(h2 - d2, 0)
+        out[(cx, cy)] = (n, s)
+    return out
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_kde_matches_bruteforce(spark, seed):
+    pts = _pts(60, seed)
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long, val long")
+    h = 3 * CELL // 2
+    got = {
+        (r.cx, r.cy): (r.n_pts, int(r.kde_h2))
+        for r in kde_density_surface(df, ZOOM, h).collect()
+    }
+    want = _brute_kde(pts, h)
+    assert got == want
+    # sanity: at this bandwidth every occupied cell sees its own points
+    assert all(v[1] > 0 for v in got.values())
+
+
+def test_kde_support_never_clipped_by_ring():
+    # the ring bound: centers outside the ring are >= h away, so a
+    # larger ring must not change the surface
+    import math
+
+    for zoom in (7, 9, 12):
+        cell = 3_600_000_000 >> zoom
+        for mult in (0.5, 1.0, 1.5, 2.0, 3.7):
+            h = int(cell * mult)
+            ring = max(1, math.ceil((2 * h - cell) / (2 * cell)))
+            # min distance from any in-cell point to an excluded center
+            min_excl = (ring + 1 - 0.5) * cell
+            assert min_excl >= h, (zoom, mult)

@@ -3871,6 +3871,113 @@ def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moran_i_global(g, _MORAN_ZOOM)
 
 
+_RIPLEY_RADII = [2_500_000, 5_000_000, 7_500_000, 10_000_000]
+_RIPLEY_RMAX = _RIPLEY_RADII[-1]
+
+_RIPLEY_ORACLE = f"""
+WITH g AS ({{g}}),
+p AS (
+  SELECT (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+       + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp) AS d2
+  FROM g a JOIN g b ON a.event_id < b.event_id
+    AND b.lon_fp BETWEEN a.lon_fp - {_RIPLEY_RMAX} AND a.lon_fp + {_RIPLEY_RMAX}
+    AND b.lat_fp BETWEEN a.lat_fp - {_RIPLEY_RMAX} AND a.lat_fp + {_RIPLEY_RMAX}
+  WHERE (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+      + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp)
+      <= CAST({_RIPLEY_RMAX} AS BIGINT) * {_RIPLEY_RMAX}
+)
+SELECT CAST(r.r_fp AS BIGINT) AS r_fp,
+       CAST(COUNT(p.d2) AS BIGINT) AS n_pairs
+FROM (VALUES {", ".join(f"({r})" for r in _RIPLEY_RADII)}) r(r_fp)
+LEFT JOIN p ON p.d2 <= CAST(r.r_fp AS BIGINT) * r.r_fp
+GROUP BY 1
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("ripley_k_counts", _RIPLEY_ORACLE)
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K pair counts at a 4-radius ladder (0.25..1.0 deg):
+    one cell-bucketed candidate join at the max radius, then k
+    conditional sums in a single 1-row aggregate — the radius ladder
+    costs zero extra shuffled rows; exact int64 counts."""
+    from oshdb_spark.operators.knn import ripley_k_counts
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return ripley_k_counts(g, _RIPLEY_RADII, zoom=8)
+
+
+_KNOX_R = 10_000_000  # 1.0 degree
+# 21.6 days in micros: the synthetic derive correlates position with
+# event_id, so within-1-degree pairs are >= ~21.5 days apart — this tau
+# keeps ~1/6 of the close-space pairs (selective in BOTH dimensions)
+_KNOX_TAU = 1_866_240_000_000
+
+_KNOX_ORACLE = f"""
+WITH g AS ({{g}})
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+     + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp) AS d2,
+       ABS(a.ts_us - b.ts_us) AS dt_us
+FROM g a JOIN g b ON a.event_id < b.event_id
+  AND b.lon_fp BETWEEN a.lon_fp - {_KNOX_R} AND a.lon_fp + {_KNOX_R}
+  AND b.lat_fp BETWEEN a.lat_fp - {_KNOX_R} AND a.lat_fp + {_KNOX_R}
+WHERE (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+    + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp)
+    <= CAST({_KNOX_R} AS BIGINT) * {_KNOX_R}
+  AND ABS(a.ts_us - b.ts_us) <= {_KNOX_TAU}
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("knox_spacetime_pairs", _KNOX_ORACLE)
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction pairs (close in space AND time):
+    the spatial cell-bucket join carries the time band as a residual
+    predicate — no second shuffle; exact int64 d2/dt."""
+    from oshdb_spark.operators.knn import knox_spacetime_pairs
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return knox_spacetime_pairs(g, _KNOX_R, _KNOX_TAU, zoom=8)
+
+
+_LISA_ORACLE = f"""
+WITH g AS ({{g}}),
+c AS (
+  SELECT (lon_fp + 1800000000) // {_MORAN_CELL} AS cx,
+         (lat_fp + 900000000) // {_MORAN_CELL} AS cy,
+         COUNT(*) AS x
+  FROM g GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(SUM(x) AS DOUBLE) AS sx, CAST(COUNT(*) AS DOUBLE) AS nn_d
+  FROM c
+),
+r AS (
+  SELECT a.cx, a.cy, a.x,
+         CAST(SUM(b.x) AS BIGINT) AS s_i, COUNT(*) AS n_i
+  FROM c a JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                   AND NOT (b.cx = a.cx AND b.cy = a.cy)
+  GROUP BY 1, 2, 3
+)
+SELECT cx, cy, x, s_i, n_i,
+       CAST(ROUND((x - sx / nn_d) * (s_i - n_i * (sx / nn_d)), 9)
+            AS DECIMAL(28,9)) AS lisa_num
+FROM r CROSS JOIN m
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("local_moran_lisa", _LISA_ORACLE)
+def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA) per zoom-6 cell: the per-cell
+    decomposition of moran_i_components' cross_sum (queen weights
+    excluding self), exact neighborhood sums + 9dp-rounded DECIMAL
+    numerator for HH/LL/HL/LH cluster classification."""
+    from oshdb_spark.operators.tiling import local_moran_lisa
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return local_moran_lisa(g, _MORAN_ZOOM)
+
+
 _COVER_CASES = [
     # (bid, minlon, minlat, maxlon, maxlat) in 1e-7 fixed-point; exercises
     # the normal path, out-of-bounds garbage, anti-meridian split, the

@@ -550,3 +550,128 @@ def nearest_segment_snap(
             F.col("_m.d2").alias("d2"),
         )
     )
+
+
+def ripley_k_counts(
+    points: DataFrame,
+    radii_fp: list[int],
+    zoom: int = 8,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ripley's K pair counts at a ladder of radii (Ripley 1977) — the
+    multi-scale point-pattern statistic downstream tools plot as K(r) /
+    L(r): for each radius r in ``radii_fp``, the number of UNORDERED
+    point pairs at planar fixed-point distance <= r.  The caller applies
+    the constant normalization ``K(r) = A * 2 * n_pairs / (n * (n-1))``
+    (A = study area; factor 2 converts unordered to ordered pairs) —
+    left out because the exact integer counts are the hash-gateable
+    part, the normalization is one scalar multiply.
+
+    Plan shape: ONE candidate generation at max(radii) via
+    :func:`dwithin_join` (cell-bucketed equi-join, never n^2), then a
+    single full aggregate with k conditional sums — the radius ladder
+    adds ZERO extra shuffled rows (no per-radius explode; partial
+    aggregation reduces each task to one k-column row before the
+    1-row exchange).  unpivot(stack) reshapes the single row to
+    (r_fp, n_pairs) rows driver-side-free.
+
+    Determinism: d2 and the thresholds are exact longs (dwithin
+    pre-filters to d2 <= max_r^2, well inside int64 for any radius the
+    fixed-point domain admits), so counts are bit-identical in any
+    engine.
+
+    Returns ``(r_fp:long, n_pairs:long)``, one row per radius; radii
+    with no pairs report 0 rather than dropping out.
+    """
+    radii = sorted(int(r) for r in radii_fp)
+    pairs = dwithin_join(points, radii[-1], zoom=zoom, id_col=id_col)
+    aggs = [
+        F.sum(
+            F.when(F.col("d2") <= F.lit(r * r), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"c{i}")
+        for i, r in enumerate(radii)
+    ]
+    one = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({r} AS BIGINT), COALESCE(c{i}, CAST(0 AS BIGINT))"
+        for i, r in enumerate(radii)
+    )
+    return one.selectExpr(
+        f"stack({len(radii)}, {stack}) AS (r_fp, n_pairs)"
+    )
+
+
+def knox_spacetime_pairs(
+    points: DataFrame,
+    r_fp: int,
+    tau_us: int,
+    zoom: int = 8,
+    id_col: str = "event_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Knox space-time interaction pairs (Knox 1964, the classic
+    disease-cluster test): unordered point pairs that are close in BOTH
+    space (planar fixed-point distance <= ``r_fp``) and time
+    (|t_a - t_b| <= ``tau_us``).  The Knox statistic X is simply the
+    count of returned rows; the expectation under independence uses the
+    marginal close-in-space and close-in-time pair counts, which the
+    caller gets from :func:`dwithin_join` and a timestamp self-join —
+    here the exact pair SET is returned so downstream can compute any
+    of the variants (Knox X, Mantel, Jacquez).
+
+    Plan shape: space is the selective predicate at scale (time-only
+    windows span the whole globe), so candidates come from the same
+    cell-bucketed equi-join as :func:`dwithin_join` and the time band
+    is a residual column predicate — no second shuffle, no time join.
+
+    Determinism: pure int64 arithmetic end to end.
+    Returns ``(a_id, b_id, d2:long, dt_us:long)``.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    ring = int(r_fp) // cell_fp + 1
+    p = points.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).cast("long").alias("t"),
+        "lon_fp",
+        "lat_fp",
+        F.expr(f"(lon_fp + {_OSM_180}) DIV {cell_fp}").alias("cx"),
+        F.expr(f"(lat_fp + {_OSM_90}) DIV {cell_fp}").alias("cy"),
+    )
+    deltas = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
+    probe = (
+        p.withColumn("dx", F.explode(deltas))
+        .withColumn("dy", F.explode(deltas))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            F.col("id").alias("a_id"),
+            F.col("t").alias("a_t"),
+            F.col("lon_fp").alias("a_lon"),
+            F.col("lat_fp").alias("a_lat"),
+        )
+    )
+    build = p.select(
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("id").alias("b_id"),
+        F.col("t").alias("b_t"),
+        F.col("lon_fp").alias("b_lon"),
+        F.col("lat_fp").alias("b_lat"),
+    )
+    d2 = (F.col("a_lon") - F.col("b_lon")) * (
+        F.col("a_lon") - F.col("b_lon")
+    ) + (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat"))
+    dt = F.abs(F.col("a_t") - F.col("b_t"))
+    return (
+        probe.join(build, ["jx", "jy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("d2", d2)
+        .withColumn("dt_us", dt)
+        .where(
+            (F.col("d2") <= F.lit(int(r_fp) * int(r_fp)))
+            & (F.col("dt_us") <= F.lit(int(tau_us)))
+        )
+        .select("a_id", "b_id", "d2", "dt_us")
+    )

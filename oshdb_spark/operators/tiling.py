@@ -790,6 +790,79 @@ def moran_i_global(
     )
 
 
+def local_moran_lisa(
+    points: DataFrame,
+    zoom: int,
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) numerator per occupied grid
+    cell over per-cell point counts — the cluster/outlier-detection
+    companion to :func:`moran_i_global` (whose cross_sum is exactly the
+    sum of these rows) and :func:`gi_star_hotspots` (which includes
+    self in the neighborhood; LISA excludes it).  Binary 3x3 queen
+    weights excluding self, study region = the occupied cells.
+
+    Per cell i the statistic is ``I_i = (x_i - m) * S_i' / s^2`` with
+    ``S_i' = sum_j w_ij (x_j - m)``; as with the global variant only
+    the hash-gateable exact part is returned: ``lisa_num = (x_i - m) *
+    (S_i - n_i * m)`` rounded to 9dp into DECIMAL, plus the exact
+    integer neighborhood sums — the caller divides by the (global,
+    1-row) variance to get I_i and classifies HH/LL/HL/LH from the
+    signs of (x_i - m) and (S_i - n_i m).
+
+    Plan shape: identical to moran_i_global — points shuffle ONCE into
+    cell counts, the 8-key neighbor roll-up and the final join are
+    cell-table-sized, the 1-row moments broadcast.  Cells whose entire
+    3x3 ring is unoccupied have no neighbor row and are dropped (their
+    LISA is 0/undefined under binary weights) — same inner-join
+    semantics as the global cross_sum.
+
+    Returns ``(cx, cy, x:long, s_i:long, n_i:long,
+    lisa_num:decimal(28,9))``.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    counts = (
+        points.select(
+            F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+            F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    contrib = (
+        counts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            "x",
+        )
+        .groupBy("jx", "jy")
+        .agg(F.sum("x").alias("s_i"), F.count(F.lit(1)).alias("n_i"))
+    )
+    moments = counts.agg(
+        F.sum("x").cast("double").alias("sx"),
+        F.count(F.lit(1)).cast("double").alias("nn_d"),
+    )
+    j = counts.join(
+        contrib,
+        (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
+    ).crossJoin(F.broadcast(moments))
+    m = F.col("sx") / F.col("nn_d")
+    term = (F.col("x") - m) * (F.col("s_i") - F.col("n_i") * m)
+    return j.select(
+        "cx",
+        "cy",
+        "x",
+        "s_i",
+        "n_i",
+        F.round(term, 9).cast("decimal(28,9)").alias("lisa_num"),
+    )
+
+
 def bbox_cover_ranges(
     boxes: DataFrame,
     maxzoom: int = 14,

@@ -378,3 +378,130 @@ def test_kde_support_never_clipped_by_ring():
             # min distance from any in-cell point to an excluded center
             min_excl = (ring + 1 - 0.5) * cell
             assert min_excl >= h, (zoom, mult)
+
+
+# ---------------------------------------------------------------------------
+# ripley_k_counts / knox_spacetime_pairs / local_moran_lisa
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.knn import (  # noqa: E402
+    knox_spacetime_pairs,
+    ripley_k_counts,
+)
+from oshdb_spark.operators.tiling import local_moran_lisa  # noqa: E402
+
+
+def test_ripley_matches_bruteforce(spark):
+    # clustered points so small radii see pairs
+    rs = np.random.RandomState(5)
+    base = rs.randint(-150, 150, (8, 2)) * 10_000_000
+    pts = []
+    i = 0
+    for bx, by in base:
+        for _ in range(12):
+            pts.append(
+                (
+                    i,
+                    int(bx + rs.randint(-12_000_000, 12_000_000)),
+                    int(by + rs.randint(-12_000_000, 12_000_000)),
+                )
+            )
+            i += 1
+    df = spark.createDataFrame(pts, "event_id long, lon_fp long, lat_fp long")
+    radii = [2_500_000, 5_000_000, 10_000_000, 20_000_000]
+    got = {
+        r.r_fp: r.n_pairs
+        for r in ripley_k_counts(df, radii, zoom=7).collect()
+    }
+    want = {r: 0 for r in radii}
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            d2 = (pts[a][1] - pts[b][1]) ** 2 + (pts[a][2] - pts[b][2]) ** 2
+            for r in radii:
+                if d2 <= r * r:
+                    want[r] += 1
+    assert got == want
+    # monotone in r, and the ladder is non-degenerate on this fixture
+    ordered = [got[r] for r in radii]
+    assert ordered == sorted(ordered) and ordered[-1] > 0
+
+
+def test_ripley_zero_pairs_reports_zeros(spark):
+    df = spark.createDataFrame(
+        [(1, -1_000_000_000, 0), (2, 1_000_000_000, 0)],
+        "event_id long, lon_fp long, lat_fp long",
+    )
+    got = {r.r_fp: r.n_pairs for r in ripley_k_counts(df, [1000, 2000]).collect()}
+    assert got == {1000: 0, 2000: 0}
+
+
+def test_knox_matches_bruteforce(spark):
+    rs = np.random.RandomState(17)
+    pts = [
+        (
+            i,
+            int(rs.randint(-40, 40) * 10_000_000 + rs.randint(-9_000_000, 9_000_000)),
+            int(rs.randint(-40, 40) * 10_000_000 + rs.randint(-9_000_000, 9_000_000)),
+            int(rs.randint(0, 10_000)) * 1_000_000,
+        )
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        pts, "event_id long, lon_fp long, lat_fp long, ts_us long"
+    )
+    r, tau = 15_000_000, 3_000_000_000
+    got = {
+        (p.a_id, p.b_id): (p.d2, p.dt_us)
+        for p in knox_spacetime_pairs(df, r, tau, zoom=7).collect()
+    }
+    want = {}
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            d2 = (pts[a][1] - pts[b][1]) ** 2 + (pts[a][2] - pts[b][2]) ** 2
+            dt = abs(pts[a][3] - pts[b][3])
+            if d2 <= r * r and dt <= tau:
+                want[(a, b)] = (d2, dt)
+    assert got == want
+    assert want  # fixture actually exercises the band
+
+
+def test_lisa_rows_sum_to_global_cross_sum(spark):
+    pts = _pts(500, seed=23)
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long, val long")
+    lisa = local_moran_lisa(df, ZOOM).collect()
+    glob = moran_i_global(df, ZOOM).collect()[0]
+    from decimal import Decimal
+
+    assert sum(r.lisa_num for r in lisa) == Decimal(glob.cross_sum)
+    assert len(lisa) > 0
+    assert all(r.n_i >= 1 for r in lisa)
+
+
+def test_lisa_matches_bruteforce(spark):
+    pts = _pts(300, seed=29)
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long, val long")
+    got = {
+        (r.cx, r.cy): (r.x, r.s_i, r.n_i, float(r.lisa_num))
+        for r in local_moran_lisa(df, ZOOM).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(
+        ((p[0] + 1_800_000_000) // CELL, (p[1] + 900_000_000) // CELL)
+        for p in pts
+    )
+    m = sum(counts.values()) / len(counts)
+    want = {}
+    for (cx, cy), x in counts.items():
+        s_i = n_i = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                if (cx + dx, cy + dy) in counts:
+                    s_i += counts[(cx + dx, cy + dy)]
+                    n_i += 1
+        if n_i == 0:
+            continue  # isolated cells drop (documented)
+        want[(cx, cy)] = (x, s_i, n_i, round((x - m) * (s_i - n_i * m), 9))
+    assert got == want

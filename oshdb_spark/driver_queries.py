@@ -3978,6 +3978,98 @@ def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran_lisa(g, _MORAN_ZOOM)
 
 
+_XK_ORACLE = f"""
+WITH g AS ({{g}}),
+ca AS (SELECT * FROM g WHERE val < 50),
+cb AS (SELECT * FROM g WHERE val >= 50),
+p AS (
+  SELECT (ca.lon_fp - cb.lon_fp) * (ca.lon_fp - cb.lon_fp)
+       + (ca.lat_fp - cb.lat_fp) * (ca.lat_fp - cb.lat_fp) AS d2
+  FROM ca JOIN cb
+    ON cb.lon_fp BETWEEN ca.lon_fp - {_RIPLEY_RMAX} AND ca.lon_fp + {_RIPLEY_RMAX}
+   AND cb.lat_fp BETWEEN ca.lat_fp - {_RIPLEY_RMAX} AND ca.lat_fp + {_RIPLEY_RMAX}
+  WHERE (ca.lon_fp - cb.lon_fp) * (ca.lon_fp - cb.lon_fp)
+      + (ca.lat_fp - cb.lat_fp) * (ca.lat_fp - cb.lat_fp)
+      <= CAST({_RIPLEY_RMAX} AS BIGINT) * {_RIPLEY_RMAX}
+)
+SELECT CAST(r.r_fp AS BIGINT) AS r_fp,
+       CAST(COUNT(p.d2) AS BIGINT) AS n_pairs
+FROM (VALUES {", ".join(f"({r})" for r in _RIPLEY_RADII)}) r(r_fp)
+LEFT JOIN p ON p.d2 <= CAST(r.r_fp AS BIGINT) * r.r_fp
+GROUP BY 1
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("cross_k_counts", _XK_ORACLE)
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K colocation counts between the val<50 and
+    val>=50 point classes at the same 4-radius ladder: one cross-class
+    cell-bucket join at max(r) + k conditional sums; exact int64."""
+    from oshdb_spark.operators.knn import cross_k_counts
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS).withColumn(
+        "is_a", F.col("val") < 50
+    )
+    return cross_k_counts(g, "is_a", _RIPLEY_RADII, zoom=8)
+
+
+_ROG_ORACLE = """
+WITH g AS ({g}),
+a AS (
+  SELECT user_id, COUNT(*) AS n_pts,
+         SUM(CAST(lon_fp AS HUGEINT)) AS sx, SUM(CAST(lat_fp AS HUGEINT)) AS sy,
+         SUM(CAST(lon_fp AS HUGEINT) * lon_fp) AS sxx,
+         SUM(CAST(lat_fp AS HUGEINT) * lat_fp) AS syy
+  FROM g GROUP BY 1
+)
+SELECT user_id, CAST(n_pts AS BIGINT) AS n_pts,
+       CAST(CAST(n_pts AS HUGEINT) * (sxx + syy) - sx * sx - sy * sy
+            AS DECIMAL(38,0)) AS rog_num
+FROM a
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("radius_of_gyration", _ROG_ORACLE)
+def q_rog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user radius of gyration (Gonzalez et al. 2008) as the exact
+    integer numerator n*(Sxx+Syy) - Sx^2 - Sy^2 in DECIMAL(38,0): one
+    map-side-combinable groupBy over five moments; r_g = sqrt(num)/n."""
+    from oshdb_spark.operators.aggregations import radius_of_gyration
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return radius_of_gyration(g, key_col="user_id")
+
+
+_SIMPSON_ZOOM = 8
+_SIMPSON_CELL = 3_600_000_000 >> _SIMPSON_ZOOM
+
+_SIMPSON_ORACLE = f"""
+WITH g AS ({{g}}),
+cu AS (
+  SELECT (lon_fp + 1800000000) // {_SIMPSON_CELL} AS cx,
+         (lat_fp + 900000000) // {_SIMPSON_CELL} AS cy,
+         user_id, COUNT(*) AS c
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT cx, cy, CAST(SUM(c) AS BIGINT) AS n_visits,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq
+FROM cu GROUP BY 1, 2
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("cell_user_simpson", _SIMPSON_ORACLE)
+def q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell visitor-concentration (Simpson/Herfindahl) moments at
+    zoom 8: exact int64 (n_visits, n_users, sum of squared per-visitor
+    counts) — entropy's libm-free sibling; two map-side-combinable
+    groupBys, the second over the already-reduced (cell, user) table."""
+    from oshdb_spark.operators.tiling import cell_user_simpson
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return cell_user_simpson(g, _SIMPSON_ZOOM)
+
+
 _COVER_CASES = [
     # (bid, minlon, minlat, maxlon, maxlat) in 1e-7 fixed-point; exercises
     # the normal path, out-of-bounds garbage, anti-meridian split, the

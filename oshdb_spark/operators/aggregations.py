@@ -715,3 +715,51 @@ def trajectory_hausdorff_join(
         "n_b",
         F.greatest("h_ab", "h_ba").alias("hausdorff_sq"),
     )
+
+
+def radius_of_gyration(
+    points: DataFrame,
+    key_col: str = "user_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Per-key radius of gyration, THE human-mobility range statistic
+    (Gonzalez, Hidalgo & Barabasi, Nature 2008): r_g = sqrt(mean squared
+    planar distance of a user's points to their centroid).  Returned in
+    the engine's exact-integer decomposition:
+
+        rog_num = n * (sum(x^2) + sum(y^2)) - sum(x)^2 - sum(y)^2
+
+    so that ``r_g = sqrt(rog_num) / n`` (fixed-point degree units) — the
+    numerator is an exact integer (DECIMAL(38,0): per-term x^2 fits
+    int64 but the sums don't at scale, and the final form stays well
+    under 10^38 for any per-key cardinality the fixed-point domain
+    admits), making the per-key output hash-gateable with zero float
+    risk; the caller takes the one sqrt/divide.
+
+    Plan shape: ONE map-side-combinable groupBy over five integer
+    moments — the cheapest possible distributed form; no window, no
+    join, no second pass.  Skew-safe: per-key state is 5 numbers.
+
+    Returns ``(key, n_pts:long, rog_num:decimal(38,0))``.
+    """
+    d = "decimal(38,0)"
+    x = F.col(lon_col).cast("long")
+    y = F.col(lat_col).cast("long")
+    agg = points.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(x.cast(d)).alias("sx"),
+        F.sum(y.cast(d)).alias("sy"),
+        F.sum((x * x).cast(d)).alias("sxx"),
+        F.sum((y * y).cast(d)).alias("syy"),
+    )
+    num = (
+        F.col("n_pts").cast(d) * (F.col("sxx") + F.col("syy"))
+        - F.col("sx") * F.col("sx")
+        - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n_pts",
+        num.cast(d).alias("rog_num"),
+    )

@@ -675,3 +675,110 @@ def knox_spacetime_pairs(
         )
         .select("a_id", "b_id", "d2", "dt_us")
     )
+
+
+def cross_dwithin_join(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    r_fp: int,
+    zoom: int = 8,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bivariate distance-band join: every (a, b) pair with a from
+    ``points_a``, b from ``points_b``, at planar fixed-point distance
+    <= ``r_fp`` — the two-class sibling of :func:`dwithin_join`
+    (colocation mining, facility catchment, cross-type interaction).
+    Both inputs carry ``id_col``/lon_fp/lat_fp.
+
+    Same cover proof as dwithin_join: A explodes to the neighbor ring,
+    B keeps its home cell, one hash equi-join + the exact int64
+    predicate refines.  No de-mirroring (the classes are distinct
+    row sets; every qualifying (a, b) appears exactly once).
+
+    Returns ``(a_id, b_id, d2:long)``.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    ring = int(r_fp) // cell_fp + 1
+    deltas = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
+    probe = (
+        points_a.select(
+            F.col(id_col).alias("a_id"),
+            F.col("lon_fp").alias("a_lon"),
+            F.col("lat_fp").alias("a_lat"),
+            F.expr(f"(lon_fp + {_OSM_180}) DIV {cell_fp}").alias("cx"),
+            F.expr(f"(lat_fp + {_OSM_90}) DIV {cell_fp}").alias("cy"),
+        )
+        .withColumn("dx", F.explode(deltas))
+        .withColumn("dy", F.explode(deltas))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            "a_id",
+            "a_lon",
+            "a_lat",
+        )
+    )
+    build = points_b.select(
+        F.expr(f"(lon_fp + {_OSM_180}) DIV {cell_fp}").alias("jx"),
+        F.expr(f"(lat_fp + {_OSM_90}) DIV {cell_fp}").alias("jy"),
+        F.col(id_col).alias("b_id"),
+        F.col("lon_fp").alias("b_lon"),
+        F.col("lat_fp").alias("b_lat"),
+    )
+    d2 = (F.col("a_lon") - F.col("b_lon")) * (
+        F.col("a_lon") - F.col("b_lon")
+    ) + (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat"))
+    return (
+        probe.join(build, ["jx", "jy"])
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= F.lit(int(r_fp) * int(r_fp)))
+        .select("a_id", "b_id", "d2")
+    )
+
+
+def cross_k_counts(
+    points: DataFrame,
+    class_col: str,
+    radii_fp: list[int],
+    zoom: int = 8,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K pair counts: for each radius r,
+    the number of (a, b) pairs with ``class_col`` true on a, false on b,
+    and distance <= r — the colocation statistic K_ab(r) that detects
+    attraction/repulsion BETWEEN types (retail vs transit stops,
+    burglary vs bars) where the univariate :func:`ripley_k_counts` only
+    sees overall clustering.  Normalization K_ab(r) = A * n_pairs /
+    (n_a * n_b) is the caller's one scalar multiply.
+
+    Plan: one :func:`cross_dwithin_join` at max(r), then k conditional
+    sums in a single 1-row aggregate — same zero-extra-shuffle ladder
+    as the univariate operator.
+
+    Returns ``(r_fp:long, n_pairs:long)``, zerofilled.
+    """
+    radii = sorted(int(r) for r in radii_fp)
+    cls = F.col(class_col).cast("boolean")
+    pairs = cross_dwithin_join(
+        points.filter(cls),
+        points.filter(~cls),
+        radii[-1],
+        zoom=zoom,
+        id_col=id_col,
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("d2") <= F.lit(r * r), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"c{i}")
+        for i, r in enumerate(radii)
+    ]
+    one = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({r} AS BIGINT), COALESCE(c{i}, CAST(0 AS BIGINT))"
+        for i, r in enumerate(radii)
+    )
+    return one.selectExpr(
+        f"stack({len(radii)}, {stack}) AS (r_fp, n_pairs)"
+    )

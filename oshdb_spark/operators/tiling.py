@@ -863,6 +863,47 @@ def local_moran_lisa(
     )
 
 
+def cell_user_simpson(
+    points: DataFrame,
+    zoom: int,
+    key_col: str = "user_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Per-cell visitor-concentration moments (Simpson / Herfindahl
+    index over WHO visits each grid cell): for every occupied cell, the
+    total visit count, the distinct-visitor count, and the exact sum of
+    squared per-visitor visit counts — the location-diversity statistic
+    POI analytics ranks places by (Simpson lambda = sum_sq / n^2;
+    inverse-Simpson "effective visitors" = n^2 / sum_sq).  Chosen over
+    Shannon entropy DELIBERATELY: entropy needs ln() (libm, not
+    bit-portable across engines), while the Simpson moments are pure
+    int64 — hash-gateable exactly.
+
+    Plan shape: two map-side-combinable groupBys — (cell, key) visit
+    counts, then per-cell moments over that (already reduced) table.
+    The second shuffle's input is bounded by distinct (cell, visitor)
+    pairs, not raw points.
+
+    Returns ``(cx, cy, n_visits:long, n_users:long, sum_sq:long)``.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    per_user = (
+        points.select(
+            F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+            F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+            F.col(key_col).alias("k"),
+        )
+        .groupBy("cx", "cy", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_user.groupBy("cx", "cy").agg(
+        F.sum("c").cast("long").alias("n_visits"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+
+
 def bbox_cover_ranges(
     boxes: DataFrame,
     maxzoom: int = 14,

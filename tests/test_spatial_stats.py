@@ -505,3 +505,170 @@ def test_lisa_matches_bruteforce(spark):
             continue  # isolated cells drop (documented)
         want[(cx, cy)] = (x, s_i, n_i, round((x - m) * (s_i - n_i * m), 9))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cross_dwithin_join / cross_k_counts / radius_of_gyration / cell_user_simpson
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.aggregations import radius_of_gyration  # noqa: E402
+from oshdb_spark.operators.knn import (  # noqa: E402
+    cross_dwithin_join,
+    cross_k_counts,
+)
+from oshdb_spark.operators.tiling import cell_user_simpson  # noqa: E402
+
+
+def _two_class_pts(n, seed):
+    rs = np.random.RandomState(seed)
+    base = rs.randint(-120, 120, (6, 2)) * 10_000_000
+    pts = []
+    for i in range(n):
+        bx, by = base[i % len(base)]
+        pts.append(
+            (
+                i,
+                int(bx + rs.randint(-15_000_000, 15_000_000)),
+                int(by + rs.randint(-15_000_000, 15_000_000)),
+                bool(rs.randint(0, 2)),  # class independent of cluster
+            )
+        )
+    return pts
+
+
+def test_cross_dwithin_matches_bruteforce(spark):
+    pts = _two_class_pts(120, seed=3)
+    a = [(p[0], p[1], p[2]) for p in pts if p[3]]
+    b = [(p[0], p[1], p[2]) for p in pts if not p[3]]
+    schema = "event_id long, lon_fp long, lat_fp long"
+    r = 9_000_000
+    got = {
+        (p.a_id, p.b_id): p.d2
+        for p in cross_dwithin_join(
+            spark.createDataFrame(a, schema),
+            spark.createDataFrame(b, schema),
+            r,
+            zoom=7,
+        ).collect()
+    }
+    want = {}
+    for ai, ax, ay in a:
+        for bi, bx, by in b:
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            if d2 <= r * r:
+                want[(ai, bi)] = d2
+    assert got == want
+    assert want  # fixture non-degenerate
+
+
+def test_cross_k_matches_bruteforce(spark):
+    pts = _two_class_pts(150, seed=9)
+    df = spark.createDataFrame(
+        pts, "event_id long, lon_fp long, lat_fp long, is_a boolean"
+    )
+    radii = [2_000_000, 6_000_000, 12_000_000, 24_000_000]
+    got = {
+        row.r_fp: row.n_pairs
+        for row in cross_k_counts(df, "is_a", radii, zoom=7).collect()
+    }
+    want = {r: 0 for r in radii}
+    for i, ax, ay, ca in pts:
+        if not ca:
+            continue
+        for j, bx, by, cb in pts:
+            if cb:
+                continue
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            for r in radii:
+                if d2 <= r * r:
+                    want[r] += 1
+    assert got == want
+    ordered = [got[r] for r in radii]
+    assert ordered == sorted(ordered) and ordered[-1] > 0
+
+
+def test_cross_k_zero_pairs_zerofills(spark):
+    df = spark.createDataFrame(
+        [(1, -1_000_000_000, 0, True), (2, 1_000_000_000, 0, False)],
+        "event_id long, lon_fp long, lat_fp long, is_a boolean",
+    )
+    got = {
+        r.r_fp: r.n_pairs
+        for r in cross_k_counts(df, "is_a", [1000, 2000]).collect()
+    }
+    assert got == {1000: 0, 2000: 0}
+
+
+def test_radius_of_gyration_exact(spark):
+    rs = np.random.RandomState(41)
+    rows = [
+        (
+            int(i % 7),
+            int(rs.randint(-1_700_000, 1_700_000)) * 1000,
+            int(rs.randint(-800_000, 800_000)) * 1000,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lon_fp long, lat_fp long")
+    got = {r.user_id: (r.n_pts, int(r.rog_num)) for r in
+           radius_of_gyration(df).collect()}
+    want = {}
+    for uid in set(r[0] for r in rows):
+        xs = [r[1] for r in rows if r[0] == uid]
+        ys = [r[2] for r in rows if r[0] == uid]
+        n = len(xs)
+        num = (
+            n * (sum(x * x for x in xs) + sum(y * y for y in ys))
+            - sum(xs) ** 2
+            - sum(ys) ** 2
+        )
+        want[uid] = (n, num)
+    assert got == want
+    # invariant: numerator == n^2 * mean squared dist to centroid >= 0
+    assert all(v[1] >= 0 for v in got.values())
+
+
+def test_radius_of_gyration_single_point_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 123_456_789, -987_654_321)], "user_id long, lon_fp long, lat_fp long"
+    )
+    r = radius_of_gyration(df).collect()[0]
+    assert (r.n_pts, int(r.rog_num)) == (1, 0)
+
+
+def test_cell_user_simpson_matches_bruteforce(spark):
+    rs = np.random.RandomState(13)
+    rows = [
+        (
+            int(rs.randint(0, 9)),
+            int(rs.randint(-60, 60)) * 10_000_000 + int(rs.randint(0, 9_000_000)),
+            int(rs.randint(-60, 60)) * 10_000_000 + int(rs.randint(0, 9_000_000)),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lon_fp long, lat_fp long")
+    zoom = 7
+    cell = 3_600_000_000 >> zoom
+    got = {
+        (r.cx, r.cy): (r.n_visits, r.n_users, r.sum_sq)
+        for r in cell_user_simpson(df, zoom).collect()
+    }
+    from collections import Counter
+
+    cu = Counter(
+        (
+            (lon + 1_800_000_000) // cell,
+            (lat + 900_000_000) // cell,
+            uid,
+        )
+        for uid, lon, lat in rows
+    )
+    want = {}
+    for (cx, cy, _uid), c in cu.items():
+        n, u, s = want.get((cx, cy), (0, 0, 0))
+        want[(cx, cy)] = (n + c, u + 1, s + c * c)
+    assert got == want
+    # Simpson lambda in (0, 1]: sum_sq <= n_visits^2, >= n_visits^2/n_users
+    for n, u, s in got.values():
+        assert s <= n * n
+        assert s * u >= n * n

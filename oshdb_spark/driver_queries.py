@@ -4761,3 +4761,246 @@ def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ccy") + 1) * _AI_CELL - 900_000_001).alias("maxy"),
     )
     return areal_interpolation(srcz, tgt, zoom=_AI_ZOOM)
+
+
+# ---------------------------------------------------------------------------
+# join-count statistics / interval-overlap join / relation member closure
+# ---------------------------------------------------------------------------
+
+_JC_ZOOM = 8
+_JC_CELL = 3_600_000_000 >> _JC_ZOOM
+_JC_THR = 2
+
+_JC_ORACLE = f"""
+WITH g AS ({{g}}),
+c AS (
+  SELECT (lon_fp + 1800000000) // {_JC_CELL} AS cx,
+         (lat_fp + 900000000) // {_JC_CELL} AS cy,
+         COUNT(*) >= {_JC_THR} AS black
+  FROM g GROUP BY 1, 2
+),
+p AS (
+  SELECT CASE WHEN a.black AND b.black THEN 'BB'
+              WHEN NOT a.black AND NOT b.black THEN 'WW'
+              ELSE 'BW' END AS pc
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND (a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy))
+)
+SELECT z.pair_class, CAST(COUNT(p.pc) AS BIGINT) AS n_pairs
+FROM (VALUES ('BB'), ('BW'), ('WW')) z(pair_class)
+LEFT JOIN p ON p.pc = z.pair_class
+GROUP BY 1
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("join_count_stats", _JC_ORACLE)
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (Cliff & Ord): queen-adjacent occupied-cell
+    pairs at zoom 8 classified BB/BW/WW by an occupancy threshold —
+    exact int64, zerofilled; one point shuffle + one cell-table
+    neighbor join, exactly-once pairs via the lexicographic guard."""
+    from oshdb_spark.operators.tiling import join_count_stats
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return join_count_stats(g, _JC_ZOOM, _JC_THR)
+
+
+_IV_LEN = "(1 + event_id % 97) * 60000000"
+_IV_BUCKET = 98 * 60_000_000
+
+_IV_ORACLE = f"""
+WITH g AS ({{g}}),
+iv AS (SELECT event_id, user_id, ts_us AS s, ts_us + {_IV_LEN} AS e FROM g)
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+""".format(g=_duck_derive(["event_id", "user_id", "{TS_US} AS ts_us"]))
+
+
+@_q("interval_overlap_pairs", _IV_ORACLE)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user validity-interval overlap join (the explicit form of the
+    snapshot view's [ts, next_ts) interval semantics): 1-D epoch-bucket
+    equi-join + exact residual predicate, exactly-once per pair via the
+    overlap-start-bucket rule — no distinct, no window."""
+    from oshdb_spark.operators.aggregations import interval_overlap_join
+
+    g = _derive(spark, sf_dir, ["event_id", "user_id", "{TS_US} AS ts_us"])
+    iv = g.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.expr(_IV_LEN)).alias("end_us"),
+    )
+    return interval_overlap_join(iv, _IV_BUCKET, key_col="user_id")
+
+
+# nested-relation member closure: ways from the event-id space (wid ->
+# nodes 3w..3w+2), three relation tiers (r1 -> ways+node, r2 -> r1s+node,
+# r3 -> r2s+way) with ids offset by 1e6/2e6/3e6; boundary refs to
+# never-generated children drop on both sides (inner joins / empty
+# recursion).  The oracle re-derives the closure with a recursive CTE.
+_CLOSURE_ORACLE = """
+WITH RECURSIVE
+ev AS (SELECT event_id FROM events),
+w AS (SELECT DISTINCT CAST(FLOOR(event_id / 3) AS BIGINT) AS wid FROM ev),
+wref AS (SELECT wid, wid * 3 + p.pos AS nref
+         FROM w, (SELECT UNNEST([0, 1, 2]) AS pos) p),
+k1 AS (SELECT DISTINCT CAST(FLOOR(event_id / 6) AS BIGINT) AS k FROM ev),
+k2 AS (SELECT DISTINCT CAST(FLOOR(event_id / 30) AS BIGINT) AS k FROM ev),
+k3 AS (SELECT DISTINCT CAST(FLOOR(event_id / 150) AS BIGINT) AS k FROM ev),
+rm AS (
+  SELECT 1000000 + k AS pid, 'way' AS mtype, 2 * k AS ref FROM k1
+  UNION ALL SELECT 1000000 + k, 'way', 2 * k + 1 FROM k1
+  UNION ALL SELECT 1000000 + k, 'node', (k * 7919) % 1000 FROM k1
+  UNION ALL SELECT 2000000 + k, 'relation', 1000000 + 5 * k FROM k2
+  UNION ALL SELECT 2000000 + k, 'relation', 1000000 + 5 * k + 1 FROM k2
+  UNION ALL SELECT 2000000 + k, 'node', k FROM k2
+  UNION ALL SELECT 3000000 + k, 'relation', 2000000 + 3 * k FROM k3
+  UNION ALL SELECT 3000000 + k, 'relation', 2000000 + 3 * k + 1 FROM k3
+  UNION ALL SELECT 3000000 + k, 'way', k FROM k3
+),
+reach(top_id, mtype, ref) AS (
+  SELECT pid, mtype, ref FROM rm
+  UNION
+  SELECT r.top_id, m.mtype, m.ref
+  FROM reach r JOIN rm m ON r.mtype = 'relation' AND m.pid = r.ref
+),
+nodes AS (
+  -- explicit DISTINCT: DuckDB 1.0 does not dedupe a plain UNION in a
+  -- non-recursive sibling CTE of a WITH RECURSIVE clause
+  SELECT DISTINCT top_id, nref FROM (
+    SELECT top_id, ref AS nref FROM reach WHERE mtype = 'node'
+    UNION ALL
+    SELECT reach.top_id, wref.nref
+    FROM reach JOIN wref ON reach.mtype = 'way' AND wref.wid = reach.ref
+  )
+)
+SELECT top_id AS rel_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(nref) AS BIGINT) AS sum_ref
+FROM nodes GROUP BY 1
+"""
+
+
+@_q("relation_member_closure", _CLOSURE_ORACLE)
+def q_relation_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive relation-member closure (the membership core of the
+    reference's recursive member resolution,
+    OSHDBGeometryBuilderInternal.java:305-358) over a 3-tier nested
+    fixture: distinct reachable node refs per relation, aggregated to
+    (n_nodes, sum_ref).  Kahn-layered level-at-a-time joins — O(depth)
+    shuffles, not O(depth) recursion per row."""
+    from oshdb_spark.operators.snapshot import relation_node_closure
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    m = F.lit(None).cast(
+        "array<struct<type:string,ref:bigint,role:string>>"
+    )
+    mem = lambda *parts: F.array(  # noqa: E731
+        *[
+            F.struct(
+                F.lit(t).alias("type"),
+                r.cast("long").alias("ref"),
+                F.lit("").alias("role"),
+            )
+            for t, r in parts
+        ]
+    )
+    ways = (
+        ev.select(F.floor(F.col("event_id") / 3).cast("long").alias("wid"))
+        .distinct()
+        .select(
+            F.lit("way").alias("type"),
+            F.col("wid").alias("id"),
+            F.array(
+                F.col("wid") * 3, F.col("wid") * 3 + 1, F.col("wid") * 3 + 2
+            ).alias("refs"),
+            m.alias("members"),
+        )
+    )
+
+    def _tier(div: int, offset: int, parts_of_k):
+        k = (
+            ev.select(
+                F.floor(F.col("event_id") / div).cast("long").alias("k")
+            )
+            .distinct()
+        )
+        return k.select(
+            F.lit("relation").alias("type"),
+            (F.col("k") + offset).alias("id"),
+            F.lit(None).cast("array<bigint>").alias("refs"),
+            mem(*parts_of_k(F.col("k"))).alias("members"),
+        )
+
+    r1 = _tier(6, 1_000_000, lambda k: [
+        ("way", k * 2), ("way", k * 2 + 1), ("node", (k * 7919) % 1000)
+    ])
+    r2 = _tier(30, 2_000_000, lambda k: [
+        ("relation", k * 5 + 1_000_000),
+        ("relation", k * 5 + 1_000_001),
+        ("node", k),
+    ])
+    r3 = _tier(150, 3_000_000, lambda k: [
+        ("relation", k * 3 + 2_000_000),
+        ("relation", k * 3 + 2_000_001),
+        ("way", k),
+    ])
+    entities = ways.select(
+        "type", "id", "refs", "members"
+    ).unionByName(r1).unionByName(r2).unionByName(r3)
+    closure = relation_node_closure(entities)
+    return closure.groupBy(F.col("rel_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node_ref").cast("long").alias("sum_ref"),
+    )
+
+
+_DW_ZOOM = 8
+_DW_CELL = 3_600_000_000 >> _DW_ZOOM
+
+_DW_ORACLE = f"""
+WITH g AS ({{g}}),
+s AS (
+  SELECT (lon_fp + 1800000000) // {_DW_CELL} AS cx,
+         (lat_fp + 900000000) // {_DW_CELL} AS cy,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS dt
+  FROM g
+)
+SELECT cx, cy, CAST(SUM(dt) AS BIGINT) AS dwell_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM s WHERE dt IS NOT NULL GROUP BY 1, 2
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("cell_dwell_time", _DW_ORACLE)
+def q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted cell presence at zoom 8: each inter-observation
+    interval attributed to its earlier point's cell (step-function dwell
+    model, the trajectory analogue of snapshot [ts, next_ts) validity);
+    one lead-window shuffle + one map-side-combinable groupBy."""
+    from oshdb_spark.operators.aggregations import cell_dwell_time
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return cell_dwell_time(g, _DW_ZOOM)
+
+
+@_q("track_simplify_dp", None)
+def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker per-user track simplification with the exact
+    integer split predicate cross^2 > eps^2*|AB|^2 — inherently
+    recursive, hence NO SQL oracle (the driver records the rows-only
+    check); determinism + parity are pytest-gated against an
+    independent reference implementation
+    (tests/test_joincount_interval_closure.py)."""
+    from oshdb_spark.operators.aggregations import simplify_track_dp
+
+    g = _derive(spark, sf_dir, GEO_LOCAL_EXPRS).withColumn(
+        "ts_us", (F.col("event_id") * 1000).cast("long")
+    )
+    return simplify_track_dp(g, eps_fp=50_000)

@@ -311,6 +311,78 @@ def session_stats(
     )
 
 
+def interval_overlap_join(
+    intervals: DataFrame,
+    bucket_us: int,
+    key_col: str | None = None,
+    id_col: str = "event_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Temporal interval-overlap self-join: every unordered pair of
+    intervals (same ``key_col`` when given) whose closed intervals
+    ``[start, end]`` intersect — the explicit form of the validity-
+    interval semantics the snapshot/contribution views use implicitly
+    (an OSH entity version is valid [ts, next_ts); CellIterator
+    intersects those with the query window,
+    CellIterator.java:708-745) and the standard co-presence /
+    concurrent-sessions operator.
+
+    Distributed shape — the 1-D analogue of the dwithin cell-bucket
+    join: each interval explodes to the epoch buckets of width
+    ``bucket_us`` it touches, pairs meet by hash equi-join on
+    (key, bucket), and the exact predicate refines.  Exactly-once
+    WITHOUT a distinct: a qualifying pair is emitted only in the bucket
+    containing ``greatest(a.start, b.start)`` — that instant lies inside
+    both intervals, so both sides explode into its bucket (existence),
+    and it pins one bucket (uniqueness).  ``bucket_us`` is a pure
+    fan-out knob (longest-interval width keeps the explode <= 2 per
+    row); correctness holds for ANY positive value.
+
+    Returns ``(a_id, b_id, overlap_us:long)`` with ``a_id < b_id``;
+    overlap_us = min(ends) - max(starts) >= 0 (0 = they touch).
+    """
+    w = int(bucket_us)
+    keys = [key_col] if key_col else []
+    sides = []
+    for tag in ("a", "b"):
+        sides.append(
+            intervals.select(
+                *keys,
+                F.col(id_col).alias(f"{tag}_id"),
+                F.col(start_col).cast("long").alias(f"{tag}_s"),
+                F.col(end_col).cast("long").alias(f"{tag}_e"),
+            ).withColumn(
+                "bk",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"{tag}_s") / w),
+                        F.floor(F.col(f"{tag}_e") / w),
+                    )
+                ),
+            )
+        )
+    a, b = sides
+    home = F.floor(F.greatest(F.col("a_s"), F.col("b_s")) / w)
+    return (
+        a.join(b, keys + ["bk"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (F.col("bk") == home)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least(F.col("a_e"), F.col("b_e"))
+                - F.greatest(F.col("a_s"), F.col("b_s"))
+            ).alias("overlap_us"),
+        )
+    )
+
+
 def track_length_geodesic(
     events: DataFrame,
     key_col: str = "user_id",
@@ -762,4 +834,144 @@ def radius_of_gyration(
         F.col("key").alias(key_col),
         "n_pts",
         num.cast(d).alias("rog_num"),
+    )
+
+
+def cell_dwell_time(
+    events: DataFrame,
+    zoom: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Time-weighted cell presence: for each grid cell, the total time
+    all keys SPENT there, attributing each inter-observation interval to
+    the cell of its earlier point (the standard step-function dwell
+    model) — the movement-analytics complement of plain visit counts
+    (a cell with 3 long stays beats one with 300 drive-throughs) and the
+    trajectory analogue of the snapshot view's [ts, next_ts) validity
+    attribution (same lead-window construction as
+    snapshot.with_validity).
+
+    Plan shape: ONE shuffle for the per-key lead window, then a
+    map-side-combinable groupBy on the (small) cell key.  Each key's
+    last observation has no next point and contributes no interval —
+    exact int64 throughout.
+
+    Returns ``(cx, cy, dwell_us:long, n_intervals:long)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    cell_fp = 3_600_000_000 >> zoom
+    stepped = events.select(
+        F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+        F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        (F.lead(ts_col).over(w) - F.col(ts_col)).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return stepped.groupBy("cx", "cy").agg(
+        F.sum("dt").cast("long").alias("dwell_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+
+
+def simplify_track_dp(
+    events: DataFrame,
+    eps_fp: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Douglas-Peucker trajectory simplification per key with an EXACT
+    integer split predicate: a point P splits segment AB iff
+    ``cross(B-A, P-A)^2 > eps^2 * |AB|^2`` (perpendicular distance
+    without the division; A == B degenerates to squared distance to A).
+    The per-segment argmax compares ``cross^2`` directly — same
+    denominator, so no ratios, no floats, no ties-by-rounding; exact
+    ties break to the lowest ordinal for determinism.  Products reach
+    ~1.3e19 for antimeridian-wide tracks (> int64), so the inner loop
+    uses Python ints (exact at any width) — inherently ragged recursive
+    control flow, the same accepted class as relation ring assembly
+    (BENCH.md §R5.3), bounded per track, not per corpus.
+
+    Scale shape: one shuffle (groupBy key into applyInPandas); each
+    track simplifies independently, O(n log n) expected.  Keys are
+    trajectories — the usual long-tail skew caveat, same class the
+    salted-join helpers cover.
+
+    Returns the kept observations ``(key, ordinal:long, lon, lat)``
+    with ``ordinal`` = 0-based position in the (ts, order)-sorted
+    track; endpoints always survive.
+    """
+    import pandas as pd
+
+    eps2 = int(eps_fp) * int(eps_fp)
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__ord"], kind="mergesort")
+        xs = [int(v) for v in pdf["__x"]]
+        ys = [int(v) for v in pdf["__y"]]
+        n = len(xs)
+        if n <= 2:
+            keep = list(range(n))
+        else:
+            keep_mask = [False] * n
+            keep_mask[0] = keep_mask[-1] = True
+            stack = [(0, n - 1)]
+            while stack:
+                i, j = stack.pop()
+                if j - i < 2:
+                    continue
+                ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
+                dx, dy = bx - ax, by - ay
+                seg2 = dx * dx + dy * dy
+                best, best_k = -1, -1
+                for k in range(i + 1, j):
+                    px, py = xs[k] - ax, ys[k] - ay
+                    if seg2 == 0:
+                        # degenerate AB: squared distance to A, compared
+                        # against eps^2 directly
+                        metric = px * px + py * py
+                        thr_hit = metric > eps2
+                    else:
+                        c = dx * py - dy * px
+                        metric = c * c
+                        thr_hit = metric > eps2 * seg2
+                    if thr_hit and metric > best:
+                        best, best_k = metric, k
+                if best_k >= 0:
+                    keep_mask[best_k] = True
+                    stack.append((i, best_k))
+                    stack.append((best_k, j))
+            keep = [k for k in range(n) if keep_mask[k]]
+        key_val = pdf["__key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "__key": [key_val] * len(keep),
+                "ordinal": keep,
+                "lon_out": [xs[k] for k in keep],
+                "lat_out": [ys[k] for k in keep],
+            }
+        )
+
+    prepped = events.select(
+        F.col(key_col).alias("__key"),
+        F.col(ts_col).alias("__ts"),
+        F.col(order_col).alias("__ord"),
+        F.col(lon_col).cast("long").alias("__x"),
+        F.col(lat_col).cast("long").alias("__y"),
+    )
+    out = prepped.groupBy("__key").applyInPandas(
+        _dp,
+        schema="__key long, ordinal long, lon_out long, lat_out long",
+    )
+    return out.select(
+        F.col("__key").alias(key_col),
+        "ordinal",
+        F.col("lon_out").alias(lon_col),
+        F.col("lat_out").alias(lat_col),
     )

@@ -904,6 +904,86 @@ def cell_user_simpson(
     )
 
 
+def join_count_stats(
+    points: DataFrame,
+    zoom: int,
+    threshold: int,
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord 1981) over the occupied grid
+    cells: classify each cell Black/White by whether its point count
+    reaches ``threshold``, then count the queen-adjacent UNORDERED
+    occupied-cell pairs by class combination — BB, BW, WW.  The
+    categorical sibling of Moran's I (:func:`moran_i_global` needs an
+    interval variable; join counts are THE autocorrelation statistic
+    for binary/categorical surfaces — land use, above/below-median
+    choropleths).  Expectation/variance under free sampling are driver
+    scalars from (n_black, n_white, n_joins); only the exact integer
+    counts are computed distributed.
+
+    Plan shape: points shuffle ONCE into per-cell counts; each occupied
+    cell explodes to its 8 queen neighbors and hash-joins back against
+    the (small) cell table; each unordered adjacent pair appears exactly
+    twice in that join, so the lexicographic guard (cx,cy) < (jx,jy)
+    keeps exactly one — no distinct, no de-mirror shuffle.  The final
+    aggregate is 3 rows.
+
+    Returns ``(pair_class:string, n_pairs:long)`` — 'BB'/'BW'/'WW',
+    zerofilled.
+    """
+    cell_fp = 3_600_000_000 >> zoom
+    cells = (
+        points.select(
+            F.expr(f"({lon_col} + 1800000000) DIV {cell_fp}").alias("cx"),
+            F.expr(f"({lat_col} + 900000000) DIV {cell_fp}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg((F.count(F.lit(1)) >= F.lit(int(threshold))).alias("black"))
+    )
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    probe = (
+        cells.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            F.col("cx").alias("sx"),
+            F.col("cy").alias("sy"),
+            F.col("black").alias("s_black"),
+        )
+    )
+    pairs = probe.join(
+        cells.select(
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+            F.col("black").alias("j_black"),
+        ),
+        ["jx", "jy"],
+    ).filter(
+        (F.col("sx") < F.col("jx"))
+        | ((F.col("sx") == F.col("jx")) & (F.col("sy") < F.col("jy")))
+    )
+    cls = F.when(
+        F.col("s_black") & F.col("j_black"), F.lit("BB")
+    ).when(~F.col("s_black") & ~F.col("j_black"), F.lit("WW")).otherwise(
+        F.lit("BW")
+    )
+    counted = (
+        pairs.select(cls.alias("pair_class"))
+        .groupBy("pair_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    zero = points.sparkSession.createDataFrame(
+        [("BB",), ("BW",), ("WW",)], "pair_class string"
+    )
+    return zero.join(counted, "pair_class", "left").select(
+        "pair_class",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+    )
+
+
 def bbox_cover_ranges(
     boxes: DataFrame,
     maxzoom: int = 14,

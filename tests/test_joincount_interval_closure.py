@@ -1,0 +1,360 @@
+"""Unit tests for join-count statistics (tiling.join_count_stats),
+the interval-overlap join (aggregations.interval_overlap_join), and the
+transitive relation member closure (snapshot.relation_node_closure) —
+each checked against an independent brute-force reference."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from oshdb_spark.operators.aggregations import interval_overlap_join
+from oshdb_spark.operators.snapshot import relation_node_closure
+from oshdb_spark.operators.tiling import join_count_stats
+
+ZOOM = 7
+CELL = 3_600_000_000 >> ZOOM
+
+
+# ---------------------------------------------------------------------------
+# join_count_stats
+# ---------------------------------------------------------------------------
+
+
+def _brute_join_counts(pts, thr):
+    from collections import Counter
+
+    occ = Counter(
+        ((lon + 1_800_000_000) // CELL, (lat + 900_000_000) // CELL)
+        for lon, lat in pts
+    )
+    cls = {c: n >= thr for c, n in occ.items()}
+    want = {"BB": 0, "BW": 0, "WW": 0}
+    cells = sorted(cls)
+    for i, a in enumerate(cells):
+        for b in cells[i + 1 :]:
+            if abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1:
+                k = (
+                    "BB"
+                    if cls[a] and cls[b]
+                    else "WW"
+                    if not cls[a] and not cls[b]
+                    else "BW"
+                )
+                want[k] += 1
+    return want
+
+
+def test_join_counts_match_bruteforce(spark):
+    rs = np.random.RandomState(7)
+    # stay inside the valid fixed-point domain (|lat| < 9e8): +/-30 cells
+    pts = [
+        (
+            int(rs.randint(-30, 30)) * CELL + int(rs.randint(0, CELL)),
+            int(rs.randint(-30, 30)) * CELL + int(rs.randint(0, CELL)),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(pts, "lon_fp long, lat_fp long")
+    got = {
+        r.pair_class: r.n_pairs
+        for r in join_count_stats(df, ZOOM, threshold=2).collect()
+    }
+    want = _brute_join_counts(pts, 2)
+    assert got == want
+    assert sum(want.values()) > 0  # fixture non-degenerate
+
+
+def test_join_counts_zerofill_and_classes(spark):
+    # two isolated cells, no adjacency: all three classes zerofill
+    df = spark.createDataFrame(
+        [(0, 0), (100 * CELL, 0)], "lon_fp long, lat_fp long"
+    )
+    got = {
+        r.pair_class: r.n_pairs
+        for r in join_count_stats(df, ZOOM, threshold=1).collect()
+    }
+    assert got == {"BB": 0, "BW": 0, "WW": 0}
+    # two adjacent cells, one black (2 pts) one white (1 pt) -> BW = 1
+    df2 = spark.createDataFrame(
+        [(0, 0), (1, 0), (CELL, 0)], "lon_fp long, lat_fp long"
+    )
+    got2 = {
+        r.pair_class: r.n_pairs
+        for r in join_count_stats(df2, ZOOM, threshold=2).collect()
+    }
+    assert got2 == {"BB": 0, "BW": 1, "WW": 0}
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def _iv_fixture(n, seed, span=1_000_000, max_len=900):
+    rs = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        s = int(rs.randint(0, span))
+        rows.append((i, int(i % 5), s, s + int(rs.randint(0, max_len))))
+    return rows
+
+
+def _brute_overlaps(rows, keyed):
+    want = {}
+    for i, (ai, ak, as_, ae) in enumerate(rows):
+        for bi, bk, bs, be in rows[i + 1 :]:
+            if keyed and ak != bk:
+                continue
+            if as_ <= be and bs <= ae:
+                lo, hi = (ai, bi) if ai < bi else (bi, ai)
+                want[(lo, hi)] = min(ae, be) - max(as_, bs)
+    return want
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    rows = _iv_fixture(300, seed=11)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, start_us long, end_us long"
+    )
+    got = {
+        (r.a_id, r.b_id): r.overlap_us
+        for r in interval_overlap_join(df, 1000, key_col="user_id").collect()
+    }
+    want = _brute_overlaps(rows, keyed=True)
+    assert got == want
+    assert want
+
+
+def test_interval_overlap_unkeyed_and_bucket_invariance(spark):
+    rows = _iv_fixture(120, seed=23)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, start_us long, end_us long"
+    )
+    want = _brute_overlaps(rows, keyed=False)
+    # correctness must hold for ANY bucket width, including ones much
+    # smaller and much larger than the max interval length
+    for bucket in (137, 900, 10_000, 10_000_000):
+        got = {
+            (r.a_id, r.b_id): r.overlap_us
+            for r in interval_overlap_join(df, bucket).collect()
+        }
+        assert got == want, f"bucket={bucket}"
+
+
+def test_interval_overlap_touching_and_disjoint(spark):
+    rows = [
+        (1, 0, 0, 100),
+        (2, 0, 100, 200),  # touches 1 at t=100 -> overlap 0
+        (3, 0, 201, 300),  # disjoint from 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, start_us long, end_us long"
+    )
+    got = {
+        (r.a_id, r.b_id): r.overlap_us
+        for r in interval_overlap_join(df, 50).collect()
+    }
+    assert got == {(1, 2): 0}
+
+
+# ---------------------------------------------------------------------------
+# relation_node_closure
+# ---------------------------------------------------------------------------
+
+
+def _ent(spark, ways, rels):
+    """ways: {wid: [nrefs]}; rels: {rid: [(type, ref)]}."""
+    rows = []
+    for wid, refs in ways.items():
+        rows.append(("way", wid, refs, None))
+    for rid, members in rels.items():
+        rows.append(
+            ("relation", rid, None, [(t, r, "") for t, r in members])
+        )
+    return spark.createDataFrame(
+        rows,
+        "type string, id long, refs array<bigint>, "
+        "members array<struct<type:string,ref:bigint,role:string>>",
+    )
+
+
+def test_closure_three_tiers(spark):
+    ways = {1: [10, 11], 2: [11, 12], 3: [13]}
+    rels = {
+        100: [("way", 1), ("node", 99)],
+        101: [("way", 2), ("way", 3)],
+        200: [("relation", 100), ("relation", 101), ("node", 50)],
+        300: [("relation", 200), ("way", 1)],
+    }
+    got = {}
+    for r in relation_node_closure(_ent(spark, ways, rels)).collect():
+        got.setdefault(r.rel_id, set()).add(r.node_ref)
+    assert got == {
+        100: {10, 11, 99},
+        101: {11, 12, 13},
+        200: {10, 11, 12, 13, 99, 50},
+        300: {10, 11, 12, 13, 99, 50},
+    }
+
+
+def test_closure_missing_refs_drop(spark):
+    ways = {1: [10]}
+    rels = {
+        100: [("way", 1), ("way", 777), ("relation", 888), ("node", 5)],
+    }
+    got = {}
+    for r in relation_node_closure(_ent(spark, ways, rels)).collect():
+        got.setdefault(r.rel_id, set()).add(r.node_ref)
+    assert got == {100: {10, 5}}
+
+
+def test_closure_cycle_partial_resolution(spark):
+    # A <-> B cycle: both land on the guard level and inherit each
+    # other's BASE (direct node/way) contributions — partial, no hang
+    ways = {1: [10], 2: [20]}
+    rels = {
+        100: [("relation", 101), ("way", 1)],
+        101: [("relation", 100), ("way", 2)],
+    }
+    got = {}
+    for r in relation_node_closure(_ent(spark, ways, rels)).collect():
+        got.setdefault(r.rel_id, set()).add(r.node_ref)
+    assert got == {100: {10, 20}, 101: {10, 20}}
+
+
+def test_closure_deep_chain(spark):
+    # 6-deep pure-relation chain: top sees the single leaf node
+    ways = {1: [42]}
+    rels = {600: [("way", 1)]}
+    for d in range(1, 6):
+        rels[600 + d] = [("relation", 600 + d - 1)]
+    got = {}
+    for r in relation_node_closure(_ent(spark, ways, rels)).collect():
+        got.setdefault(r.rel_id, set()).add(r.node_ref)
+    assert got == {600 + d: {42} for d in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# cell_dwell_time / simplify_track_dp
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.aggregations import (  # noqa: E402
+    cell_dwell_time,
+    simplify_track_dp,
+)
+
+
+def test_cell_dwell_matches_bruteforce(spark):
+    rs = np.random.RandomState(31)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                int(i % 6),
+                int(rs.randint(0, 10_000_000)),
+                int(rs.randint(-30, 30)) * CELL + int(rs.randint(0, CELL)),
+                int(rs.randint(-30, 30)) * CELL + int(rs.randint(0, CELL)),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long"
+    )
+    got = {
+        (r.cx, r.cy): (r.dwell_us, r.n_intervals)
+        for r in cell_dwell_time(df, ZOOM).collect()
+    }
+    want = {}
+    for uid in {r[1] for r in rows}:
+        track = sorted(
+            (r for r in rows if r[1] == uid), key=lambda r: (r[2], r[0])
+        )
+        for a, b in zip(track, track[1:]):
+            c = (
+                (a[3] + 1_800_000_000) // CELL,
+                (a[4] + 900_000_000) // CELL,
+            )
+            d, n = want.get(c, (0, 0))
+            want[c] = (d + b[2] - a[2], n + 1)
+    assert got == want
+    assert want
+
+
+def _dp_reference(pts, eps):
+    """Independent recursive DP with exact Python-int arithmetic."""
+    n = len(pts)
+    if n <= 2:
+        return list(range(n))
+    keep = {0, n - 1}
+
+    def rec(i, j):
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best, bk = -1, -1
+        for k in range(i + 1, j):
+            px, py = pts[k][0] - ax, pts[k][1] - ay
+            if seg2 == 0:
+                m = px * px + py * py
+                hit = m > eps * eps
+            else:
+                c = dx * py - dy * px
+                m = c * c
+                hit = m > eps * eps * seg2
+            if hit and m > best:
+                best, bk = m, k
+        if bk >= 0:
+            keep.add(bk)
+            rec(i, bk)
+            rec(bk, j)
+
+    rec(0, n - 1)
+    return sorted(keep)
+
+
+def test_dp_matches_reference(spark):
+    rs = np.random.RandomState(17)
+    rows = []
+    tracks = {}
+    for uid in range(5):
+        n = int(rs.randint(20, 80))
+        xs = np.cumsum(rs.randint(-200_000, 200_000, n))
+        ys = np.cumsum(rs.randint(-200_000, 200_000, n))
+        tracks[uid] = [(int(x), int(y)) for x, y in zip(xs, ys)]
+        for i, (x, y) in enumerate(tracks[uid]):
+            rows.append((uid * 1000 + i, uid, i * 10, x, y))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long"
+    )
+    eps = 150_000
+    got = {}
+    for r in simplify_track_dp(df, eps).collect():
+        got.setdefault(r.user_id, []).append((r.ordinal, r.lon_fp, r.lat_fp))
+    for uid, pts in tracks.items():
+        keep = _dp_reference(pts, eps)
+        want = [(k, pts[k][0], pts[k][1]) for k in keep]
+        assert sorted(got[uid]) == want, f"user {uid}"
+
+
+def test_dp_straight_line_collapses(spark):
+    rows = [(i, 1, i, i * 1000, i * 2000) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long"
+    )
+    got = sorted(r.ordinal for r in simplify_track_dp(df, 10).collect())
+    assert got == [0, 49]  # perfectly collinear: endpoints only
+
+
+def test_dp_zero_eps_keeps_corners_only(spark):
+    # a right angle with eps=0: the corner must survive
+    rows = [
+        (0, 1, 0, 0, 0),
+        (1, 1, 1, 1000, 0),
+        (2, 1, 2, 1000, 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, lon_fp long, lat_fp long"
+    )
+    got = sorted(r.ordinal for r in simplify_track_dp(df, 0).collect())
+    assert got == [0, 1, 2]

@@ -5004,3 +5004,98 @@ def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us", (F.col("event_id") * 1000).cast("long")
     )
     return simplify_track_dp(g, eps_fp=50_000)
+
+
+# ---------------------------------------------------------------------------
+# space-time K surface / raster focal statistics
+# ---------------------------------------------------------------------------
+
+_STK_RADII = [15_000_000, 35_000_000, 50_000_000]
+_STK_TAUS = [t * 86_400_000_000 for t in (1, 11, 22)]  # 1/11/22 days in us
+
+_STK_ORACLE = f"""
+WITH g AS ({{g}}),
+p AS (
+  SELECT (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+       + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp) AS d2,
+       ABS(a.ts_us - b.ts_us) AS dt
+  FROM g a JOIN g b ON a.event_id < b.event_id
+    AND b.lon_fp BETWEEN a.lon_fp - {_STK_RADII[-1]} AND a.lon_fp + {_STK_RADII[-1]}
+    AND b.lat_fp BETWEEN a.lat_fp - {_STK_RADII[-1]} AND a.lat_fp + {_STK_RADII[-1]}
+  WHERE (a.lon_fp - b.lon_fp) * (a.lon_fp - b.lon_fp)
+      + (a.lat_fp - b.lat_fp) * (a.lat_fp - b.lat_fp)
+      <= CAST({_STK_RADII[-1]} AS BIGINT) * {_STK_RADII[-1]}
+    AND ABS(a.ts_us - b.ts_us) <= {_STK_TAUS[-1]}
+)
+SELECT CAST(l.r_fp AS BIGINT) AS r_fp, CAST(l.tau_us AS BIGINT) AS tau_us,
+       CAST(COUNT(p.d2) AS BIGINT) AS n_pairs
+FROM (VALUES {", ".join(f"({r}, {t})" for r in _STK_RADII for t in _STK_TAUS)})
+     l(r_fp, tau_us)
+LEFT JOIN p ON p.d2 <= CAST(l.r_fp AS BIGINT) * l.r_fp AND p.dt <= l.tau_us
+GROUP BY 1, 2
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("spacetime_k_counts", _STK_ORACLE)
+def q_spacetime_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diggle space-time K surface over a 3x3 (radius, time-lag)
+    ladder: ONE knox-style cell-bucketed join at (max r, max tau), nine
+    conditional sums in a 1-row aggregate + stack — the 2-D ladder adds
+    zero shuffled rows; exact int64, zerofilled."""
+    from oshdb_spark.operators.knn import spacetime_k_counts
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    return spacetime_k_counts(g, _STK_RADII, _STK_TAUS, zoom=7)
+
+
+_FOCAL_ZOOM = 8
+
+_FOCAL_ORACLE = f"""
+WITH g AS ({{g}}),
+r AS (
+  SELECT {_cell_sql(_FOCAL_ZOOM, "lon_fp", "lat_fp")} AS cell_id,
+         COUNT(*) AS cnt
+  FROM g
+  WHERE lon_fp BETWEEN -1800000000 AND 1800000000
+    AND lat_fp BETWEEN -900000000 AND 900000000
+  GROUP BY 1
+),
+xy AS (SELECT cell_id, cnt, cell_id % {1 << _FOCAL_ZOOM} AS x,
+              cell_id // {1 << _FOCAL_ZOOM} AS y FROM r),
+contrib AS (
+  SELECT ((s.x + d.dx + {1 << _FOCAL_ZOOM}) % {1 << _FOCAL_ZOOM}) AS tx,
+         s.y + d.dy AS ty, s.cnt
+  FROM xy s, (SELECT a.dx, b.dy
+              FROM (SELECT UNNEST([-1, 0, 1]) AS dx) a,
+                   (SELECT UNNEST([-1, 0, 1]) AS dy) b) d
+),
+f AS (
+  SELECT ty * {1 << _FOCAL_ZOOM} + tx AS cell_id,
+         SUM(cnt) AS focal_sum, COUNT(*) AS n_cells
+  FROM contrib GROUP BY 1
+)
+SELECT r.cell_id, CAST(r.cnt AS BIGINT) AS value,
+       CAST(f.focal_sum AS BIGINT) AS focal_sum,
+       CAST(f.n_cells AS BIGINT) AS n_cells
+FROM r JOIN f USING (cell_id)
+""".format(g=_duck_derive(GEO_POINT_EXPRS))
+
+
+@_q("raster_focal_sum", _FOCAL_ORACLE)
+def q_raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-algebra focal sum over the zoom-8 count raster: 9-position
+    explode + groupBy + join back to the occupied extent, antimeridian
+    x-wrap; both shuffles are raster-cell-sized, never point-sized."""
+    from oshdb_spark.operators.zonal import raster_focal_sum
+
+    g = _derive(spark, sf_dir, GEO_POINT_EXPRS)
+    raster = (
+        g.withColumn(
+            "cell_id",
+            xy_cell_id_col(_FOCAL_ZOOM, F.col("lon_fp"), F.col("lat_fp")),
+        )
+        .filter(F.col("cell_id") >= 0)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return raster_focal_sum(raster, _FOCAL_ZOOM)

@@ -782,3 +782,58 @@ def cross_k_counts(
     return one.selectExpr(
         f"stack({len(radii)}, {stack}) AS (r_fp, n_pairs)"
     )
+
+
+def spacetime_k_counts(
+    points: DataFrame,
+    radii_fp: list[int],
+    taus_us: list[int],
+    zoom: int = 8,
+    id_col: str = "event_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Diggle's space-time K function pair counts: for every (r, tau)
+    in the radius x time-lag ladder, the number of unordered pairs
+    within distance r AND time lag tau — the surface whose departure
+    from K(r)*K(tau) separability IS space-time interaction (Diggle et
+    al. 1995), generalizing the single-threshold Knox statistic
+    (:func:`knox_spacetime_pairs` is the (r, tau) corner of this grid).
+
+    Plan shape: ONE cell-bucketed candidate join at (max r, max tau) —
+    the same join :func:`knox_spacetime_pairs` runs — then
+    |radii| x |taus| conditional sums in a single 1-row aggregate,
+    unpivoted by a stack: the full 2-D ladder adds ZERO shuffled rows
+    over the single-threshold operator.  Exact int64 throughout.
+
+    Returns ``(r_fp:long, tau_us:long, n_pairs:long)``, zerofilled over
+    the full grid.
+    """
+    radii = sorted(int(r) for r in radii_fp)
+    taus = sorted(int(t) for t in taus_us)
+    pairs = knox_spacetime_pairs(
+        points, radii[-1], taus[-1], zoom=zoom, id_col=id_col, ts_col=ts_col
+    )
+    aggs = []
+    for i, r in enumerate(radii):
+        for j, t in enumerate(taus):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("d2") <= F.lit(r * r))
+                        & (F.col("dt_us") <= F.lit(t)),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"c{i}_{j}")
+            )
+    one = pairs.agg(*aggs)
+    cells = ", ".join(
+        f"CAST({r} AS BIGINT), CAST({t} AS BIGINT),"
+        f" COALESCE(c{i}_{j}, CAST(0 AS BIGINT))"
+        for i, r in enumerate(radii)
+        for j, t in enumerate(taus)
+    )
+    return one.selectExpr(
+        f"stack({len(radii) * len(taus)}, {cells}) AS (r_fp, tau_us, n_pairs)"
+    )

@@ -676,3 +676,82 @@ def kde_density_surface(
             "kde_h2",
         )
     )
+
+
+def raster_focal_sum(
+    raster: DataFrame,
+    zoom: int,
+    value_col: str = "cnt",
+    cell_col: str = "cell_id",
+    wrap_lon: bool = True,
+) -> DataFrame:
+    """Raster map-algebra FOCAL statistic: for every raster cell, the
+    sum and contributing-cell count of ``value_col`` over its 3x3
+    neighborhood (center included) — focal mean = focal_sum / n_cells,
+    the smoothing/edge-detection primitive of map algebra (Tomlin 1990)
+    and the raster sibling of the vector-side Gi*/LISA neighbor
+    roll-ups.  Cell ids are XYGrid ids at ``zoom`` (id = y * 2^zoom +
+    x, XYGrid.java:140-168): x wraps across the antimeridian
+    (``wrap_lon``), y clamps at the poles (no wrap — rows out of
+    [0, 2^(zoom-1)) simply don't exist).
+
+    Plan shape: decompose id -> (x, y) with pure Column bit-math,
+    explode each SOURCE cell to the 9 target positions, modular-wrap x,
+    groupBy target, then inner-join back to the raster so output covers
+    exactly the occupied extent (absent neighbors contribute nothing;
+    edge cells report n_cells < 9).  Two shuffles total (the 9x
+    explode's groupBy + the join), both on the raster's own cell-count
+    cardinality — never on source points.
+
+    Returns ``(cell_id, value, focal_sum, n_cells)`` where ``value`` is
+    the center's own value.
+    """
+    nx = 1 << zoom
+    src = raster.select(
+        F.col(cell_col).alias("__id"), F.col(value_col).alias("__v")
+    )
+    xy = src.select(
+        "__id",
+        "__v",
+        (F.col("__id") % nx).alias("x"),
+        # integer DIV, not float division: ids are 64-bit at deep zooms
+        F.expr(f"__id DIV {nx}").alias("y"),
+    )
+    ny = max(1, 1 << (zoom - 1)) if zoom >= 1 else 1
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    tx = F.col("x") + F.col("dx")
+    if wrap_lon:
+        tx = (tx + nx) % nx
+    # out-of-domain targets MUST drop before recombining ty*nx+tx —
+    # (nx, y) would alias to (0, y+1) and (-1, y) to (nx-1, y-1)
+    contrib = (
+        xy.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            tx.alias("tx"),
+            (F.col("y") + F.col("dy")).alias("ty"),
+            "__v",
+        )
+        .filter(
+            (F.col("tx") >= 0)
+            & (F.col("tx") < nx)
+            & (F.col("ty") >= 0)
+            & (F.col("ty") < ny)
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum("__v").alias("focal_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .select(
+            (F.col("ty") * nx + F.col("tx")).alias("__id"),
+            "focal_sum",
+            "n_cells",
+        )
+    )
+    return src.join(contrib, "__id").select(
+        F.col("__id").alias(cell_col),
+        F.col("__v").alias("value"),
+        "focal_sum",
+        "n_cells",
+    )

@@ -358,3 +358,101 @@ def test_dp_zero_eps_keeps_corners_only(spark):
     )
     got = sorted(r.ordinal for r in simplify_track_dp(df, 0).collect())
     assert got == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# spacetime_k_counts / raster_focal_sum
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.knn import spacetime_k_counts  # noqa: E402
+from oshdb_spark.operators.zonal import raster_focal_sum  # noqa: E402
+
+
+def test_spacetime_k_matches_bruteforce(spark):
+    rs = np.random.RandomState(5)
+    base = rs.randint(-100, 100, (5, 2)) * 10_000_000
+    pts = []
+    for i in range(150):
+        bx, by = base[i % 5]
+        pts.append(
+            (
+                i,
+                int(bx + rs.randint(-12_000_000, 12_000_000)),
+                int(by + rs.randint(-12_000_000, 12_000_000)),
+                int(rs.randint(0, 1_000_000)),
+            )
+        )
+    df = spark.createDataFrame(
+        pts, "event_id long, lon_fp long, lat_fp long, ts_us long"
+    )
+    radii = [3_000_000, 9_000_000, 20_000_000]
+    taus = [100_000, 400_000, 900_000]
+    got = {
+        (r.r_fp, r.tau_us): r.n_pairs
+        for r in spacetime_k_counts(df, radii, taus, zoom=7).collect()
+    }
+    want = {(r, t): 0 for r in radii for t in taus}
+    for i, (ai, ax, ay, at) in enumerate(pts):
+        for bi, bx, by, bt in pts[i + 1 :]:
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            dt = abs(at - bt)
+            for r in radii:
+                for t in taus:
+                    if d2 <= r * r and dt <= t:
+                        want[(r, t)] += 1
+    assert got == want
+    # monotone in both axes, non-degenerate at the corner
+    assert want[(radii[-1], taus[-1])] > 0
+    for r in radii:
+        assert want[(r, taus[0])] <= want[(r, taus[-1])]
+    for t in taus:
+        assert want[(radii[0], t)] <= want[(radii[-1], t)]
+
+
+def test_raster_focal_sum_matches_bruteforce(spark):
+    zoom = 6
+    nx = 1 << zoom
+    rs = np.random.RandomState(29)
+    cells = {}
+    for _ in range(300):
+        x, y = int(rs.randint(0, nx)), int(rs.randint(0, nx // 2))
+        cells[y * nx + x] = cells.get(y * nx + x, 0) + int(rs.randint(1, 9))
+    df = spark.createDataFrame(
+        list(cells.items()), "cell_id long, cnt long"
+    )
+    got = {
+        r.cell_id: (r.value, r.focal_sum, r.n_cells)
+        for r in raster_focal_sum(df, zoom).collect()
+    }
+    want = {}
+    for cid, v in cells.items():
+        x, y = cid % nx, cid // nx
+        s = n = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (y + dy) * nx + (x + dx + nx) % nx
+                if (y + dy) >= 0 and nb in cells:
+                    s += cells[nb]
+                    n += 1
+        want[cid] = (v, s, n)
+    assert got == want
+
+
+def test_raster_focal_antimeridian_wrap(spark):
+    zoom = 4
+    nx = 1 << zoom
+    # two cells on the same row at x=0 and x=nx-1: neighbors via wrap
+    df = spark.createDataFrame(
+        [(3 * nx + 0, 5), (3 * nx + (nx - 1), 7)], "cell_id long, cnt long"
+    )
+    got = {
+        r.cell_id: (r.focal_sum, r.n_cells)
+        for r in raster_focal_sum(df, zoom).collect()
+    }
+    assert got == {3 * nx: (12, 2), 3 * nx + nx - 1: (12, 2)}
+    # with wrap disabled they are isolated
+    got2 = {
+        r.cell_id: (r.focal_sum, r.n_cells)
+        for r in raster_focal_sum(df, zoom, wrap_lon=False).collect()
+    }
+    assert got2 == {3 * nx: (5, 1), 3 * nx + nx - 1: (7, 1)}

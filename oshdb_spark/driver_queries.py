@@ -5099,3 +5099,63 @@ def q_raster_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return raster_focal_sum(raster, _FOCAL_ZOOM)
+
+
+# per-user convex hull: scrambled (quadratic-residue) coordinates so the
+# point set is in general position (the lattice GEO_* fixtures have
+# guaranteed collinear triples, which the strict-hull edge
+# characterization below cannot gate); user/event subsetting keeps the
+# O(n^3) oracle tractable at any sf the driver picks
+_HULL_DERIVE_SPARK = [
+    "user_id",
+    "CAST((event_id * 1103515245 + 12345) % 1800000 AS BIGINT) * 1000"
+    " - 900000000 AS lon_fp",
+    "CAST((event_id * event_id * 31 + event_id * 7 + 3) % 1700000 AS BIGINT)"
+    " * 1000 - 850000000 AS lat_fp",
+]
+_HULL_FILTER = "user_id < 40 AND event_id % 7 = 0"
+
+_HULL_ORACLE = f"""
+WITH raw AS (
+  SELECT user_id,
+         CAST((event_id * 1103515245 + 12345) % 1800000 AS BIGINT) * 1000
+           - 900000000 AS lon,
+         CAST((event_id * event_id * 31 + event_id * 7 + 3) % 1700000
+              AS BIGINT) * 1000 - 850000000 AS lat
+  FROM events WHERE {_HULL_FILTER}
+),
+g AS (SELECT DISTINCT user_id, lon, lat FROM raw),
+e AS (
+  -- directed edge (a,b) is on the CCW strict hull iff EVERY other
+  -- distinct point of the key is strictly to its left (cross > 0)
+  SELECT a.user_id, a.lon AS ax, a.lat AS ay, b.lon AS bx, b.lat AS by
+  FROM g a JOIN g b ON a.user_id = b.user_id
+   AND (a.lon <> b.lon OR a.lat <> b.lat)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g c WHERE c.user_id = a.user_id
+      AND (c.lon <> a.lon OR c.lat <> a.lat)
+      AND (c.lon <> b.lon OR c.lat <> b.lat)
+      AND (b.lon - a.lon) * (c.lat - a.lat)
+        - (b.lat - a.lat) * (c.lon - a.lon) <= 0
+  )
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(CAST(ax AS HUGEINT) * by - CAST(bx AS HUGEINT) * ay)
+            AS DECIMAL(38,0)) AS area2
+FROM e GROUP BY 1
+"""
+
+
+@_q("track_convex_hull", _HULL_ORACLE)
+def q_track_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user strict convex hull (monotone chain, exact integer cross
+    products): gated as (n_vertices, doubled shoelace area) against an
+    independent O(n^3) SQL characterization — an edge is on the hull
+    iff all other points are strictly left; the edge cycle's shoelace
+    sum is the area."""
+    from oshdb_spark.operators.aggregations import track_convex_hull
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.filter(_HULL_FILTER).selectExpr(*_HULL_DERIVE_SPARK)
+    hull = track_convex_hull(g, key_col="user_id")
+    return hull.select("user_id", "n_vertices", "area2").distinct()

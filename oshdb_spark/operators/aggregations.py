@@ -975,3 +975,89 @@ def simplify_track_dp(
         F.col("lon_out").alias(lon_col),
         F.col("lat_out").alias(lat_col),
     )
+
+
+def track_convex_hull(
+    points: DataFrame,
+    key_col: str = "user_id",
+    lon_col: str = "lon_fp",
+    lat_col: str = "lat_fp",
+) -> DataFrame:
+    """Per-key convex hull (Andrew's monotone chain, CLRS 33.3) with
+    STRICT turns — collinear boundary points are dropped, so every
+    emitted vertex is an extreme point — plus the exact doubled hull
+    area (shoelace over the CCW cycle).  The activity-footprint /
+    catchment primitive of movement analytics, and the convex
+    counterpart of :func:`radius_of_gyration`'s dispersion scalar.
+
+    EXACT integer arithmetic end to end: the turn predicate is a cross
+    product of coordinate deltas and the area is the shoelace sum, both
+    in Python ints (products exceed int64 for antimeridian-wide hulls —
+    same documented rationale as :func:`simplify_track_dp`).  Keys whose
+    distinct points are all collinear have no 2-D hull and are dropped
+    (area would be 0; the SQL-oracle edge definition agrees).
+
+    Scale shape: one shuffle (groupBy key into applyInPandas); each
+    key's hull is O(n log n).  Returns one row per hull VERTEX:
+    ``(key, ordinal:long, lon, lat, n_vertices:long, area2:decimal)``
+    with the CCW cycle starting at the lexicographically smallest
+    vertex and area2 = 2x the enclosed area (fp^2 units) repeated on
+    every row of the key.
+    """
+    import pandas as pd
+
+    def _cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = sorted(
+            {(int(x), int(y)) for x, y in zip(pdf["__x"], pdf["__y"])}
+        )
+        out_rows = []
+        if len(pts) >= 3:
+            lower: list = []
+            for p in pts:
+                while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper: list = []
+            for p in reversed(pts):
+                while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]  # CCW, starts at min vertex
+            if len(hull) >= 3:
+                area2 = 0
+                for (ax, ay), (bx, by) in zip(hull, hull[1:] + hull[:1]):
+                    area2 += ax * by - bx * ay
+                key_val = pdf["__key"].iloc[0]
+                for i, (x, y) in enumerate(hull):
+                    out_rows.append((key_val, i, x, y, len(hull), area2))
+        return pd.DataFrame(
+            out_rows,
+            columns=[
+                "__key", "ordinal", "lon_out", "lat_out", "n_vertices",
+                "area2",
+            ],
+        )
+
+    prepped = points.select(
+        F.col(key_col).alias("__key"),
+        F.col(lon_col).cast("long").alias("__x"),
+        F.col(lat_col).cast("long").alias("__y"),
+    )
+    out = prepped.groupBy("__key").applyInPandas(
+        _hull,
+        schema=(
+            "__key long, ordinal long, lon_out long, lat_out long,"
+            " n_vertices long, area2 decimal(38,0)"
+        ),
+    )
+    return out.select(
+        F.col("__key").alias(key_col),
+        "ordinal",
+        F.col("lon_out").alias(lon_col),
+        F.col("lat_out").alias(lat_col),
+        "n_vertices",
+        "area2",
+    )

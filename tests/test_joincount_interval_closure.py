@@ -456,3 +456,102 @@ def test_raster_focal_antimeridian_wrap(spark):
         for r in raster_focal_sum(df, zoom, wrap_lon=False).collect()
     }
     assert got2 == {3 * nx: (5, 1), 3 * nx + nx - 1: (7, 1)}
+
+
+# ---------------------------------------------------------------------------
+# track_convex_hull
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.aggregations import track_convex_hull  # noqa: E402
+
+
+def _hull_edges_reference(pts):
+    """Independent O(n^3) reference: directed edge (a,b) is on the CCW
+    strict hull iff every other distinct point is strictly left."""
+    pts = sorted(set(pts))
+    edges = []
+    for a in pts:
+        for b in pts:
+            if a == b:
+                continue
+            ok = True
+            for c in pts:
+                if c == a or c == b:
+                    continue
+                cr = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (
+                    c[0] - a[0]
+                )
+                if cr <= 0:
+                    ok = False
+                    break
+            if ok:
+                edges.append((a, b))
+    return edges
+
+
+def test_hull_matches_edge_characterization(spark):
+    rs = np.random.RandomState(43)
+    rows = []
+    tracks = {}
+    for uid in range(6):
+        n = int(rs.randint(10, 60))
+        pts = [
+            (
+                int(rs.randint(-1_000_000, 1_000_000)),
+                int(rs.randint(-1_000_000, 1_000_000)),
+            )
+            for _ in range(n)
+        ]
+        tracks[uid] = pts
+        rows += [(uid, x, y) for x, y in pts]
+    df = spark.createDataFrame(rows, "user_id long, lon_fp long, lat_fp long")
+    got = {}
+    for r in track_convex_hull(df).collect():
+        got.setdefault(r.user_id, []).append(
+            (r.ordinal, r.lon_fp, r.lat_fp, r.n_vertices, int(r.area2))
+        )
+    for uid, pts in tracks.items():
+        edges = _hull_edges_reference(pts)
+        want_n = len(edges)
+        want_area2 = sum(
+            a[0] * b[1] - b[0] * a[1] for a, b in edges
+        )
+        rows_u = sorted(got[uid])
+        assert len(rows_u) == want_n, f"user {uid}"
+        assert all(r[3] == want_n and r[4] == want_area2 for r in rows_u)
+        # vertex set matches the edge endpoints; cycle starts at min
+        verts = [(r[1], r[2]) for r in rows_u]
+        assert set(verts) == {e[0] for e in edges}
+        assert rows_u[0][0] == 0 and (rows_u[0][1], rows_u[0][2]) == min(
+            verts
+        )
+        # consecutive ordinals trace actual hull edges
+        ring = [(r[1], r[2]) for r in sorted(rows_u)]
+        edge_set = set(edges)
+        for a, b in zip(ring, ring[1:] + ring[:1]):
+            assert (a, b) in edge_set
+
+
+def test_hull_degenerate_keys_dropped(spark):
+    rows = (
+        [(1, i * 10, i * 20) for i in range(8)]  # collinear: no 2-D hull
+        + [(2, 0, 0), (2, 5, 5)]  # two points
+        + [(3, 7, 7)] * 4  # one distinct point
+        + [(4, 0, 0), (4, 10, 0), (4, 0, 10), (4, 2, 2)]  # real hull
+    )
+    df = spark.createDataFrame(rows, "user_id long, lon_fp long, lat_fp long")
+    got = {}
+    for r in track_convex_hull(df).collect():
+        got.setdefault(r.user_id, []).append((r.lon_fp, r.lat_fp, int(r.area2)))
+    assert set(got) == {4}
+    assert sorted(got[4]) == [(0, 0, 100), (0, 10, 100), (10, 0, 100)]
+
+
+def test_hull_collinear_boundary_point_dropped(spark):
+    # (5,0) lies ON the hull edge (0,0)-(10,0): strict hull excludes it
+    rows = [(1, 0, 0), (1, 10, 0), (1, 5, 0), (1, 5, 8)]
+    df = spark.createDataFrame(rows, "user_id long, lon_fp long, lat_fp long")
+    got = sorted(
+        (r.lon_fp, r.lat_fp) for r in track_convex_hull(df).collect()
+    )
+    assert got == [(0, 0), (5, 8), (10, 0)]

@@ -5159,3 +5159,76 @@ def q_track_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.filter(_HULL_FILTER).selectExpr(*_HULL_DERIVE_SPARK)
     hull = track_convex_hull(g, key_col="user_id")
     return hull.select("user_id", "n_vertices", "area2").distinct()
+
+
+_SCC_ZOOM = 9
+_SCC_CELL = 3_600_000_000 >> _SCC_ZOOM
+
+_SCC_ORACLE = f"""
+WITH g AS ({_duck_derive(GEO_SEG_EXPRS)}),
+seg0 AS (
+  SELECT event_id AS id,
+         LAG(lon_fp) OVER (PARTITION BY user_id ORDER BY event_id) AS plon,
+         LAG(lat_fp) OVER (PARTITION BY user_id ORDER BY event_id) AS plat,
+         lon_fp, lat_fp
+  FROM g
+),
+s AS (
+  SELECT id,
+         CAST(plon AS BIGINT) + 1800000000 AS ax,
+         CAST(plat AS BIGINT) + 900000000 AS ay,
+         CAST(lon_fp AS BIGINT) + 1800000000 AS bx,
+         CAST(lat_fp AS BIGINT) + 900000000 AS by
+  FROM seg0 WHERE plon IS NOT NULL
+),
+cand AS (
+  SELECT id, ax, ay, bx, by, cx,
+         UNNEST(generate_series(LEAST(ay, by) // {_SCC_CELL},
+                                GREATEST(ay, by) // {_SCC_CELL})) AS cy
+  FROM (
+    SELECT id, ax, ay, bx, by,
+           UNNEST(generate_series(LEAST(ax, bx) // {_SCC_CELL},
+                                  GREATEST(ax, bx) // {_SCC_CELL})) AS cx
+    FROM s
+  )
+),
+x AS (
+  SELECT id, cx, cy,
+    (CAST(bx AS HUGEINT) - ax) * (cy * {_SCC_CELL} - ay)
+      - (CAST(by AS HUGEINT) - ay) * (cx * {_SCC_CELL} - ax) AS c1,
+    (CAST(bx AS HUGEINT) - ax) * (cy * {_SCC_CELL} - ay)
+      - (CAST(by AS HUGEINT) - ay) * ((cx + 1) * {_SCC_CELL} - ax) AS c2,
+    (CAST(bx AS HUGEINT) - ax) * ((cy + 1) * {_SCC_CELL} - ay)
+      - (CAST(by AS HUGEINT) - ay) * (cx * {_SCC_CELL} - ax) AS c3,
+    (CAST(bx AS HUGEINT) - ax) * ((cy + 1) * {_SCC_CELL} - ay)
+      - (CAST(by AS HUGEINT) - ay) * ((cx + 1) * {_SCC_CELL} - ax) AS c4
+  FROM cand
+)
+SELECT id AS seg_id, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy
+FROM x
+WHERE LEAST(c1, c2, c3, c4) <= 0 AND GREATEST(c1, c2, c3, c4) >= 0
+"""
+
+
+@_q("segment_cell_cover", _SCC_ORACLE)
+def q_segment_cell_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment traversed-cell set at zoom 9 (closed-cell
+    straddle test, DECIMAL-exact cross products, pure Catalyst): the
+    refinement of the bbox cover the segment-intersection join buckets
+    with — diagonal steps report only the cells the line truly
+    crosses."""
+    from oshdb_spark.operators.tiling import segment_cell_cover
+
+    g = _derive(spark, sf_dir, GEO_SEG_EXPRS)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    segs = (
+        g.select(
+            F.col("event_id").alias("seg_id"),
+            F.lag("lon_fp").over(w).alias("x1"),
+            F.lag("lat_fp").over(w).alias("y1"),
+            F.col("lon_fp").alias("x2"),
+            F.col("lat_fp").alias("y2"),
+        )
+        .filter(F.col("x1").isNotNull())
+    )
+    return segment_cell_cover(segs, _SCC_ZOOM)

@@ -555,3 +555,93 @@ def test_hull_collinear_boundary_point_dropped(spark):
         (r.lon_fp, r.lat_fp) for r in track_convex_hull(df).collect()
     )
     assert got == [(0, 0), (5, 8), (10, 0)]
+
+
+# ---------------------------------------------------------------------------
+# segment_cell_cover
+# ---------------------------------------------------------------------------
+
+from oshdb_spark.operators.tiling import segment_cell_cover  # noqa: E402
+
+
+def _seg_box_intersects(ax, ay, bx, by, X0, Y0, X1, Y1):
+    """Independent exact reference: Liang-Barsky clip with Fractions
+    against the CLOSED box."""
+    from fractions import Fraction
+
+    dx, dy = bx - ax, by - ay
+    t0, t1 = Fraction(0), Fraction(1)
+    for p, q in (
+        (-dx, ax - X0),
+        (dx, X1 - ax),
+        (-dy, ay - Y0),
+        (dy, Y1 - ay),
+    ):
+        if p == 0:
+            if q < 0:
+                return False
+        else:
+            t = Fraction(q, p)
+            if p < 0:
+                if t > t1:
+                    return False
+                t0 = max(t0, t)
+            else:
+                if t < t0:
+                    return False
+                t1 = min(t1, t)
+    return t0 <= t1
+
+
+def test_segment_cell_cover_matches_liang_barsky(spark):
+    rs = np.random.RandomState(47)
+    zoom = 9
+    w = 3_600_000_000 >> zoom
+    segs = []
+    for i in range(120):
+        x1 = int(rs.randint(-40, 40)) * w + int(rs.randint(0, w))
+        y1 = int(rs.randint(-20, 20)) * w + int(rs.randint(0, w))
+        # mix of short steps, long diagonals, axis-aligned, degenerate
+        if i % 10 == 0:
+            x2, y2 = x1, y1  # degenerate point
+        elif i % 10 == 1:
+            x2, y2 = x1 + int(rs.randint(1, 5)) * w, y1  # horizontal
+        elif i % 10 == 2:
+            x2, y2 = x1, y1 + int(rs.randint(1, 5)) * w  # vertical
+        else:
+            x2 = x1 + int(rs.randint(-4 * w, 4 * w))
+            y2 = y1 + int(rs.randint(-4 * w, 4 * w))
+        segs.append((i, x1, y1, x2, y2))
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 long, y1 long, x2 long, y2 long"
+    )
+    got = {
+        (r.seg_id, r.cx, r.cy)
+        for r in segment_cell_cover(df, zoom).collect()
+    }
+    want = set()
+    for sid, x1, y1, x2, y2 in segs:
+        ax, ay = x1 + 1_800_000_000, y1 + 900_000_000
+        bx, by = x2 + 1_800_000_000, y2 + 900_000_000
+        for cx in range(min(ax, bx) // w, max(ax, bx) // w + 1):
+            for cy in range(min(ay, by) // w, max(ay, by) // w + 1):
+                if _seg_box_intersects(
+                    ax, ay, bx, by, cx * w, cy * w, (cx + 1) * w, (cy + 1) * w
+                ):
+                    want.add((sid, cx, cy))
+    assert got == want
+    assert len(want) > 200  # non-degenerate fixture
+
+
+def test_segment_cell_cover_diagonal_tighter_than_bbox(spark):
+    # a long diagonal across a 6x6 cell bbox touches far fewer than 36
+    zoom = 9
+    w = 3_600_000_000 >> zoom
+    df = spark.createDataFrame(
+        [(1, 0, 0, 6 * w - 1, 6 * w - 1)],
+        "seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    rows = segment_cell_cover(df, zoom).collect()
+    # exact diagonal: passes through 6 cells + touches 5 corner pairs
+    n = len(rows)
+    assert 6 <= n <= 16 and n < 36

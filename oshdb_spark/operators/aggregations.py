@@ -354,16 +354,21 @@ def interval_overlap_join(
                 F.col(end_col).cast("long").alias(f"{tag}_e"),
             ).withColumn(
                 "bk",
+                # integer DIV, not floor(x / w): double division loses
+                # exactness for 64-bit timestamps with small buckets.
+                # Truncation is a consistent monotone bucket map, which
+                # is all the exactly-once argument needs (home lies
+                # between both sides' bucket bounds by monotonicity).
                 F.explode(
                     F.sequence(
-                        F.floor(F.col(f"{tag}_s") / w),
-                        F.floor(F.col(f"{tag}_e") / w),
+                        F.expr(f"{tag}_s DIV {w}"),
+                        F.expr(f"{tag}_e DIV {w}"),
                     )
                 ),
             )
         )
     a, b = sides
-    home = F.floor(F.greatest(F.col("a_s"), F.col("b_s")) / w)
+    home = F.expr(f"greatest(a_s, b_s) DIV {w}")
     return (
         a.join(b, keys + ["bk"])
         .filter(

@@ -645,3 +645,23 @@ def test_segment_cell_cover_diagonal_tighter_than_bbox(spark):
     # exact diagonal: passes through 6 cells + touches 5 corner pairs
     n = len(rows)
     assert 6 <= n <= 16 and n < 36
+
+
+def test_interval_overlap_huge_timestamps_exact(spark):
+    # 2^60-scale epochs with a tiny bucket: double-division bucketing
+    # would mis-bucket boundary rows; integer DIV must stay exact
+    base = 1 << 60
+    rows = [
+        (1, 0, base, base + 10),
+        (2, 0, base + 10, base + 20),   # touches 1
+        (3, 0, base + 21, base + 30),   # disjoint from 2
+        (4, 0, base - 7, base + 3),     # overlaps 1 by 3
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, start_us long, end_us long"
+    )
+    got = {
+        (r.a_id, r.b_id): r.overlap_us
+        for r in interval_overlap_join(df, 7).collect()
+    }
+    assert got == {(1, 2): 0, (1, 4): 3}

@@ -343,6 +343,8 @@ def interval_overlap_join(
     overlap_us = min(ends) - max(starts) >= 0 (0 = they touch).
     """
     w = int(bucket_us)
+    if w <= 0:
+        raise ValueError("bucket_us must be positive")
     keys = [key_col] if key_col else []
     sides = []
     for tag in ("a", "b"):

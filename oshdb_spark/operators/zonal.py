@@ -706,6 +706,11 @@ def raster_focal_sum(
     Returns ``(cell_id, value, focal_sum, n_cells)`` where ``value`` is
     the center's own value.
     """
+    if zoom < 2:
+        # a <=2-column world makes a cell its own wrapped lon-neighbor
+        # on both sides (dx=-1 and dx=+1 alias to the same column) —
+        # the 3x3 neighborhood is ill-defined there
+        raise ValueError("raster_focal_sum requires zoom >= 2")
     nx = 1 << zoom
     src = raster.select(
         F.col(cell_col).alias("__id"), F.col(value_col).alias("__v")

@@ -665,3 +665,16 @@ def test_interval_overlap_huge_timestamps_exact(spark):
         for r in interval_overlap_join(df, 7).collect()
     }
     assert got == {(1, 2): 0, (1, 4): 3}
+
+
+def test_guards_on_degenerate_parameters(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "cell_id long, cnt long")
+    with _pytest.raises(ValueError, match="zoom >= 2"):
+        raster_focal_sum(df, 1)
+    iv = spark.createDataFrame(
+        [(1, 0, 0, 5)], "event_id long, user_id long, start_us long, end_us long"
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(iv, 0)

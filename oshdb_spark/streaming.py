@@ -216,3 +216,102 @@ def streaming_dedup_docs(
     return docs.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         keys or ["doc_id"]
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session windows as a CUSTOM STATEFUL streaming operator via
+    ``applyInPandasWithState`` (the arbitrary-state API the built-in
+    ``session_window`` generalizes): per key, events within ``gap_s``
+    of the previous event extend the open session; a session CLOSES
+    (and is emitted, append-mode) when either a later in-batch event
+    exceeds the gap, or the event-time watermark passes
+    ``last_event + gap`` (GroupStateTimeout.EventTimeTimeout).  The
+    streaming analog of the batch :func:`~oshdb_spark.operators.
+    aggregations.sessionize` — the invariant test closes the loop:
+    emitted sessions == the batch operator's sessions that the final
+    watermark has closed.
+
+    State per key is THREE numbers (start, last, n) — bounded by live
+    keys, evicted on timeout; late rows older than an already-closed
+    session merge into the open one or start their own (watermark-late
+    data is the caller's withWatermark contract, as with every
+    event-time stateful operator).
+
+    Returns a streaming DataFrame
+    ``(key, session_start_ms, session_end_ms, n_events)``.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_ms = int(gap_s) * 1000
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s0, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start_ms": [s0],
+                    "session_end_ms": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["__ts_ms"])
+        if not ts:
+            return
+        ts.sort()
+        if state.exists:
+            s0, last, n = state.get
+        else:
+            s0, last, n = ts[0], ts[0] - gap_ms - 1, 0  # forces "new"
+        closed = []
+        for t in ts:
+            if n > 0 and t - last > gap_ms:
+                closed.append((s0, last, n))
+                s0, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((s0, last, n))
+        # timeout strictly after the current watermark (API contract)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms + 1, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "session_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    prepped = (
+        # parquet timestamps load as NTZ; event time must be LTZ
+        events.withColumn("__evt", F.col(ts_col).cast("timestamp_ltz"))
+        .withWatermark("__evt", watermark)
+        .withColumn("__ts_ms", F.unix_millis(F.col("__evt")))
+        .select(F.col(key_col).alias("key"), "__evt", "__ts_ms")
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=(
+            "key long, session_start_ms long, session_end_ms long,"
+            " n_events long"
+        ),
+        stateStructType="s0 long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -384,3 +384,89 @@ def test_time_travel_through_view_api(spark, docs_dir, tmp_path):
     live = SnapshotView.on(live_db).timestamps([ts[-1]]).count()
     assert early <= last == live
     assert live > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming_sessionize (applyInPandasWithState custom stateful operator)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """Emitted streaming sessions == the batch sessionize operator's
+    sessions that the final watermark has closed (last + gap < wm)."""
+    import pandas as pd
+
+    from oshdb_spark.operators.aggregations import session_stats
+    from oshdb_spark.streaming import streaming_sessionize
+
+    gap_s = 60
+    base = 1_700_000_000  # epoch seconds
+    rows = []
+    # 3 users, sessions separated by > gap, events 10 s apart
+    for uid in range(3):
+        t = base + uid * 7
+        for sess in range(4):
+            for k in range(3 + (uid + sess) % 3):
+                rows.append((uid, t))
+                t += 10
+            t += gap_s * 3  # close the session
+    # sentinel far-future event advances the watermark past every
+    # real session's last+gap so their timeouts fire
+    rows.append((99, base + 10 * 86400))
+    rows.sort(key=lambda r: r[1])
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    # time-ordered files -> monotone watermark across micro-batches
+    n_files = 6
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=["user_id", "sec"])
+        pdf["ts"] = pd.to_datetime(pdf.pop("sec"), unit="s")
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_sessionize(stream, gap_s, key_col="user_id", ts_col="ts")
+    qname = "sessionize_test"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.key, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+
+    # batch reference: sessions fully closed by the final watermark
+    ev = spark.createDataFrame(
+        [(u, s * 1_000_000) for u, s in rows],
+        "user_id long, ts_us long",
+    )
+    batch = session_stats(ev, gap_us=gap_s * 1_000_000, order_col="ts_us")
+    wm_ms = max(s for _, s in rows) * 1000
+    want = {
+        (
+            r["user_id"],
+            r["start_ts"] // 1000,
+            r["end_ts"] // 1000,
+            r["n_events"],
+        )
+        for r in batch.collect()
+        if r["end_ts"] // 1000 + gap_s * 1000 < wm_ms
+    }
+    assert want  # 12 real sessions expected
+    assert got == want

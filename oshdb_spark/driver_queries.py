@@ -4990,12 +4990,94 @@ def q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_dwell_time(g, _DW_ZOOM)
 
 
-@_q("track_simplify_dp", None)
+def _dp_oracle_sql(eps_fp: int) -> str:
+    """Douglas-Peucker as a DuckDB recursive CTE: the worklist of
+    (track, i, j) segments IS the recursion; each recursive step joins
+    the active segments against the ordinal-indexed points three ways
+    (endpoint A, endpoint B, interior candidates), picks the argmax of
+    the exact integer metric (cross^2, or squared distance to A when
+    A == B) with the same strict-> / lowest-ordinal tie-break as the
+    engine, and emits the two child segments.  Kept points = distinct
+    segment endpoints at the fixpoint.  HUGEINT (int128) carries the
+    cross^2 products (~1.3e19 > int64 for antimeridian-wide tracks) —
+    the oracle twin of the engine's arbitrary-width Python ints."""
+    eps2 = int(eps_fp) * int(eps_fp)
+    # the per-candidate metric and its threshold test, shared between the
+    # WHERE (hit filter) and ORDER BY (argmax) of the recursive term
+    seg2 = (
+        "(CAST(b2.x - a.x AS HUGEINT) * (b2.x - a.x)"
+        " + CAST(b2.y - a.y AS HUGEINT) * (b2.y - a.y))"
+    )
+    cross = (
+        "(CAST(b2.x - a.x AS HUGEINT) * (q.y - a.y)"
+        " - CAST(b2.y - a.y AS HUGEINT) * (q.x - a.x))"
+    )
+    dist2a = (
+        "(CAST(q.x - a.x AS HUGEINT) * (q.x - a.x)"
+        " + CAST(q.y - a.y AS HUGEINT) * (q.y - a.y))"
+    )
+    metric = f"CASE WHEN {seg2} = 0 THEN {dist2a} ELSE {cross} * {cross} END"
+    hit = (
+        f"CASE WHEN {seg2} = 0 THEN {dist2a} > {eps2}"
+        f" ELSE {cross} * {cross} > CAST({eps2} AS HUGEINT) * {seg2} END"
+    )
+    return f"""
+WITH RECURSIVE
+g AS ({_duck_derive(GEO_LOCAL_EXPRS)}),
+p AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(event_id AS BIGINT) * 1000, event_id
+         ) - 1 AS o,
+         CAST(lon_fp AS BIGINT) AS x,
+         CAST(lat_fp AS BIGINT) AS y
+  FROM g
+),
+segs(user_id, i, j) AS (
+  SELECT user_id, 0, MAX(o) FROM p GROUP BY user_id
+  UNION ALL
+  SELECT s2.user_id, u.lo, u.hi
+  FROM (
+    SELECT b.user_id, b.i, b.j, b.best_k
+    FROM (
+      SELECT s.user_id, s.i, s.j, q.o AS best_k,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.user_id, s.i, s.j
+               ORDER BY {metric} DESC, q.o ASC
+             ) AS rn
+      FROM segs s
+      JOIN p a  ON a.user_id  = s.user_id AND a.o  = s.i
+      JOIN p b2 ON b2.user_id = s.user_id AND b2.o = s.j
+      JOIN p q  ON q.user_id  = s.user_id AND q.o > s.i AND q.o < s.j
+      WHERE s.j - s.i >= 2 AND {hit}
+    ) b
+    WHERE b.rn = 1
+  ) s2, LATERAL (VALUES (s2.i, s2.best_k), (s2.best_k, s2.j)) u(lo, hi)
+),
+keep AS (
+  SELECT DISTINCT user_id, o FROM (
+    SELECT user_id, i AS o FROM segs
+    UNION ALL
+    SELECT user_id, j AS o FROM segs
+  ) e
+)
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(p.o AS BIGINT) AS ordinal,
+       CAST(p.x AS BIGINT) AS lon_fp,
+       CAST(p.y AS BIGINT) AS lat_fp
+FROM p JOIN keep ON keep.user_id = p.user_id AND keep.o = p.o
+"""
+
+
+@_q("track_simplify_dp", _dp_oracle_sql(50_000))
 def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker per-user track simplification with the exact
-    integer split predicate cross^2 > eps^2*|AB|^2 — inherently
-    recursive, hence NO SQL oracle (the driver records the rows-only
-    check); determinism + parity are pytest-gated against an
+    integer split predicate cross^2 > eps^2*|AB|^2.  The recursion is
+    SQL-expressible after all: the oracle drives the segment worklist
+    through a DuckDB recursive CTE (see _dp_oracle_sql) with the same
+    exact-integer metric and tie-break, so the full hash gate applies;
+    determinism + parity are additionally pytest-gated against an
     independent reference implementation
     (tests/test_joincount_interval_closure.py)."""
     from oshdb_spark.operators.aggregations import simplify_track_dp

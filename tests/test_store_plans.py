@@ -92,6 +92,44 @@ def test_manifest_skips_files_on_cold_scan(spark, store_path):
     assert "pt" in pruned.columns
 
 
+def test_corrupt_manifest_degrades_to_full_listing(spark, store_path):
+    """A truncated/corrupt manifest (crash mid-refresh on a filesystem
+    without atomic rename, or a reader racing one) must DEGRADE the
+    pruned read to the unpruned listing — same rows, no exception — and
+    a rebuilt manifest must restore file-level pruning."""
+    import json
+    import os
+
+    from oshdb_spark.sources.store import MANIFEST_NAME, write_manifest
+
+    mf = os.path.join(store_path, MANIFEST_NAME)
+    small = (100_000_000, 100_000_000, 110_000_000, 110_000_000)
+    baseline = read_pruned(spark, store_path, small, use_manifest=False)
+    n_expected = baseline.count()
+    with open(mf) as fh:
+        intact = fh.read()
+    try:
+        for garbage in (intact[: len(intact) // 2], "", "{\"version\": 1}"):
+            with open(mf, "w") as fh:
+                fh.write(garbage)
+            degraded = read_pruned(spark, store_path, small)
+            assert degraded.count() == n_expected
+            # no file skipping without a readable manifest
+            assert len(set(degraded.inputFiles())) == len(
+                set(read_entities_table(spark, store_path).inputFiles())
+            )
+    finally:
+        os.remove(mf)
+        write_manifest(store_path)
+    repaired = read_pruned(spark, store_path, small)
+    assert repaired.count() == n_expected
+    assert len(set(repaired.inputFiles())) < len(
+        set(read_entities_table(spark, store_path).inputFiles())
+    )
+    with open(mf) as fh:
+        assert json.load(fh)["entries"]
+
+
 def test_knn_plan_broadcasts(spark, docs_parquet):
     from oshdb_spark.operators.knn import knn_join
 
